@@ -1,0 +1,374 @@
+"""Pure-Python text core — shared verbatim by reference_impl/ (the
+single-node oracle tagger) and the Spark pandas/Arrow UDF stages.
+
+Because the same functions run in both, the Spark pipeline's per-url
+extracted text is byte-identical to the reference by construction
+(BASELINE.json input_hint invariant), and triple P/R vs the reference is
+1.0 on deterministic fixtures (north_rule ≥0.95).
+
+Semantics reconstructed from mXS's published papers (sequential-pattern
+transduction rules over generalized token streams; markers as sequence
+items) — the reference checkout was empty, see SURVEY.md §0.
+
+No third-party imports: this module must be importable inside Spark's
+Python workers with zero environment drift.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+# --------------------------------------------------------------------------
+# U1 — pinned HTML → text extraction
+# --------------------------------------------------------------------------
+
+_SCRIPT_RE = re.compile(rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.I | re.S)
+_BLOCK_CLOSE_RE = re.compile(
+    rb"</(p|div|h[1-6]|li|tr|title|br)\s*>|<br\s*/?>", re.I
+)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_ENTITIES = {
+    b"&amp;": b"&",
+    b"&lt;": b"<",
+    b"&gt;": b">",
+    b"&quot;": b'"',
+    b"&#39;": b"'",
+    b"&apos;": b"'",
+    b"&nbsp;": b" ",
+}
+_NUMENT_RE = re.compile(rb"&#(\d{1,7});")
+
+
+def pinned_extract(html: bytes) -> str:
+    """Deterministic, dependency-free HTML→text. Pinned forever.
+
+    Contract: line-oriented. Block-closing tags become newlines, all other
+    tags vanish, basic entities are decoded, each line is stripped, empty
+    lines are dropped, lines join with "\\n". The fixture generator is the
+    exact inverse (wrap each line in <p>escape(line)</p>), which makes
+    extract(html) == text provable byte-for-byte.
+    """
+    if html is None:
+        return ""
+    b = _SCRIPT_RE.sub(b"", html)
+    b = _BLOCK_CLOSE_RE.sub(b"\n", b)
+    b = _TAG_RE.sub(b"", b)
+    for ent, rep in _ENTITIES.items():
+        b = b.replace(ent, rep)
+    b = _NUMENT_RE.sub(lambda m: chr(int(m.group(1))).encode("utf-8"), b)
+    text = b.decode("utf-8", errors="replace")
+    lines = [ln.strip() for ln in text.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def html_escape(s: str) -> str:
+    """Inverse-side escaping used by the fixture generator."""
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def sha2_text(s: str) -> str:
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+# --------------------------------------------------------------------------
+# U2 — tokenization + mXS-style generalization hierarchy
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"[A-Za-zÀ-ɏ]+|\d+|[^\sA-Za-zÀ-ɏ\d]")
+_SENT_END = {".", "!", "?"}
+
+
+def tokenize(text: str) -> list[tuple[str, int, int]]:
+    """(token, start, end) character offsets; text[start:end] == token."""
+    return [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+
+
+def split_sentences(
+    tokens: list[tuple[str, int, int]],
+) -> list[list[tuple[str, int, int]]]:
+    """Sentence = tokens up to and including . ! ? (newline handled upstream
+    because tokenize is called per extracted line when needed)."""
+    sents: list[list[tuple[str, int, int]]] = []
+    cur: list[tuple[str, int, int]] = []
+    for t in tokens:
+        cur.append(t)
+        if t[0] in _SENT_END:
+            sents.append(cur)
+            cur = []
+    if cur:
+        sents.append(cur)
+    return sents
+
+
+def shape(tok: str) -> str:
+    if tok.isdigit():
+        return "NUM"
+    if not tok[0].isalpha():
+        return "PUNCT"
+    if tok.isupper() and len(tok) > 1:
+        return "XXX"
+    if tok[0].isupper():
+        return "Xxx"
+    return "xxx"
+
+
+def generalize(tok: str, lexicons: dict[str, list[str]]) -> list[str]:
+    """Ordered most-specific → most-abstract item list for one token.
+
+    mXS's hierarchy: surface(lower) → lexicon categories → shape class.
+    Each token is matched as a small SET of items; rules reference any level.
+    """
+    low = tok.lower()
+    items = [low]
+    items.extend(lexicons.get(low, ()))
+    items.append(shape(tok))
+    return items
+
+
+# --------------------------------------------------------------------------
+# M2 — rule trie (markers are sequence items, the core mXS trick)
+# --------------------------------------------------------------------------
+#
+# A rule is a dict:
+#   {"pattern": [item...], "etype": str, "score": float, "rule_id": int}
+# where pattern contains exactly one "<etype>" ... "</etype>" marker pair;
+# non-marker items match against a token's generalization set and consume
+# one token; marker items consume nothing.
+
+_CHILD, _RULES = 0, 1
+
+
+def new_node() -> list:
+    return [{}, []]
+
+
+def build_trie(rules: list[dict]) -> list:
+    root = new_node()
+    for r in rules:
+        node = root
+        for item in r["pattern"]:
+            node = node[_CHILD].setdefault(item, new_node())
+        node[_RULES].append(
+            (float(r["score"]), int(r["rule_id"]), str(r["etype"]))
+        )
+    return root
+
+
+def is_marker(item: str) -> bool:
+    return item.startswith("<")
+
+
+def match_sentence(
+    trie: list, gen_sets: list[frozenset], max_matches: int = 64
+) -> list[tuple[int, int, str, float, int]]:
+    """All rule matches in one sentence.
+
+    gen_sets[i] = frozenset of generalization items of token i.
+    Returns (tok_open, tok_close, etype, score, rule_id): mention spans
+    tokens [tok_open, tok_close).
+    """
+    n = len(gen_sets)
+    out: list[tuple[int, int, str, float, int]] = []
+    for start in range(n):
+        # DFS over (node, tok_idx, open_pos, close_pos)
+        stack = [(trie, start, -1, -1)]
+        while stack:
+            node, ti, op, cl = stack.pop()
+            if node[_RULES] and op >= 0 and cl >= 0:
+                for score, rule_id, etype in node[_RULES]:
+                    out.append((op, cl, etype, score, rule_id))
+                    if len(out) >= max_matches * 4:
+                        break
+            for item, child in node[_CHILD].items():
+                if is_marker(item):
+                    if item.startswith("</"):
+                        if op >= 0 and cl < 0 and ti > op:
+                            stack.append((child, ti, op, ti))
+                    else:
+                        if op < 0:
+                            stack.append((child, ti, ti, cl))
+                elif ti < n and item in gen_sets[ti]:
+                    stack.append((child, ti + 1, op, cl))
+    return out
+
+
+def resolve_matches(
+    matches: list[tuple[int, int, str, float, int]],
+) -> list[tuple[int, int, str, float, int]]:
+    """mXS-style conflict resolution: best score wins, longer spans break
+    ties, then leftmost, then lowest rule_id; greedy non-overlapping."""
+    picked: list[tuple[int, int, str, float, int]] = []
+    for m in sorted(matches, key=lambda m: (-m[3], -(m[1] - m[0]), m[0], m[4])):
+        if all(m[1] <= p[0] or m[0] >= p[1] for p in picked):
+            picked.append(m)
+    picked.sort(key=lambda m: m[0])
+    return picked
+
+
+# --------------------------------------------------------------------------
+# Predicate patterns → (subj, pred, obj) pairing within a sentence
+# --------------------------------------------------------------------------
+#
+# A predicate pattern is {"pred": str, "pattern": [item...]} where items are
+# entity placeholders "<etype>" (match a resolved mention of that type,
+# consuming its token span) or plain items (match one token's gen set).
+# First placeholder binds subj, second binds obj.
+
+
+def match_predicates(
+    patterns: list[dict],
+    mentions: list[tuple[int, int, str, float, int]],
+    gen_sets: list[frozenset],
+) -> list[tuple[int, int, str]]:
+    """Returns (subj_mention_idx, obj_mention_idx, pred)."""
+    n = len(gen_sets)
+    open_at = {m[0]: i for i, m in enumerate(mentions)}
+    out: list[tuple[int, int, str]] = []
+    for pat in patterns:
+        items = pat["pattern"]
+        for start in range(n):
+            ti = start
+            bound: list[int] = []
+            ok = True
+            for item in items:
+                if is_marker(item):
+                    mi = open_at.get(ti)
+                    if mi is None or mentions[mi][2] != item[1:-1]:
+                        ok = False
+                        break
+                    bound.append(mi)
+                    ti = mentions[mi][1]
+                else:
+                    if ti >= n or item not in gen_sets[ti]:
+                        ok = False
+                        break
+                    ti += 1
+            if ok and len(bound) == 2:
+                out.append((bound[0], bound[1], pat["pred"]))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Whole-document tagging (the per-document unit of work for both the
+# reference oracle and the Spark mapInArrow batches)
+# --------------------------------------------------------------------------
+
+
+def normalize_surface(s: str) -> str:
+    return " ".join(s.lower().split())
+
+
+def tag_text(
+    text: str,
+    trie: list,
+    lexicons: dict[str, list[str]],
+    pred_patterns: list[dict],
+) -> tuple[list[dict], list[dict]]:
+    """→ (mentions, triples) for one document.
+
+    mention: {sent_id, m_start, m_end, surface, etype, rule_id, score}
+    triple:  {sent_id, subj, pred, obj, subj_type, obj_type, conf}
+    Offsets are character offsets into `text` (ASCII fixtures ⇒ byte==char).
+    """
+    mentions_out: list[dict] = []
+    triples_out: list[dict] = []
+    sent_id = 0
+    for line_start, line in _iter_lines(text):
+        toks = tokenize(line)
+        for sent in split_sentences(toks):
+            gen_sets = [
+                frozenset(generalize(t[0], lexicons)) for t in sent
+            ]
+            picked = resolve_matches(match_sentence(trie, gen_sets))
+            for op, cl, etype, score, rule_id in picked:
+                m_start = line_start + sent[op][1]
+                m_end = line_start + sent[cl - 1][2]
+                mentions_out.append(
+                    {
+                        "sent_id": sent_id,
+                        "m_start": m_start,
+                        "m_end": m_end,
+                        "surface": text[m_start:m_end],
+                        "etype": etype,
+                        "rule_id": rule_id,
+                        "score": score,
+                    }
+                )
+            base = len(mentions_out) - len(picked)
+            for si, oi, pred in match_predicates(
+                pred_patterns, picked, gen_sets
+            ):
+                subj = mentions_out[base + si]
+                obj = mentions_out[base + oi]
+                triples_out.append(
+                    {
+                        "sent_id": sent_id,
+                        "subj": normalize_surface(subj["surface"]),
+                        "pred": pred,
+                        "obj": normalize_surface(obj["surface"]),
+                        "subj_type": subj["etype"],
+                        "obj_type": obj["etype"],
+                        "conf": min(subj["score"], obj["score"]),
+                    }
+                )
+            sent_id += 1
+    return mentions_out, triples_out
+
+
+def _iter_lines(text: str):
+    pos = 0
+    for line in text.split("\n"):
+        yield pos, line
+        pos += len(line) + 1
+
+
+# --------------------------------------------------------------------------
+# Annotated-corpus parsing (Etape/Ester2-style inline markers)
+# --------------------------------------------------------------------------
+
+_MARKER_RE = re.compile(r"</?([a-z]+)>")
+
+
+def parse_annotated(line: str) -> tuple[str, list[tuple[int, int, str]]]:
+    """'a <pers> B C </pers> d' → ('a B C d', [(2, 5, 'pers')]).
+
+    Returns clean text + gold character spans. Marker tokens must be
+    space-separated (the fixture generator guarantees this).
+    """
+    out: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    stack: list[tuple[str, int]] = []
+    pos = 0
+    for part in line.split(" "):
+        m = _MARKER_RE.fullmatch(part)
+        if m:
+            if part.startswith("</"):
+                etype, start = stack.pop()
+                spans.append((start, max(start, pos - 1), etype))
+            else:
+                stack.append((m.group(1), pos))
+            continue
+        out.append(part)
+        pos += len(part) + 1
+    return " ".join(out), spans
+
+
+def annotated_to_sequence(
+    line: str, lexicons: dict[str, list[str]]
+) -> list[list[str]]:
+    """Training sequence: one itemset per token (its generalization set);
+    markers are singleton itemsets interleaved — mXS's core representation,
+    directly consumable by pyspark.ml.fpm.PrefixSpan."""
+    seq: list[list[str]] = []
+    for part in line.split(" "):
+        if not part:
+            continue
+        if _MARKER_RE.fullmatch(part):
+            seq.append([part])
+        else:
+            for tok, _s, _e in tokenize(part):
+                seq.append(sorted(set(generalize(tok, lexicons))))
+    return seq
