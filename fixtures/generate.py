@@ -44,7 +44,9 @@ def _entities():
         persons.append({
             "full": full, "last": last,
             "canon": f"pers:{normalize_surface(full).replace(' ', '_')}",
-            "alias_id": f"pers:{normalize_surface(last)}#{i}",
+            # '~' sorts after all letters → component-min canonicalization
+            # (graph.connected_components) picks the full-name id as canon
+            "alias_id": f"pers:~{normalize_surface(last)}#{i}",
         })
     orgs = []
     for i, name in enumerate(ORG_NAMES):

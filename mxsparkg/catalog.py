@@ -1,0 +1,100 @@
+"""Table IO + checkpoint/resume layer (SURVEY.md §2.1 S1/S4/S5).
+
+The production target is Iceberg (north_rule); this sandbox ships no Iceberg
+runtime jar (SURVEY.md §0 [ENV]), so the layer is format-abstract:
+`format="iceberg"` uses DataFrameWriterV2 `writeTo` when the jar is on the
+cluster classpath; the parquet fallback writes a directory + `_manifest.json`
+and is what all tests/bench use. Pipeline code only calls these functions,
+never a hardcoded format.
+
+Checkpoint contract (north_rule: resumable stages): a stage is complete iff
+its manifest exists; `materialize` writes data to a temp dir, then the
+manifest — the manifest write is the atomic commit point, so a killed job
+re-runs an incomplete stage from its inputs (idempotent overwrite).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    return spark.read.parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    if fmt == "iceberg":
+        w = df.writeTo(path)
+        if partition_cols:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_cols])
+        w.createOrReplace()
+        return
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+class Checkpointer:
+    """Stage-boundary persistence with resume detection."""
+
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        self.spark = spark
+        self.root = root
+        self.fmt = fmt
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _manifest(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}._manifest.json")
+
+    def is_done(self, stage: str) -> bool:
+        return os.path.exists(self._manifest(stage))
+
+    def read(self, stage: str) -> DataFrame:
+        return read_table(self.spark, self._dir(stage), self.fmt)
+
+    def materialize(self, df: DataFrame, stage: str, wall_ms: float | None = None) -> DataFrame:
+        """Write stage output, then atomically commit via manifest; returns
+        the re-read DataFrame (truncates lineage — the Spark-batch analogue
+        of a streaming checkpoint)."""
+        t0 = time.time()
+        write_table(df, self._dir(stage), self.fmt)
+        out = self.read(stage)
+        n = out.count()
+        manifest = {
+            "stage": stage,
+            "rows": n,
+            "schema": out.schema.jsonValue(),
+            "format": self.fmt,
+            "wall_ms": wall_ms if wall_ms is not None else (time.time() - t0) * 1000.0,
+        }
+        tmp = self._manifest(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest(stage))
+        return out
+
+    def run_stage(self, stage: str, fn, *inputs: DataFrame) -> DataFrame:
+        """Resume-aware stage execution: skip + read-back when already done."""
+        if self.is_done(stage):
+            return self.read(stage)
+        t0 = time.time()
+        df = fn(*inputs)
+        return self.materialize(df, stage, wall_ms=(time.time() - t0) * 1000.0)

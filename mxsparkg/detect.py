@@ -1,0 +1,141 @@
+"""U3 — trie mention detection + predicate pairing (SURVEY.md §2.9 U3).
+
+One fused mapInArrow pass over pages_clean(text): tokenize → generalize →
+trie match → conflict-resolve → predicate pairing, emitting a unified
+detections table (kind ∈ {mention, triple}). Fusing avoids materializing fat
+token arrays through a shuffle — at 100 TB the tokens table would be ~3× the
+corpus; here it never exists outside worker memory.
+
+The rule trie + lexicons arrive via SparkContext.broadcast (the Spark
+analogue of mXS's in-memory model) and are built once per Python worker:
+`_TRIE_CACHE` is keyed by broadcast id, and Spark reuses worker processes
+across tasks, so trie construction is amortized exactly like the
+scalar-iterator init pattern.
+
+No per-row Python UDFs — RecordBatch in / RecordBatch out (input_hint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.broadcast import Broadcast
+from pyspark.sql import DataFrame, SparkSession
+
+from mxsparkg.lexicons import build_lexicons
+from mxsparkg.model import DEFAULT_RULES, PREDICATE_PATTERNS
+from mxsparkg.textcore import build_trie, normalize_surface, tag_text
+
+DETECT_SCHEMA = (
+    "url string, sent_id int, kind string, m_start int, m_end int, "
+    "surface string, surface_norm string, etype string, rule_id bigint, "
+    "score double, subj string, pred string, obj string, conf double"
+)
+
+_TRIE_CACHE: dict[str, tuple] = {}
+
+
+def broadcast_model(
+    spark: SparkSession,
+    rules: list[dict] | None = None,
+    pred_patterns: list[dict] | None = None,
+) -> Broadcast:
+    """Model → broadcast. A driver-computed content token rides along so
+    worker processes build the trie once per model version (worker reuse
+    makes the cache effective across tasks)."""
+    import hashlib
+    import json
+
+    rules = rules or DEFAULT_RULES
+    pred_patterns = pred_patterns or PREDICATE_PATTERNS
+    token = hashlib.sha256(
+        json.dumps([rules, pred_patterns], sort_keys=True).encode()
+    ).hexdigest()
+    return spark.sparkContext.broadcast(
+        {"rules": rules, "pred_patterns": pred_patterns, "token": token}
+    )
+
+
+def _model_for(bc: Broadcast) -> tuple:
+    m = bc.value
+    key = m["token"]
+    if key not in _TRIE_CACHE:
+        _TRIE_CACHE[key] = (
+            build_trie(m["rules"]),
+            build_lexicons(),
+            m["pred_patterns"],
+        )
+    return _TRIE_CACHE[key]
+
+
+def detect(pages_clean: DataFrame, model_bc: Broadcast) -> DataFrame:
+    """pages_clean(url, text) → detections (kind=mention|triple)."""
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        trie, lex, preds = _model_for(model_bc)
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            texts = batch.column("text").to_pylist()
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "url sent_id kind m_start m_end surface surface_norm "
+                    "etype rule_id score subj pred obj conf".split()
+                )
+            }
+
+            def emit(**kw):
+                for k in rows:
+                    rows[k].append(kw.get(k))
+
+            for url, text in zip(urls, texts):
+                mentions, triples = tag_text(text or "", trie, lex, preds)
+                for m in mentions:
+                    emit(
+                        url=url, sent_id=m["sent_id"], kind="mention",
+                        m_start=m["m_start"], m_end=m["m_end"],
+                        surface=m["surface"],
+                        surface_norm=normalize_surface(m["surface"]),
+                        etype=m["etype"], rule_id=m["rule_id"],
+                        score=m["score"],
+                    )
+                for t in triples:
+                    emit(
+                        url=url, sent_id=t["sent_id"], kind="triple",
+                        subj=t["subj"], pred=t["pred"], obj=t["obj"],
+                        conf=t["conf"],
+                    )
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "url": pa.array(rows["url"], pa.string()),
+                    "sent_id": pa.array(rows["sent_id"], pa.int32()),
+                    "kind": pa.array(rows["kind"], pa.string()),
+                    "m_start": pa.array(rows["m_start"], pa.int32()),
+                    "m_end": pa.array(rows["m_end"], pa.int32()),
+                    "surface": pa.array(rows["surface"], pa.string()),
+                    "surface_norm": pa.array(rows["surface_norm"], pa.string()),
+                    "etype": pa.array(rows["etype"], pa.string()),
+                    "rule_id": pa.array(rows["rule_id"], pa.int64()),
+                    "score": pa.array(rows["score"], pa.float64()),
+                    "subj": pa.array(rows["subj"], pa.string()),
+                    "pred": pa.array(rows["pred"], pa.string()),
+                    "obj": pa.array(rows["obj"], pa.string()),
+                    "conf": pa.array(rows["conf"], pa.float64()),
+                }
+            )
+
+    return pages_clean.select("url", "text").mapInArrow(run, DETECT_SCHEMA)
+
+
+def split_detections(detections: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """→ (mentions, raw_triples). Call on a materialized detections table so
+    the detect pass runs once (pipeline.py checkpoints it)."""
+    mentions = detections.filter(detections.kind == "mention").select(
+        "url", "sent_id", "m_start", "m_end", "surface", "surface_norm",
+        "etype", "rule_id", "score",
+    )
+    triples = detections.filter(detections.kind == "triple").select(
+        "url", "sent_id", "subj", "pred", "obj", "conf",
+    )
+    return mentions, triples

@@ -18,6 +18,29 @@ from mxsparkg.lexicons import build_lexicons
 from mxsparkg.model import DEFAULT_RULES, PREDICATE_PATTERNS
 
 
+def canon_from_aliases(alias_pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find over alias-cluster pairs; canon = min id of the component.
+
+    Same semantics as mxsparkg.graph.connected_components (component-min),
+    so the single-node oracle and the Spark CC agree by definition.
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in alias_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
 def link_surface(surface_norm: str, dictionary: dict[str, list[tuple[str, float]]]) -> str:
     """Dictionary linking: best prior wins; NIL id for unknown surfaces."""
     cands = dictionary.get(surface_norm)

@@ -1,0 +1,49 @@
+"""G1 connected-components correctness (hand-rolled large/small-star)."""
+
+from pyspark.sql import Row
+
+from mxsparkg.graph import connected_components, sameas_edges
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    rows = connected_components(df).collect()
+    return {r["entity_id"]: r["canon_id"] for r in rows}
+
+
+def test_cc_chain(spark):
+    # a-b-c-d chain → all map to a
+    got = _cc(spark, [("b", "a"), ("c", "b"), ("d", "c")])
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_cc_two_components(spark):
+    got = _cc(spark, [("a", "b"), ("x", "y"), ("y", "z")])
+    assert got["b"] == "a" and got["a"] == "a"
+    assert got["x"] == "x" and got["y"] == "x" and got["z"] == "x"
+
+
+def test_cc_star_and_cycle(spark):
+    got = _cc(spark, [("hub", s) for s in ("s1", "s2", "s3")] + [("s1", "s3")])
+    assert set(got.values()) == {"hub"}
+
+
+def test_cc_long_chain_log_rounds(spark):
+    n = 64
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {"n000"}
+    assert len(got) == n + 1
+
+
+def test_sameas_edges_chain_within_cluster(spark):
+    df = spark.createDataFrame(
+        [
+            Row(entity_id="a", canon_id="a"),
+            Row(entity_id="b", canon_id="a"),
+            Row(entity_id="c", canon_id="a"),
+            Row(entity_id="x", canon_id="x"),  # singleton → no edges
+        ]
+    )
+    got = {(r["src"], r["dst"]) for r in sameas_edges(df).collect()}
+    assert got == {("a", "b"), ("b", "c")}

@@ -1,0 +1,142 @@
+"""End-to-end pipeline tests (SURVEY.md §5.2 tiers 3-5): equivalence vs the
+single-node reference oracle, resume, partition invariance, plan hygiene."""
+
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from mxsparkg.extract import extract_pages
+from mxsparkg.pipeline import run_pipeline, triples_for_eval
+from reference_impl.tagger import canon_from_aliases, run_reference, triple_prf
+
+CKPT = "/tmp/mxsparkg_test_ckpt"
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, tiny_fixtures):
+    shutil.rmtree(CKPT, ignore_errors=True)
+    return run_pipeline(
+        spark,
+        f"{tiny_fixtures}/pages.parquet",
+        f"{tiny_fixtures}/entity_dict.parquet",
+        f"{tiny_fixtures}/gold_canon.parquet",
+        CKPT,
+    )
+
+
+@pytest.fixture(scope="module")
+def reference_result(tiny_fixtures):
+    pages = pq.read_table(f"{tiny_fixtures}/pages.parquet").to_pylist()
+    ed = {}
+    for r in pq.read_table(f"{tiny_fixtures}/entity_dict.parquet").to_pylist():
+        ed.setdefault(r["surface_norm"], []).append((r["entity_id"], r["prior"]))
+    pairs = [
+        (r["entity_id"], r["canon_id"])
+        for r in pq.read_table(f"{tiny_fixtures}/gold_canon.parquet").to_pylist()
+    ]
+    return run_reference(pages, dictionary=ed, canon_map=canon_from_aliases(pairs))
+
+
+def _triples(df):
+    return {tuple(r) for r in triples_for_eval(df).collect()}
+
+
+def test_triple_pr_vs_reference(pipeline_result, reference_result):
+    spark_t = _triples(pipeline_result["triples"])
+    ref_t = {
+        (t["subj"], t["pred"], t["obj"], t["url"])
+        for t in reference_result["triples"]
+    }
+    p, r, f = triple_prf(spark_t, ref_t)
+    assert p >= 0.95 and r >= 0.95, (p, r)  # north_rule; 1.0 by construction
+    assert (p, r) == (1.0, 1.0)
+
+
+def test_triple_pr_vs_gold(pipeline_result, tiny_fixtures):
+    spark_t = _triples(pipeline_result["triples"])
+    gold = {
+        (t["subj"], t["pred"], t["obj"], t["url"])
+        for t in pq.read_table(f"{tiny_fixtures}/gold_triples.parquet").to_pylist()
+    }
+    p, r, _ = triple_prf(spark_t, gold)
+    assert (p, r) == (1.0, 1.0)
+
+
+def test_mentions_match_gold_spans(pipeline_result, tiny_fixtures):
+    got = {
+        (r["url"], r["m_start"], r["m_end"], r["etype"])
+        for r in pipeline_result["mentions"]
+        .filter("etype in ('pers','org','loc')")
+        .collect()
+    }
+    gold = {
+        (m["url"], m["m_start"], m["m_end"], m["etype"])
+        for m in pq.read_table(f"{tiny_fixtures}/gold_mentions.parquet").to_pylist()
+    }
+    assert got == gold
+
+
+def test_extracted_text_byte_identity(pipeline_result, tiny_fixtures):
+    got = {
+        r["url"]: r["text"] for r in pipeline_result["pages_clean"].collect()
+    }
+    for row in pq.read_table(f"{tiny_fixtures}/pages.parquet").to_pylist():
+        assert got[row["url"]] == row["text"]
+
+
+def test_resume_skips_and_matches(spark, tiny_fixtures, pipeline_result):
+    """Re-run against the same checkpoint root: all stages read back, output
+    identical (north_rule checkpoint-resume)."""
+    before = _triples(pipeline_result["triples"])
+    res2 = run_pipeline(
+        spark,
+        f"{tiny_fixtures}/pages.parquet",
+        f"{tiny_fixtures}/entity_dict.parquet",
+        f"{tiny_fixtures}/gold_canon.parquet",
+        CKPT,
+    )
+    assert _triples(res2["triples"]) == before
+
+
+def test_partition_invariance(spark, tiny_fixtures, pipeline_result):
+    """Results identical when the whole input is one partition."""
+    import os
+
+    one = "/tmp/mxsparkg_test_onepart"
+    shutil.rmtree(one, ignore_errors=True)
+    os.makedirs(one)
+    spark.read.parquet(f"{tiny_fixtures}/pages.parquet").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{one}/pages.parquet")
+    res1 = run_pipeline(
+        spark,
+        f"{one}/pages.parquet",
+        f"{tiny_fixtures}/entity_dict.parquet",
+        f"{tiny_fixtures}/gold_canon.parquet",
+        f"{one}/ckpt",
+        n_partitions=1,
+        with_metrics=False,
+    )
+    assert _triples(res1["triples"]) == _triples(pipeline_result["triples"])
+
+
+def test_html_pruned_after_extract(spark, tiny_fixtures):
+    """Plan hygiene: downstream of extract_pages, `html` is gone and the
+    detect input schema carries only url+text."""
+    pages = spark.read.parquet(f"{tiny_fixtures}/pages.parquet")
+    clean = extract_pages(pages)
+    assert "html" not in clean.columns
+    plan = clean.select("url", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "Python" in plan
+
+
+def test_metrics_rows_written(spark, pipeline_result):
+    from mxsparkg.metrics import read_metrics
+
+    m = read_metrics(spark, CKPT)
+    stages = {r["stage"] for r in m.select("stage").distinct().collect()}
+    assert {"extract", "detect", "triples"} <= stages
+    row = m.filter("stage = 'detect'").first()
+    assert row["rows_out"] > 0 and row["wall_ms"] > 0
+    assert isinstance(row["input_files"], list)
