@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship rollup over the sf0.001 documents table.
+queries()/oracle_sql(): SURVEY.md §2 operator keys (mxsparkg.contract) plus
+training-data ops (mxsparkg.datapipe). Keys without an oracle entry are
+non-SQL-expressible (pipeline/minhash/simhash/ANN internals) → rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mxsparkg.contract import contract_oracle_sql, contract_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus quality rollup per (lang, source) on sf0.001."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    enriched = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(words).alias("n_tokens"),
+        (F.col("n_chars") / F.greatest(F.size(words), F.lit(1))).alias("avg_wlen"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    )
+    return enriched.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        F.round(F.avg("avg_wlen"), 4).alias("avg_word_len"),
+        F.countDistinct("fp").alias("n_unique"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable] = {}
+    out.update(contract_queries())
+    try:
+        from mxsparkg.datapipe import datapipe_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        out.update(datapipe_queries())
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(contract_oracle_sql())
+    try:
+        from mxsparkg.datapipe import datapipe_oracle_sql
+
+        out.update(datapipe_oracle_sql())
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,557 @@
+"""Driver-contract relational operators (SURVEY.md §2 driver keys).
+
+Each entry: a (spark, sf_dir) → DataFrame callable over the driver's
+testdata tables, plus a DuckDB-equivalent SQL string. The driver compares
+row-count + schema + order-insensitive value hash at sf0.01, so:
+
+- every computed column is aliased IDENTICALLY in both
+- doubles are rounded (sum→2dp, avg/ratio→4dp) to kill engine-order ulps
+- timestamps are emitted as formatted strings
+- int aggregates are cast to BIGINT in SQL (DuckDB SUM(int)→HUGEINT)
+
+These run on Spark built-ins only (JVM whole-stage codegen; zero Python in
+the hot path), so Catalyst pushdown/pruning applies everywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Registry rows: name → (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple] = {}
+
+
+def reg(name: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def contract_queries() -> dict:
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+
+
+def contract_oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql}
+
+
+# ---------------------------------------------------------------- scans ----
+
+@reg("scan_documents",
+     "SELECT doc_id, lang, source, n_chars FROM documents")
+def scan_documents(spark, sf):
+    return _t(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+
+
+# --------------------------------------------------- projections / filters --
+
+@reg("project_select", "SELECT doc_id, lang FROM documents")
+def project_select(spark, sf):
+    return _t(spark, sf, "documents").select("doc_id", "lang")
+
+
+@reg("filter_predicate",
+     "SELECT doc_id, lang, n_chars FROM documents "
+     "WHERE lang IN ('en','fr') AND n_chars > 200")
+def filter_predicate(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.filter(F.col("lang").isin("en", "fr") & (F.col("n_chars") > 200)) \
+            .select("doc_id", "lang", "n_chars")
+
+
+@reg("filter_notnull",
+     "SELECT doc_id FROM documents WHERE text IS NOT NULL AND length(text) > 0")
+def filter_notnull(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.filter(F.col("text").isNotNull() & (F.length("text") > 0)) \
+            .select("doc_id")
+
+
+@reg("dedup_rank",
+     "SELECT user_id, event_id FROM ("
+     "  SELECT user_id, event_id, ROW_NUMBER() OVER ("
+     "    PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events"
+     ") WHERE rn = 1")
+def dedup_rank(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.withColumn("rn", F.row_number().over(w)) \
+            .filter("rn = 1").select("user_id", "event_id")
+
+
+# ---------------------------------------------------------------- joins ----
+
+@reg("join_broadcast",
+     "SELECT n.n_name, r.r_name FROM nation n JOIN region r "
+     "ON n.n_regionkey = r.r_regionkey")
+def join_broadcast(spark, sf):
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey) \
+            .select("n_name", "r_name")
+
+
+@reg("join_inner",
+     "SELECT o.o_orderkey, c.c_name FROM orders o "
+     "JOIN customer c ON o.o_custkey = c.c_custkey")
+def join_inner(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+
+
+@reg("join_left",
+     "SELECT c.c_custkey, n.n_name FROM customer c "
+     "LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey")
+def join_left(spark, sf):
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left") \
+            .select("c_custkey", "n_name")
+
+
+@reg("join_semi",
+     "SELECT c_custkey FROM customer WHERE c_custkey IN "
+     "(SELECT o_custkey FROM orders)")
+def join_semi(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@reg("join_anti",
+     "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+     "(SELECT o_custkey FROM orders)")
+def join_anti(spark, sf):
+    c, o = _t(spark, sf, "orders"), None
+    cust = _t(spark, sf, "customer")
+    return cust.join(c, cust.c_custkey == c.o_custkey, "left_anti") \
+               .select("c_custkey")
+
+
+@reg("join_range",
+     "SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id "
+     "FROM events a JOIN events b ON a.user_id = b.user_id "
+     "AND b.event_id > a.event_id "
+     "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR")
+def join_range(spark, sf):
+    e = _t(spark, sf, "events")
+    a = e.select(F.col("user_id"), F.col("event_id").alias("a_id"),
+                 F.col("ts").alias("a_ts"))
+    b = e.select(F.col("user_id").alias("b_user"), F.col("event_id").alias("b_id"),
+                 F.col("ts").alias("b_ts"))
+    out = a.join(
+        b,
+        (a.user_id == b.b_user) & (F.col("b_id") > F.col("a_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return out.select("user_id", "a_id", "b_id")
+
+
+# ----------------------------------------------------------- aggregations --
+
+@reg("agg_groupby_count",
+     "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n "
+     "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+def agg_groupby_count(spark, sf):
+    return _t(spark, sf, "lineitem").groupBy("l_returnflag", "l_linestatus") \
+        .agg(F.count("*").alias("n"))
+
+
+@reg("agg_conditional",
+     "SELECT o_orderpriority, "
+     "ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)"
+     " AS f_total, "
+     "ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) "
+     " / SUM(o_totalprice), 4) AS f_share "
+     "FROM orders GROUP BY o_orderpriority")
+def agg_conditional(spark, sf):
+    o = _t(spark, sf, "orders")
+    f_sum = F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+                  .otherwise(0.0))
+    return o.groupBy("o_orderpriority").agg(
+        F.round(f_sum, 2).alias("f_total"),
+        F.round(f_sum / F.sum("o_totalprice"), 4).alias("f_share"),
+    )
+
+
+@reg("agg_multi",
+     "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+     "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+     "ROUND(AVG(l_extendedprice), 4) AS avg_price, "
+     "strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship, "
+     "strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship "
+     "FROM lineitem GROUP BY l_returnflag")
+def agg_multi(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+    )
+
+
+@reg("agg_maxby",
+     "SELECT c_nationkey, arg_max(c_name, c_acctbal) AS top_customer, "
+     "ROUND(MAX(c_acctbal), 2) AS top_bal "
+     "FROM customer GROUP BY c_nationkey")
+def agg_maxby(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_acctbal").alias("top_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("top_bal"),
+    )
+
+
+@reg("agg_distinct",
+     "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")
+def agg_distinct(spark, sf):
+    return _t(spark, sf, "orders").select("o_orderstatus", "o_orderpriority") \
+        .distinct()
+
+
+@reg("agg_approx_distinct", None)  # approx algos differ across engines
+def agg_approx_distinct(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.approx_count_distinct("source").alias("approx_sources"),
+        F.approx_count_distinct("doc_id").alias("approx_docs"),
+    )
+
+
+@reg("agg_rollup",
+     "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n, "
+     "ROUND(SUM(l_quantity), 2) AS sum_qty "
+     "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+def agg_rollup(spark, sf):
+    return _t(spark, sf, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@reg("agg_cube",
+     "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
+     "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)")
+def agg_cube(spark, sf):
+    return _t(spark, sf, "orders").cube("o_orderstatus", "o_orderpriority") \
+        .agg(F.count("*").alias("n"))
+
+
+@reg("agg_pandas",
+     "SELECT lang, ROUND(AVG(n_chars), 4) AS mean_chars, "
+     "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang")
+def agg_pandas(spark, sf):
+    """Grouped-agg pandas UDF (U6) — Arrow-vectorized, checked vs SQL AVG."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mean_chars(v: pd.Series) -> float:
+        return float(v.mean())
+
+    # grouped-agg pandas UDFs can't mix with built-in aggs in one agg()
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.round(mean_chars("n_chars"), 4).alias("mean_chars"),
+        n_rows("n_chars").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------- windows --
+
+@reg("window_rownum",
+     "SELECT o_custkey, o_orderkey FROM ("
+     "  SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER ("
+     "    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC"
+     "  ) AS rn FROM orders) WHERE rn = 1")
+def window_rownum(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return o.withColumn("rn", F.row_number().over(w)).filter("rn = 1") \
+        .select("o_custkey", "o_orderkey")
+
+
+@reg("window_rank",
+     "SELECT o_orderpriority, o_orderkey, rnk FROM ("
+     "  SELECT o_orderpriority, o_orderkey, RANK() OVER ("
+     "    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey"
+     "  ) AS rnk FROM orders) WHERE rnk <= 3")
+def window_rank(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.withColumn("rnk", F.rank().over(w)).filter("rnk <= 3") \
+        .select("o_orderpriority", "o_orderkey", "rnk")
+
+
+@reg("window_lag",
+     "SELECT user_id, event_id, "
+     "ROUND(value - LAG(value) OVER ("
+     "  PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta "
+     "FROM events")
+def window_lag(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@reg("window_frame",
+     "SELECT user_id, event_id, "
+     "ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+     "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg "
+     "FROM events")
+def window_frame(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+    )
+
+
+@reg("window_cumsum",
+     "SELECT user_id, event_id, "
+     "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value "
+     "FROM events")
+def window_cumsum(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.sum("value").over(w), 4).alias("cum_value"),
+    )
+
+
+# ---------------------------------------------------------- sorts / topk ---
+
+@reg("sort_limit_topk",
+     "SELECT o_orderkey, ROUND(o_totalprice, 2) AS total FROM orders "
+     "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")
+def sort_limit_topk(spark, sf):
+    # Spark plans TakeOrderedAndProject — no global sort materialized
+    o = _t(spark, sf, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")) \
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total")) \
+        .limit(10)
+
+
+@reg("sort_multi",
+     "SELECT n_name, n_regionkey FROM nation ORDER BY n_regionkey DESC, n_name")
+def sort_multi(spark, sf):
+    return _t(spark, sf, "nation").orderBy(F.desc("n_regionkey"), "n_name") \
+        .select("n_name", "n_regionkey")
+
+
+# ------------------------------------------------------------- set ops -----
+
+@reg("setop_union",
+     "SELECT r_name AS name, 'region' AS kind FROM region "
+     "UNION ALL SELECT n_name AS name, 'nation' AS kind FROM nation")
+def setop_union(spark, sf):
+    r = _t(spark, sf, "region").select(F.col("r_name").alias("name"),
+                                       F.lit("region").alias("kind"))
+    n = _t(spark, sf, "nation").select(F.col("n_name").alias("name"),
+                                       F.lit("nation").alias("kind"))
+    return r.unionByName(n)
+
+
+@reg("setop_except",
+     "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders")
+def setop_except(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_custkey"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+@reg("setop_intersect",
+     "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders")
+def setop_intersect(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_custkey"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+# ----------------------------------------------------- scalar functions ----
+
+@reg("fn_string",
+     "SELECT doc_id, upper(lang) AS lang_u, "
+     "substr(source, 4) AS src_num, "
+     "CAST(length(text) AS BIGINT) AS text_len, "
+     "trim(concat(lang, ' ', source)) AS tagged "
+     "FROM documents")
+def fn_string(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_u"),
+        F.substring("source", 4, 2_000_000).alias("src_num"),
+        F.length("text").cast("bigint").alias("text_len"),
+        F.trim(F.concat_ws(" ", "lang", "source")).alias("tagged"),
+    )
+
+
+@reg("fn_hash",
+     "SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha2 "
+     "FROM documents")
+def fn_hash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha2"),
+    )
+
+
+@reg("fn_parse_url",
+     "SELECT doc_id, "
+     "regexp_extract(url, 'https://([^/]+)/', 1) AS host, "
+     "regexp_extract(url, 'https://[^/]+(/.*)$', 1) AS path FROM ("
+     "  SELECT doc_id, concat('https://', source, '.example.com/doc/', "
+     "         CAST(doc_id AS VARCHAR)) AS url FROM documents)")
+def fn_parse_url(spark, sf):
+    d = _t(spark, sf, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+                   F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+    )
+
+
+@reg("fn_date",
+     "SELECT o_orderkey, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr, "
+     "CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo, "
+     "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start, "
+     "CAST(date_diff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS INT)"
+     " AS days_since "
+     "FROM orders")
+def fn_date(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+         .alias("month_start"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("2020-01-01"))
+         .alias("days_since"),
+    )
+
+
+@reg("fn_math",
+     "SELECT l_orderkey, l_linenumber, "
+     "ROUND(l_extendedprice * (1 - l_discount), 4) AS net, "
+     "ROUND(ln(1 + l_quantity), 6) AS log_qty, "
+     "ROUND(sqrt(l_extendedprice), 6) AS sqrt_price, "
+     "GREATEST(l_tax, l_discount) AS max_rate "
+     "FROM lineitem")
+def fn_math(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        # 4dp, not 2: the product of two 2-dp doubles is exactly a 4-decimal
+        # value, so 4dp rounding has no half-way ties (2dp does → engines
+        # disagree on ~0.2% of rows)
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+         .alias("net"),
+        F.round(F.log(F.lit(1) + F.col("l_quantity")), 6).alias("log_qty"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+    )
+
+
+@reg("fn_array_explode",
+     "SELECT doc_id, unnest(str_split(text, ' ')[1:5]) AS word FROM documents")
+def fn_array_explode(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(F.slice(F.split("text", " "), 1, 5)).alias("word"),
+    )
+
+
+@reg("fn_array_hof",
+     "SELECT vec_id, "
+     "ROUND(list_sum(list_transform(embedding, "
+     "  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm, "
+     "CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos, "
+     "CAST(len(embedding) AS INT) AS dim "
+     "FROM embeddings")
+def fn_array_hof(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(sq, 4).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@reg("fn_map",
+     "SELECT doc_id, "
+     "CAST(map_extract(map {'lang': lang, 'source': source}, 'lang')[1] "
+     "AS VARCHAR) AS lang_v, "
+     "array_to_string(map_keys(map {'lang': lang, 'source': source}), ',')"
+     " AS keys_csv "
+     "FROM documents")
+def fn_map(spark, sf):
+    d = _t(spark, sf, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return d.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_v"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+    )
+
+
+@reg("fn_json",
+     "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
+     "FROM events")
+def fn_json(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@reg("fn_case",
+     "SELECT event_id, "
+     "CASE WHEN value > 100 THEN 'high' WHEN value > 10 THEN 'mid' "
+     "ELSE 'low' END AS bucket, "
+     "COALESCE(NULLIF(event_type, 'error'), 'unknown') AS etype "
+     "FROM events")
+def fn_case(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") > 100, "high")
+         .when(F.col("value") > 10, "mid")
+         .otherwise("low").alias("bucket"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown"))
+         .alias("etype"),
+    )
