@@ -1,0 +1,124 @@
+"""Driver-facing benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, ...extras}
+
+Headlines span the engine's hot paths: columnar scan+filter+agg, the big
+shuffle join, window ranking, exact dedup, JSON parse, and the KG core
+(mapInArrow trie detect over the documents table standing in for pages).
+Each query is executed with a count-only action (no driver collect of data
+rows) so timing measures the distributed plan, not py4j transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _fixture_scale(sf: str) -> str:
+    base = os.path.basename(sf.rstrip("/"))
+    return {"sf0.001": "tiny", "sf0.01": "small"}.get(base, "bench")
+
+
+def _kg_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship engine path: byte-identical extract (U1) + trie mention
+    detection + predicate pairing (U3) over the deterministic fixture pages
+    (seeded, planted entities — FIXTURES.md §B), scale tied to sf."""
+    from fixtures.generate import ensure_fixtures
+    from mxsparkg.detect import broadcast_model, detect
+    from mxsparkg.extract import extract_pages
+
+    fdir = ensure_fixtures(_fixture_scale(sf))
+    pages = spark.read.parquet(f"{fdir}/pages.parquet")
+    return detect(extract_pages(pages), broadcast_model(spark))
+
+
+def headline_queries() -> dict:
+    from __spark_entry__ import queries
+
+    q = queries()
+    picks = [
+        "agg_groupby_count",   # map-side-combined hash agg on lineitem
+        "agg_multi",           # multi-agg + collect_set
+        "join_inner",          # SMJ/shuffle join orders x lineitem
+        "join_broadcast",      # broadcast dim join
+        "join_range",          # range self-join on events
+        "window_rownum",       # ranking window
+        "dedup_rank",          # exact dedup on documents
+        "fn_json",             # JSON extraction on events.props
+        "fn_array_hof",        # higher-order array funcs on embeddings
+        "agg_pandas",          # Arrow grouped pandas agg
+    ]
+    out = {k: q[k] for k in picks if k in q}
+    # training-data ops land here too once datapipe ships
+    for k in ("dedup_minhash_lsh", "txt_quality", "ann_topk_cosine"):
+        if k in q:
+            out[k] = q[k]
+    out["kg_detect"] = _kg_detect
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from mxsparkg.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="mxsparkg-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    # fixture generation is one-time setup, not query time
+    from fixtures.generate import ensure_fixtures
+
+    ensure_fixtures(_fixture_scale(sf_dir))
+
+    qs = headline_queries()
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    total = 0.0
+    for name, fn in qs.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        if name == "kg_detect":
+            from fixtures.generate import ensure_fixtures
+
+            fdir = ensure_fixtures(_fixture_scale(sf_dir))
+            n_docs = spark.read.parquet(f"{fdir}/pages.parquet").count()
+            extras["kg_detect_rows"] = n
+            extras["kg_docs_per_sec"] = round(n_docs / dt, 1)
+            extras["kg_detections_per_sec"] = round(n / dt, 1)
+        print(f"[bench] {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,803 @@
+"""Training-data pipeline operators over the web-text tables
+(documents, embeddings): deduplication, similarity search, text analysis,
+multimodal plumbing. Every op registers a `queries()` entry AND a DuckDB
+`oracle_sql()` entry (driver correctness gate).
+
+Cross-engine determinism trick: all hashing is built from `md5()` (identical
+hex output in Spark and DuckDB), so MinHash signatures, LSH band hashes and
+SimHash bits are bit-for-bit comparable between the Spark query and the SQL
+oracle. MinHash needs only a total order per hash function — `min()` over
+md5 strings of salted shingles is a valid MinHash family.
+
+Scale posture (100 TB corpus):
+- dedup_exact / minhash / simhash are single groupBy passes over exploded
+  shingles/tokens — map-side partial aggregation keeps the shuffle at
+  O(distinct keys), not O(tokens).
+- LSH candidate generation joins on (band_id, band_hash) — the whole point
+  is to NEVER form the O(n²) pair space; only bucket-mates meet.
+- embedding ops precompute norms once, block pairwise work by a key
+  (label / LSH bucket), and broadcast the tiny query side for ANN top-k.
+- no per-row Python UDFs; the one Python stage (multimodal decode) is
+  mapInPandas over Arrow batches (input_hint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------- constants
+
+N_MINHASH = 8           # signature length
+MINHASH_BAND_ROWS = 2   # → 4 bands; P(band collision) = J^2
+N_SIMHASH_BITS = 16     # one bit per leading md5 hex digit
+N_HYPERPLANES = 8       # random-hyperplane LSH → 256 buckets
+EMB_DIM = 64
+ANN_N_QUERIES = 5
+ANN_K = 10
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est"],
+    "es": ["el", "los", "las", "y", "que", "una", "es"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "nicht"],
+}
+LANG_PRIORITY = ["en", "fr", "es", "de"]  # deterministic argmax tie-break
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Seeded hyperplanes, rounded to 3dp so the same literals embed in both
+    the Spark plan and the SQL oracle (decimal→double parse is exact-nearest
+    IEEE in both engines)."""
+    rng = np.random.RandomState(42)
+    h = rng.standard_normal((N_HYPERPLANES, EMB_DIM))
+    return [[round(float(x), 3) for x in row] for row in h]
+
+
+# ---------------------------------------------------------------- helpers
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """documents → distinct (doc_id, sh) word-3-gram shingles.
+    Guarded sequence: docs with <3 tokens contribute no shingles."""
+    w = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(w) >= 3,
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3), i -> "
+            "concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1], ' ', "
+            "split(text, ' ')[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(sh).alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
+
+
+def _md5s(col: Column) -> Column:
+    return F.md5(col.cast("binary"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (matches DuckDB list_dot_product
+    evaluation order → bitwise-identical IEEE result)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _vecs_with_norm(embs: DataFrame) -> DataFrame:
+    v = F.col("embedding").cast("array<double>")
+    return embs.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("norm"),
+    )
+
+
+_SQL_SHINGLES = """
+  toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  shingles AS (
+    SELECT DISTINCT doc_id, sh FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM toks))
+"""
+
+_SQL_VECS = """
+  vecs AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings)
+"""
+
+
+# ================================================================ dedup
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint. One shuffle on the
+    16-byte digest; at 100 TB this is the cheapest possible full-corpus
+    dedup (map-side combine collapses per-partition duplicates first)."""
+    return (
+        _docs(spark, sf)
+        .select(_md5s(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact_sql() -> str:
+    return """
+      SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id,
+             count(*) AS n_copies
+      FROM documents GROUP BY 1
+    """
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s7): MinHash over word-3-gram shingles; hash family i =
+    md5(i || '|' || shingle), min taken in string order."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min(_md5s(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"s{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH banding: signature → 4 bands of 2 rows → band hash.
+    Returns (doc_id, band_id, band_hash) bucket assignments. Candidate
+    pairs come from joining on (band_id, band_hash) — see
+    minhash_candidate_pairs(); the pair step is exercised on planted
+    near-dups in tests (driver corpus has no near-dups by construction)."""
+    sig = minhash_signatures(_docs(spark, sf))
+    bands = F.array(
+        *[
+            _md5s(
+                F.concat(
+                    *[
+                        F.col(f"s{b * MINHASH_BAND_ROWS + r}")
+                        for r in range(MINHASH_BAND_ROWS)
+                    ]
+                )
+            )
+            for b in range(N_MINHASH // MINHASH_BAND_ROWS)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(bands).alias("band_id", "band_hash")
+    )
+
+
+def dedup_minhash_lsh_sql() -> str:
+    sigs = ", ".join(
+        f"min(md5('{i}|' || sh)) AS s{i}" for i in range(N_MINHASH)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"md5(s{b * MINHASH_BAND_ROWS} || s{b * MINHASH_BAND_ROWS + 1}) "
+        f"AS band_hash FROM sig"
+        for b in range(N_MINHASH // MINHASH_BAND_ROWS)
+    )
+    return f"WITH {_SQL_SHINGLES}, sig AS (SELECT doc_id, {sigs} FROM shingles GROUP BY doc_id) {bands}"
+
+
+def minhash_candidate_pairs(
+    sig: DataFrame, min_est_jaccard: float = 0.5
+) -> DataFrame:
+    """LSH candidate pairs: bucket-join on band hashes (never O(n²)), then
+    estimate Jaccard as the fraction of agreeing signature components.
+    `sig` is the output of minhash_signatures()."""
+    bands = F.array(
+        *[
+            _md5s(
+                F.concat(
+                    *[
+                        F.col(f"s{b * MINHASH_BAND_ROWS + r}")
+                        for r in range(MINHASH_BAND_ROWS)
+                    ]
+                )
+            )
+            for b in range(N_MINHASH // MINHASH_BAND_ROWS)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id",
+        *[F.col(f"s{i}") for i in range(N_MINHASH)],
+        F.posexplode(bands).alias("band_id", "band_hash"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            *[
+                (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int").alias(f"m{i}")
+                for i in range(N_MINHASH)
+            ],
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    est = sum(F.col(f"m{i}") for i in range(N_MINHASH)) / float(N_MINHASH)
+    return (
+        pairs.select("a_id", "b_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash: 16-bit fingerprint; bit j of a token = (j-th md5 hex digit
+    >= '8'), document bit = sign of the ±1 vote sum over all tokens
+    (duplicates weighted, classic SimHash). One explode + one groupBy with
+    16 conditional sums — fully map-side combinable."""
+    toks = (
+        _docs(spark, sf)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .withColumn("h", _md5s(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(N_SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(N_SIMHASH_BITS)
+        ]
+    )
+    return agg.select("doc_id", bits.alias("simhash"))
+
+
+def dedup_simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(N_SIMHASH_BITS)
+    )
+    bits = " || ".join(
+        f"CASE WHEN b{j} > 0 THEN '1' ELSE '0' END"
+        for j in range(N_SIMHASH_BITS)
+    )
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+        FROM documents),
+      agg AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+      SELECT doc_id, {bits} AS simhash FROM agg
+    """
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-3-gram Jaccard: top-50 most-similar doc pairs. The
+    inverted-index self-join on the shingle key means cost is
+    O(Σ postings²), not O(n_docs²) — the standard scale-out exact-Jaccard
+    plan. Deterministic total order (jacc desc, a_id, b_id)."""
+    sh = _shingles(_docs(spark, sf))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")
+    )
+    jacc = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(ca, "a_id")
+        .join(cb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.col("inter").alias("n_common"),
+            F.round(jacc, 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "a_id", "b_id")
+        .limit(50)
+    )
+
+
+def dedup_ngram_jaccard_sql() -> str:
+    return f"""
+      WITH {_SQL_SHINGLES},
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.a_id, i.b_id, i.n_common,
+             round(i.n_common / (ca.n_sh + cb.n_sh - i.n_common), 6) AS jaccard
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.a_id
+      JOIN counts cb ON cb.doc_id = i.b_id
+      ORDER BY i.n_common / (ca.n_sh + cb.n_sh - i.n_common) DESC, i.a_id, i.b_id
+      LIMIT 50
+    """
+
+
+def dedup_embed_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup: top-20 cosine pairs, blocked by label so the
+    pair space is Σ|block|² not n² (at 100 TB the block key would be an
+    LSH bucket — see ann_lsh_topk — or a coarse cluster id)."""
+    v = _vecs_with_norm(_embs(spark, sf))
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos_raw"),
+        )
+        .orderBy(F.desc("cos_raw"), "a_id", "b_id")
+        .limit(20)
+        .select("a_id", "b_id", "label", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def dedup_embed_cosine_sql() -> str:
+    return f"""
+      WITH {_SQL_VECS}
+      SELECT a_id, b_id, label, round(cos_raw, 6) AS cosine FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+               list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos_raw
+        FROM vecs a JOIN vecs b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        ORDER BY cos_raw DESC, a_id, b_id LIMIT 20)
+    """
+
+
+# ================================================================ ANN
+
+def ann_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k baseline: 5 query vectors × all corpus
+    vectors. Query side is tiny → broadcast, so the scan side never
+    shuffles; at 100 TB this is one pass over the embedding table."""
+    v = _vecs_with_norm(_embs(spark, sf))
+    q = v.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_raw"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            "q_id",
+            "rank",
+            "vec_id",
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
+def ann_topk_cosine_sql() -> str:
+    return f"""
+      WITH {_SQL_VECS},
+      q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM vecs
+            WHERE vec_id < {ANN_N_QUERIES}),
+      scored AS (
+        SELECT q.q_id, vecs.vec_id,
+               list_dot_product(q.qv, vecs.v) / (q.qnorm * vecs.norm) AS cos_raw
+        FROM vecs CROSS JOIN q WHERE vecs.vec_id != q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cos_raw,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_raw DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id, round(cos_raw, 6) AS cosine
+      FROM ranked WHERE rank <= {ANN_K}
+    """
+
+
+def _bucket_col() -> Column:
+    v = F.col("embedding").cast("array<double>")
+    bits = []
+    for h in _hyperplanes():
+        d = _dot(v, F.array(*[F.lit(x) for x in h]))
+        bits.append(F.when(d > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _bucket_sql_expr() -> str:
+    parts = []
+    for h in _hyperplanes():
+        lit = "[" + ", ".join(repr(x) for x in h) + "]"
+        parts.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+    return " || ".join(parts)
+
+
+def ann_lsh_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (the ANN scale path): 8
+    seeded hyperplanes → 256 buckets; search then touches one bucket
+    instead of the full corpus."""
+    return _embs(spark, sf).select("vec_id", _bucket_col().alias("bucket"))
+
+
+def ann_lsh_bucket_sql() -> str:
+    return f"SELECT vec_id, {_bucket_sql_expr()} AS bucket FROM embeddings"
+
+
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN: top-3 cosine neighbors per vector *within its
+    bucket*. The bucket equi-join replaces the n² pair space with
+    Σ|bucket|² — the scale path that makes ANN feasible at 10^9 vectors."""
+    v = _vecs_with_norm(_embs(spark, sf)).join(
+        ann_lsh_bucket(spark, sf), "vec_id"
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    scored = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nn_id"),
+        cos.alias("cos_raw"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.col("nn_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "rank", "nn_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def ann_lsh_topk_sql() -> str:
+    return f"""
+      WITH {_SQL_VECS},
+      bucketed AS (
+        SELECT vec_id, {_bucket_sql_expr()} AS bucket FROM embeddings),
+      bv AS (SELECT vecs.vec_id, vecs.v, vecs.norm, bucketed.bucket
+             FROM vecs JOIN bucketed ON vecs.vec_id = bucketed.vec_id),
+      scored AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+               list_dot_product(a.v, b.v) / (a.norm * b.norm) AS cos_raw
+        FROM bv a JOIN bv b
+          ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+      ranked AS (
+        SELECT vec_id, nn_id, cos_raw,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_raw DESC, nn_id) AS rank
+        FROM scored)
+      SELECT vec_id, rank, nn_id, round(cos_raw, 6) AS cosine
+      FROM ranked WHERE rank <= 3
+    """
+
+
+# ================================================================ text
+
+def txt_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram-free language ID heuristic: stopword hit counts per language,
+    deterministic argmax (priority order breaks ties), 'und' when no list
+    matches. Pure built-in column ops — stays in whole-stage codegen."""
+    def _sw_hits(sw: list[str]) -> Column:
+        arr = ", ".join(f"'{x}'" for x in sw)
+        return F.expr(
+            "size(filter(split(text, ' '), "
+            f"t -> array_contains(array({arr}), t)))"
+        )
+
+    scores = {lang: _sw_hits(sw) for lang, sw in STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        pred = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return _docs(spark, sf).select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        *[scores[lg].alias(f"score_{lg}") for lg in LANG_PRIORITY],
+    )
+
+
+def txt_langid_sql() -> str:
+    score = {
+        lang: (
+            "len(list_filter(string_split(text, ' '), "
+            f"t -> list_contains({sw!r}, t)))"
+        )
+        for lang, sw in STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(score[lg] for lg in LANG_PRIORITY) + ")"
+    cases = " ".join(
+        f"WHEN {score[lg]} = {best} AND {best} > 0 THEN '{lg}'"
+        for lg in LANG_PRIORITY
+    )
+    cols = ", ".join(f"{score[lg]} AS score_{lg}" for lg in LANG_PRIORITY)
+    return f"""
+      SELECT doc_id, lang, CASE {cases} ELSE 'und' END AS pred_lang, {cols}
+      FROM documents
+    """
+
+
+def txt_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: length / alpha-ratio / stopword-ratio features and
+    a composite score — the standard pretraining-corpus filter signals."""
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    n_alpha = F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)"))
+    arr = ", ".join(f"'{x}'" for x in STOPWORDS["en"])
+    n_stop = F.expr(
+        f"size(filter(split(text, ' '), t -> array_contains(array({arr}), t)))"
+    )
+    avg_tok_len = F.round(
+        (F.length("text") - n_toks + 1) / F.greatest(n_toks, F.lit(1)), 6
+    )
+    stop_ratio_raw = n_stop / F.greatest(n_toks, F.lit(1))
+    stop_ratio = F.round(stop_ratio_raw, 6)
+    score = F.round(
+        F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.5
+        + stop_ratio_raw * 0.5,
+        6,
+    )
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_toks.alias("n_tokens"),
+        n_alpha.alias("n_alpha_runs"),
+        avg_tok_len.alias("avg_tok_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def txt_quality_sql() -> str:
+    sw = STOPWORDS["en"]
+    return f"""
+      SELECT doc_id,
+        length(text) AS n_chars_m,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_runs,
+        round((length(text) - len(string_split(text, ' ')) + 1)
+              / greatest(len(string_split(text, ' ')), 1), 6) AS avg_tok_len,
+        round(len(list_filter(string_split(text, ' '),
+                              t -> list_contains({sw!r}, t)))
+              / greatest(len(string_split(text, ' ')), 1), 6) AS stopword_ratio,
+        round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+              + len(list_filter(string_split(text, ' '),
+                                t -> list_contains({sw!r}, t)))
+                / greatest(len(string_split(text, ' ')), 1) * 0.5, 6)
+          AS quality_score
+      FROM documents
+    """
+
+
+def txt_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    ([a-z]+ | digit runs | other symbols) — the usual pre-tokenizer cost
+    model for training-data budgeting."""
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("bpe_ish_tokens"),
+        F.round(
+            F.length("text")
+            / F.greatest(
+                F.size(
+                    F.expr(
+                        "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"
+                    )
+                ),
+                F.lit(1),
+            ),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+def txt_tokens_sql() -> str:
+    return """
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+          AS bpe_ish_tokens,
+        round(length(text)
+              / greatest(len(regexp_extract_all(
+                    text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 1), 6)
+          AS chars_per_token
+      FROM documents
+    """
+
+
+def txt_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: exact content hash + an order-insensitive
+    bag-of-words fingerprint (md5 of the sorted distinct token list) that
+    survives token reshuffling — cheap near-dup prefilter."""
+    toks = F.split(F.col("text"), " ")
+    bow = _md5s(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return _docs(spark, sf).select(
+        "doc_id",
+        _md5s(F.col("text")).alias("content_fp"),
+        bow.alias("bow_fp"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def txt_fingerprint_sql() -> str:
+    return """
+      SELECT doc_id,
+        md5(text) AS content_fp,
+        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                            ' ')) AS bow_fp,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+      FROM documents
+    """
+
+
+# ================================================================ multimodal
+
+MM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def mm_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: treat content bytes as an opaque binary media
+    column and run a decode / feature-extract stage as mapInPandas over
+    Arrow batches. The decoder itself is a deterministic STUB (no image/
+    audio libs in this container — a real deployment drops PIL/ffmpeg into
+    `_decode_real`); the Spark-side schema, batching and partitioning are
+    the real production shape."""
+
+    def decode(batches):
+        for pdf in batches:
+            blob = pdf["media"]
+            n_bytes = blob.map(len).astype("int32")
+            media_type = (pdf["doc_id"] % 3).map(
+                {0: "image", 1: "audio", 2: "video"}
+            )
+            # _decode_real(blob) would go here; deterministic fake features:
+            yield_df = pdf[["doc_id"]].copy()
+            yield_df["media_type"] = media_type
+            yield_df["n_bytes"] = n_bytes
+            yield_df["width"] = (160 + (n_bytes % 8) * 80).astype("int32")
+            yield_df["height"] = (120 + (n_bytes % 6) * 60).astype("int32")
+            yield_df["n_frames"] = (
+                (n_bytes % 24 + 1).where(media_type == "video", 1)
+            ).astype("int32")
+            yield yield_df
+
+    media = _docs(spark, sf).select(
+        "doc_id", F.col("text").cast("binary").alias("media")
+    )
+    return media.mapInPandas(decode, MM_SCHEMA)
+
+
+def _decode_real(blob):  # pragma: no cover - no media libs in sandbox
+    raise NotImplementedError(
+        "real image/audio decode needs PIL/ffmpeg; wire them in here"
+    )
+
+
+def mm_decode_stub_sql() -> str:
+    return """
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+        strlen(text) AS n_bytes,
+        160 + (strlen(text) % 8) * 80 AS width,
+        120 + (strlen(text) % 6) * 60 AS height,
+        CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 24 + 1 ELSE 1 END
+          AS n_frames
+      FROM documents
+    """
+
+
+# ================================================================ registry
+
+def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_embed_cosine": dedup_embed_cosine,
+        "ann_topk_cosine": ann_topk_cosine,
+        "ann_lsh_bucket": ann_lsh_bucket,
+        "ann_lsh_topk": ann_lsh_topk,
+        "txt_langid": txt_langid,
+        "txt_quality": txt_quality,
+        "txt_tokens": txt_tokens,
+        "txt_fingerprint": txt_fingerprint,
+        "mm_decode_stub": mm_decode_stub,
+    }
+
+
+def datapipe_oracle_sql() -> dict[str, str]:
+    return {
+        "dedup_exact": dedup_exact_sql(),
+        "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
+        "dedup_simhash": dedup_simhash_sql(),
+        "dedup_ngram_jaccard": dedup_ngram_jaccard_sql(),
+        "dedup_embed_cosine": dedup_embed_cosine_sql(),
+        "ann_topk_cosine": ann_topk_cosine_sql(),
+        "ann_lsh_bucket": ann_lsh_bucket_sql(),
+        "ann_lsh_topk": ann_lsh_topk_sql(),
+        "txt_langid": txt_langid_sql(),
+        "txt_quality": txt_quality_sql(),
+        "txt_tokens": txt_tokens_sql(),
+        "txt_fingerprint": txt_fingerprint_sql(),
+        "mm_decode_stub": mm_decode_stub_sql(),
+    }
