@@ -33,16 +33,27 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--out", default=None, help="write nodes/edges/triples here")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument(
+        "--rules",
+        default=None,
+        help="mined rules.parquet from jobs/train.py (default: built-in model)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("mxsparkg-pipeline").getOrCreate()
     t0 = time.time()
+    rules = None
+    if args.rules:
+        from mxsparkg.mining import rules_to_model
+
+        rules = rules_to_model(spark.read.parquet(args.rules))
     res = run_pipeline(
         spark,
         args.pages,
         args.entity_dict,
         args.aliases,
         args.checkpoint,
+        rules=rules,
     )
     n_triples = triples_for_eval(res["triples"]).count()
     n_nodes = res["nodes"].count()
