@@ -205,7 +205,11 @@ def generate(out_dir: str, n_pages: int = 500, n_annotated: int = 2000,
         "html": pa.array(pages["html"], pa.binary()),
         "text": pa.array(pages["text"], pa.string()),
         "lang": pa.array(pages["lang"], pa.string()),
-    }), os.path.join(out_dir, "pages.parquet"))
+    }), os.path.join(out_dir, "pages.parquet"),
+        # many row groups ⇒ the file is splittable into input partitions,
+        # like a real multi-file crawl segment; without this the whole U1
+        # extract stage would run as ONE task regardless of cluster size
+        row_group_size=512)
     pq.write_table(pa.table({
         "url": pa.array(gm["url"], pa.string()),
         "sent_id": pa.array(gm["sent_id"], pa.int32()),
@@ -288,7 +292,7 @@ def generate(out_dir: str, n_pages: int = 500, n_annotated: int = 2000,
     pq.write_table(pa.table({
         "doc_id": pa.array(ann["doc_id"], pa.int64()),
         "raw": pa.array(ann["raw"], pa.string()),
-    }), os.path.join(out_dir, "annotated.parquet"))
+    }), os.path.join(out_dir, "annotated.parquet"), row_group_size=512)
     pq.write_table(pa.table({
         "doc_id": pa.array(gs["doc_id"], pa.int64()),
         "start": pa.array(gs["start"], pa.int32()),

@@ -59,33 +59,80 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def _driver_cc(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Union-find on the driver (path-halving); canon = component min."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return sorted((x, find(x)) for x in parent)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, driver_threshold: int = 200_000
+) -> DataFrame:
     """edges(src, dst) strings → canon_map(entity_id, canon_id).
 
     canon_id = min node id of the component (deterministic). Singleton nodes
     (no edges) are the caller's concern — rewrite_canonical coalesces.
-    """
+
+    Hybrid strategy (the CC analogue of a broadcast-join threshold): the
+    same-as graph is usually orders of magnitude smaller than the corpus, so
+    below `driver_threshold` edges one collect + union-find beats an O(log n)
+    round-trip loop of shuffles; above it, the distributed alternating
+    large-/small-star loop (Kiveris et al.) runs, with per-round
+    localCheckpoint to truncate lineage. Both paths produce identical maps
+    (property-tested in tests/test_graph.py)."""
+    spark = edges.sparkSession
     cur = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
+    cur.persist()
+    try:
+        n_edges = cur.limit(driver_threshold + 1).count()
+        if n_edges <= driver_threshold:
+            pairs = [(r["src"], r["dst"]) for r in cur.collect()]
+            out = _driver_cc(pairs)
+            if not out:
+                return spark.createDataFrame(
+                    [], "entity_id string, canon_id string"
+                )
+            return spark.createDataFrame(
+                out, "entity_id string, canon_id string"
+            )
+    finally:
+        cur.unpersist(blocking=False)
+
+    cur = cur.localCheckpoint()
+
+    def _sig(df):
+        # order-insensitive xor-hash (xor, not sum: ANSI would overflow)
+        r = df.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    sig_cur = _sig(cur)
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
-        # converged when the edge set is stable (order-insensitive xor-hash;
-        # xor, not sum: ANSI mode would overflow a long sum)
-        def _sig(df):
-            r = df.select(
-                F.count("*").alias("n"),
-                F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
-            ).first()
-            return (r["n"], r["h"])
-
-        sig_cur, sig_nxt = _sig(cur), _sig(nxt)
+        sig_nxt = _sig(nxt)
         cur = nxt
         if sig_cur == sig_nxt:
             break
+        sig_cur = sig_nxt
     # after convergence every edge is (node, root) with root = component min
     members = cur.select(F.col("src").alias("entity_id"), F.col("dst").alias("canon_id"))
     roots = cur.select(F.col("dst").alias("entity_id")).distinct().withColumn(
@@ -116,16 +163,46 @@ def rewrite_canonical(triples: DataFrame, canon_map: DataFrame) -> DataFrame:
     )
 
 
-def materialize_edges(canon_triples: DataFrame) -> DataFrame:
-    """A3: edge rollup with support counts + provenance urls."""
-    return canon_triples.groupBy("subj", "pred", "obj").agg(
-        F.count("*").alias("n_support"),
-        F.array_sort(F.collect_set("url")).alias("urls"),
+def materialize_edges(
+    canon_triples: DataFrame, n_salts: int = 8, max_urls: int = 1000
+) -> DataFrame:
+    """A3: edge rollup with support counts + provenance urls.
+
+    Skew-safe two-phase aggregation (J8 analogue for aggs): a celebrity
+    edge at web scale has 10^6+ supporting urls — one reducer building that
+    collect_set is the skew bottleneck. Phase 1 groups by (key, salt) so the
+    hot key spreads over n_salts reducers; phase 2 merges the partial sets.
+    Provenance is capped at the lexicographically-first `max_urls`
+    (deterministic), with the true support in n_support."""
+    salted = canon_triples.withColumn(
+        "_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts))
+    )
+    partial = salted.groupBy("subj", "pred", "obj", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.slice(F.array_sort(F.collect_set("url")), 1, max_urls).alias("_urls"),
+    )
+    return partial.groupBy("subj", "pred", "obj").agg(
+        F.sum("_n").alias("n_support"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_urls")))),
+            1,
+            max_urls,
+        ).alias("urls"),
     )
 
 
-def materialize_nodes(linked_mentions: DataFrame, canon_map: DataFrame) -> DataFrame:
-    """A4: node rollup — mention count, surface forms, majority type."""
+def materialize_nodes(
+    linked_mentions: DataFrame,
+    canon_map: DataFrame,
+    n_salts: int = 8,
+    max_surfaces: int = 1000,
+) -> DataFrame:
+    """A4: node rollup — mention count, surface forms, majority type.
+
+    Same two-phase salted aggregation as materialize_edges: a celebrity
+    entity's mentions would otherwise funnel into one reducer. Majority
+    type folds through (canon_id, etype) counts, so it is exact (not a
+    mode over a sample) and never builds a per-entity row set."""
     cm = canon_map.select(
         F.col("entity_id"), F.col("canon_id")
     )
@@ -133,11 +210,30 @@ def materialize_nodes(linked_mentions: DataFrame, canon_map: DataFrame) -> DataF
         F.coalesce("canon_id", F.col("entity_id")).alias("canon_id"),
         "surface_norm",
         "etype",
+        F.pmod(F.xxhash64("url", "m_start"), F.lit(n_salts)).alias("_salt"),
     )
-    return withc.groupBy("canon_id").agg(
-        F.count("*").alias("n_mentions"),
-        F.array_sort(F.collect_set("surface_norm")).alias("surface_forms"),
-        F.mode("etype").alias("etype"),
+    partial = withc.groupBy("canon_id", "etype", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.slice(
+            F.array_sort(F.collect_set("surface_norm")), 1, max_surfaces
+        ).alias("_surf"),
+    )
+    by_type = partial.groupBy("canon_id", "etype").agg(
+        F.sum("_n").alias("_n"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_surf")))),
+            1,
+            max_surfaces,
+        ).alias("_surf"),
+    )
+    return by_type.groupBy("canon_id").agg(
+        F.sum("_n").alias("n_mentions"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_surf")))),
+            1,
+            max_surfaces,
+        ).alias("surface_forms"),
+        F.max_by("etype", F.struct(F.col("_n"), F.col("etype"))).alias("etype"),
     )
 
 

@@ -3,12 +3,27 @@
 Checkpointer skips completed stages on restart (manifest = commit point).
 
 Stage DAG:
-  extract → detect → (mentions | raw_triples)
+  pages → [extract ∘ detect fused, one narrow Arrow stage] → detections
+  detections → (mentions | raw_triples)
   mentions  → link → linked_mentions
   raw_triples → link_triples → triples_linked
   alias clusters → sameas → G1 connected components → canon_map
   triples_linked × canon_map → canonical triples → edges
   linked_mentions × canon_map → nodes
+
+Scale design decisions (100 TB posture):
+- extract+detect are FUSED into one narrow stage: the fat html/text columns
+  never cross a shuffle, and the checkpoint lands on `detections` (~100×
+  smaller than extracted text). Work distribution comes from input splits
+  (files/row-groups), which bounds partition size regardless of host skew;
+  `salted_repartition=True` re-enables an explicit (host, salt) shuffle
+  before detect for host-clustered file layouts (J8).
+- checkpoint_stages controls the resume granularity: by default the
+  expensive stage (detect) and the terminal tables are materialized; cheap
+  broadcast joins between them are recomputed on resume rather than paying
+  a write+read round-trip each run.
+- explicit skew handling lives where shuffles actually are: the salted
+  two-phase rollups in graph.materialize_edges/nodes and the hybrid CC.
 """
 
 from __future__ import annotations
@@ -26,6 +41,8 @@ from mxsparkg.extract import extract_pages
 from mxsparkg.metrics import append_metrics
 from mxsparkg.skew import repartition_salted
 
+DEFAULT_CHECKPOINT_STAGES = ("detect", "canon_map", "triples", "edges", "nodes")
+
 
 def run_pipeline(
     spark: SparkSession,
@@ -37,60 +54,66 @@ def run_pipeline(
     pred_patterns: list[dict] | None = None,
     n_partitions: int | None = None,
     with_metrics: bool = True,
+    salted_repartition: bool = False,
+    checkpoint_stages: tuple[str, ...] = DEFAULT_CHECKPOINT_STAGES,
 ) -> dict[str, DataFrame]:
     ck = Checkpointer(spark, checkpoint_root)
     model_bc = broadcast_model(spark, rules, pred_patterns)
     npart = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ckset = set(checkpoint_stages)
 
-    def timed(stage: str, fn, *inputs: DataFrame) -> DataFrame:
+    def stage(name: str, fn, *inputs: DataFrame) -> DataFrame:
+        if name not in ckset:
+            return fn(*inputs)
         t0 = time.time()
-        done_before = ck.is_done(stage)
-        out = ck.run_stage(stage, fn, *inputs)
+        done_before = ck.is_done(name)
+        out = ck.run_stage(name, fn, *inputs)
         if with_metrics and not done_before:
-            append_metrics(spark, checkpoint_root, out, stage,
+            append_metrics(spark, checkpoint_root, out, name,
                            (time.time() - t0) * 1000.0)
         return out
 
     pages = read_table(spark, pages_path)
 
-    # 1. extract (U1) — salted repartition by host first: Zipf-hot hosts
-    #    otherwise serialize the detect stage behind a few fat partitions
-    def s_extract(p: DataFrame) -> DataFrame:
+    # 1+2. extract (U1) + detect (U3) fused — no shuffle touches html/text
+    def s_detect(p: DataFrame) -> DataFrame:
         clean = extract_pages(p)
-        return repartition_salted(clean, "host", npart, salt_on=["url"])
+        if salted_repartition:
+            clean = repartition_salted(clean, "host", npart, salt_on=["url"])
+        return detect(clean, model_bc)
 
-    pages_clean = timed("extract", s_extract, pages)
-
-    # 2. detect (U3) — fused tokenize+trie+pairing, one Arrow pass
-    detections = timed("detect", lambda d: detect(d, model_bc), pages_clean)
+    detections = stage("detect", s_detect, pages)
     mentions, raw_triples = split_detections(detections)
 
-    # 3. link (J1/W1/J3)
+    # 3. link (J1/W1/J3) — broadcast dictionary joins, cheap: recomputed on
+    #    resume unless explicitly checkpointed
     edict = read_table(spark, entity_dict_path)
-    linked = timed("link_mentions", lambda m: L.link_mentions(m, edict), mentions)
-    triples_linked = timed(
+    linked = stage("link_mentions", lambda m: L.link_mentions(m, edict), mentions)
+    triples_linked = stage(
         "link_triples", lambda t: L.link_triples(t, edict), raw_triples
     )
 
-    # 4. canonicalize (G1) — CC over same-as chains
+    # 4. canonicalize (G1) — hybrid CC over same-as chains
     aliases = read_table(spark, alias_clusters_path)
 
     def s_canon(_: DataFrame) -> DataFrame:
         return G.connected_components(G.sameas_edges(aliases))
 
-    canon_map = timed("canon_map", s_canon, aliases)
+    canon_map = stage("canon_map", s_canon, aliases)
 
-    # 5. rewrite + materialize graph
-    triples = timed(
+    # 5. rewrite + materialize graph (skew-safe two-phase rollups)
+    triples = stage(
         "triples", lambda t: G.rewrite_canonical(t, canon_map), triples_linked
     )
-    edges = timed("edges", G.materialize_edges, triples)
-    nodes = timed(
+    edges = stage("edges", G.materialize_edges, triples)
+    nodes = stage(
         "nodes", lambda m: G.materialize_nodes(m, canon_map), linked
     )
 
     return {
-        "pages_clean": pages_clean,
+        # pages_clean is derived lazily (not materialized): nothing
+        # downstream needs text, but tests/tools can still inspect it
+        "pages_clean": extract_pages(pages),
         "detections": detections,
         "mentions": mentions,
         "linked_mentions": linked,

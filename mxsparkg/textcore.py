@@ -138,11 +138,15 @@ def generalize(tok: str, lexicons: dict[str, list[str]]) -> list[str]:
 # non-marker items match against a token's generalization set and consume
 # one token; marker items consume nothing.
 
-_CHILD, _RULES = 0, 1
+_ITEMS, _RULES, _OPENS, _CLOSES = 0, 1, 2, 3
 
 
 def new_node() -> list:
-    return [{}, []]
+    # [token-item children, terminal rules, open-marker children,
+    #  close-marker children] — marker/item split precomputed at build time
+    # so the match loop never string-tests items (hot path: runs per token
+    # per trie node per document)
+    return [{}, [], [], []]
 
 
 def build_trie(rules: list[dict]) -> list:
@@ -150,7 +154,20 @@ def build_trie(rules: list[dict]) -> list:
     for r in rules:
         node = root
         for item in r["pattern"]:
-            node = node[_CHILD].setdefault(item, new_node())
+            nxt = node[_ITEMS].get(item)
+            if nxt is None:
+                existing = (
+                    dict(node[_OPENS] + node[_CLOSES]).get(item)
+                )
+                nxt = existing or new_node()
+                if existing is None:
+                    if item.startswith("</"):
+                        node[_CLOSES].append((item, nxt))
+                    elif item.startswith("<"):
+                        node[_OPENS].append((item, nxt))
+                    else:
+                        node[_ITEMS][item] = nxt
+            node = nxt
         node[_RULES].append(
             (float(r["score"]), int(r["rule_id"]), str(r["etype"]))
         )
@@ -182,16 +199,26 @@ def match_sentence(
                     out.append((op, cl, etype, score, rule_id))
                     if len(out) >= max_matches * 4:
                         break
-            for item, child in node[_CHILD].items():
-                if is_marker(item):
-                    if item.startswith("</"):
-                        if op >= 0 and cl < 0 and ti > op:
-                            stack.append((child, ti, op, ti))
-                    else:
-                        if op < 0:
-                            stack.append((child, ti, ti, cl))
-                elif ti < n and item in gen_sets[ti]:
-                    stack.append((child, ti + 1, op, cl))
+            if op < 0:
+                for _item, child in node[_OPENS]:
+                    stack.append((child, ti, ti, cl))
+            elif cl < 0 and ti > op:
+                for _item, child in node[_CLOSES]:
+                    stack.append((child, ti, op, ti))
+            if ti < n:
+                items = node[_ITEMS]
+                gs = gen_sets[ti]
+                # intersect from the smaller side: gen sets are ~4 items,
+                # mined-trie fanout can be 10^2+ (surface-level children)
+                if len(items) > len(gs):
+                    for it in gs:
+                        child = items.get(it)
+                        if child is not None:
+                            stack.append((child, ti + 1, op, cl))
+                else:
+                    for it, child in items.items():
+                        if it in gs:
+                            stack.append((child, ti + 1, op, cl))
     return out
 
 
@@ -223,13 +250,25 @@ def match_predicates(
     mentions: list[tuple[int, int, str, float, int]],
     gen_sets: list[frozenset],
 ) -> list[tuple[int, int, str]]:
-    """Returns (subj_mention_idx, obj_mention_idx, pred)."""
+    """Returns (subj_mention_idx, obj_mention_idx, pred).
+
+    Patterns whose first item is an entity placeholder (the common case)
+    are anchored at mention-open positions only — O(patterns × mentions)
+    instead of O(patterns × tokens)."""
+    if not mentions:
+        return []
     n = len(gen_sets)
     open_at = {m[0]: i for i, m in enumerate(mentions)}
     out: list[tuple[int, int, str]] = []
     for pat in patterns:
         items = pat["pattern"]
-        for start in range(n):
+        if is_marker(items[0]):
+            starts: list[int] = [
+                m[0] for m in mentions if m[2] == items[0][1:-1]
+            ]
+        else:
+            starts = list(range(n))
+        for start in starts:
             ti = start
             bound: list[int] = []
             ok = True

@@ -36,6 +36,23 @@ def test_cc_long_chain_log_rounds(spark):
     assert len(got) == n + 1
 
 
+def test_cc_distributed_equals_driver_path(spark):
+    """Hybrid strategy property: the distributed alternating-star loop
+    (forced via driver_threshold=0) and the driver union-find produce the
+    identical canon map."""
+    edges = (
+        [(f"c{i}", f"c{i+1}") for i in range(20)]          # chain
+        + [("hub", f"s{i}") for i in range(10)]            # star
+        + [("z1", "z2"), ("z2", "z3"), ("z3", "z1")]       # cycle
+    )
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    driver = {(r["entity_id"], r["canon_id"])
+              for r in connected_components(df).collect()}
+    dist = {(r["entity_id"], r["canon_id"])
+            for r in connected_components(df, driver_threshold=0).collect()}
+    assert driver == dist
+
+
 def test_sameas_edges_chain_within_cluster(spark):
     df = spark.createDataFrame(
         [

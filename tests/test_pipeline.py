@@ -136,7 +136,7 @@ def test_metrics_rows_written(spark, pipeline_result):
 
     m = read_metrics(spark, CKPT)
     stages = {r["stage"] for r in m.select("stage").distinct().collect()}
-    assert {"extract", "detect", "triples"} <= stages
+    assert {"detect", "triples", "edges", "nodes"} <= stages
     row = m.filter("stage = 'detect'").first()
     assert row["rows_out"] > 0 and row["wall_ms"] > 0
     assert isinstance(row["input_files"], list)
