@@ -39,7 +39,13 @@ def _kg_detect(spark: SparkSession, sf: str) -> DataFrame:
     from mxsparkg.extract import extract_pages
 
     fdir = ensure_fixtures(_fixture_scale(sf))
-    pages = spark.read.parquet(f"{fdir}/pages.parquet")
+    # split by on-disk bytes: tiny-HTML pages compress ~8x, default 128MB
+    # splits would leave the whole scan in 1-2 tasks at this corpus size
+    split = max(65536, os.path.getsize(f"{fdir}/pages.parquet") // 128)
+    pages = (
+        spark.read.option("maxPartitionBytes", str(split))
+        .parquet(f"{fdir}/pages.parquet")
+    )
     return detect(extract_pages(pages), broadcast_model(spark))
 
 

@@ -38,7 +38,42 @@ def build_zip() -> str:
     return zpath
 
 
-def run_once(cores: int, fdir: str, zpath: str) -> dict:
+def replicate_pages(fdir: str, factor: int) -> str:
+    """Build the throughput corpus once: `factor` copies of the fixture
+    pages with url-distinct prefixes (same planted content, so
+    triples_distinct is invariant while per-document work scales ×factor).
+    The point of the scaling run is per-document throughput — constant
+    driver/stage costs that vanish at 10^12 docs must not dominate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(fdir, f"pages_x{factor}.parquet")
+    if os.path.exists(out):
+        return out
+    tbl = pq.read_table(f"{fdir}/pages.parquet")
+    urls = tbl.column("url").to_pylist()
+    copies = []
+    for i in range(factor):
+        t = tbl.set_column(
+            tbl.schema.get_field_index("url"),
+            "url",
+            pa.array([f"https://r{i}.{u[8:]}" for u in urls], pa.string()),
+        )
+        copies.append(t)
+    pq.write_table(
+        pa.concat_tables(copies), out, row_group_size=2048
+    )
+    return out
+
+
+def _split_bytes(pages_path: str, target_partitions: int = 192) -> int:
+    """Partition-size target from actual on-disk bytes: tiny-HTML corpora
+    compress ~8x, so a fixed 128MB split would under-parallelize."""
+    sz = os.path.getsize(pages_path)
+    return max(65536, sz // target_partitions)
+
+
+def run_once(cores: int, pages_path: str, fdir: str, zpath: str) -> dict:
     ckpt = tempfile.mkdtemp(prefix=f"bench_ckpt_{cores}_")
     shutil.rmtree(ckpt)
     try:
@@ -46,18 +81,19 @@ def run_once(cores: int, fdir: str, zpath: str) -> dict:
             "spark-submit",
             "--master", f"local[{cores}]",
             # match a real cluster submit: shuffle partitions ≈ 2× cores,
-            # small input splits so the scan parallelizes at this data size
+            # input splits sized from on-disk bytes for this data size
             "--conf", f"spark.sql.shuffle.partitions={2 * cores}",
-            "--conf", "spark.sql.files.maxPartitionBytes=4194304",
+            "--conf", f"spark.sql.files.maxPartitionBytes={_split_bytes(pages_path)}",
             "--conf", "spark.sql.adaptive.enabled=true",
             "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=512",
             "--conf", "spark.ui.enabled=false",
             "--py-files", zpath,
             os.path.join(REPO, "jobs", "pipeline.py"),
-            "--pages", f"{fdir}/pages.parquet",
+            "--pages", pages_path,
             "--entity-dict", f"{fdir}/entity_dict.parquet",
             "--aliases", f"{fdir}/gold_canon.parquet",
             "--checkpoint", ckpt,
+            "--no-metrics",
         ]
         out = subprocess.run(
             cmd, capture_output=True, text=True, check=True, timeout=1800
@@ -70,7 +106,9 @@ def run_once(cores: int, fdir: str, zpath: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", default="bench")
+    ap.add_argument("--scale", default="bench_xl")
+    ap.add_argument("--repeat", type=int, default=8,
+                    help="input replication factor for the throughput corpus")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--levels", default="8,32")
     args = ap.parse_args()
@@ -78,9 +116,14 @@ def main() -> None:
     from fixtures.generate import ensure_fixtures
 
     fdir = ensure_fixtures(args.scale)
+    pages_path = (
+        replicate_pages(fdir, args.repeat)
+        if args.repeat > 1
+        else f"{fdir}/pages.parquet"
+    )
     import pyarrow.parquet as pq
 
-    n_pages = pq.ParquetFile(f"{fdir}/pages.parquet").metadata.num_rows
+    n_pages = pq.ParquetFile(pages_path).metadata.num_rows
     zpath = build_zip()
 
     levels = [int(x) for x in args.levels.split(",")]
@@ -88,9 +131,9 @@ def main() -> None:
     for cores in levels:
         walls, triples = [], []
         for i in range(args.runs):
-            r = run_once(cores, fdir, zpath)
+            r = run_once(cores, pages_path, fdir, zpath)
             walls.append(r["wall_sec"])
-            triples.append(r["triples_distinct"])
+            triples.append(r.get("triples_total", r["triples_distinct"]))
             print(
                 f"[scaling] local[{cores}] run {i + 1}/{args.runs}: "
                 f"{r['wall_sec']}s, {r['triples_distinct']} triples",

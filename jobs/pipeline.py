@@ -38,6 +38,11 @@ def main() -> None:
         default=None,
         help="mined rules.parquet from jobs/train.py (default: built-in model)",
     )
+    ap.add_argument("--no-metrics", action="store_true",
+                    help="skip per-partition metrics rows (bench runs)")
+    ap.add_argument("--salted", action="store_true",
+                    help="salted (host, salt) repartition before detect "
+                         "(for host-clustered input layouts)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("mxsparkg-pipeline").getOrCreate()
@@ -54,8 +59,11 @@ def main() -> None:
         args.aliases,
         args.checkpoint,
         rules=rules,
+        with_metrics=not args.no_metrics,
+        salted_repartition=args.salted,
     )
     n_triples = triples_for_eval(res["triples"]).count()
+    n_total = res["triples"].count()
     n_nodes = res["nodes"].count()
     n_edges = res["edges"].count()
     if args.out:
@@ -65,10 +73,11 @@ def main() -> None:
     wall = time.time() - t0
     print(json.dumps({
         "triples_distinct": n_triples,
+        "triples_total": n_total,
         "nodes": n_nodes,
         "edges": n_edges,
         "wall_sec": round(wall, 2),
-        "triples_per_sec": round(n_triples / wall, 1),
+        "triples_per_sec": round(n_total / wall, 1),
     }))
     spark.stop()
 

@@ -555,3 +555,24 @@ def fn_case(spark, sf):
         F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown"))
          .alias("etype"),
     )
+
+
+# ------------------------------------------------------- skew (J8) ---------
+
+from mxsparkg.skew import salted_join  # noqa: E402
+
+
+@reg("join_salted",
+     "SELECT o.o_orderkey, c.c_mktsegment FROM orders o "
+     "JOIN customer c ON o.o_custkey = c.c_custkey")
+def join_salted_q(spark, sf):
+    """J8: salted equi-join (big side salted, small side exploded xS).
+    The oracle is the PLAIN join — salting must be result-invariant, which
+    is exactly the property worth checking."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return salted_join(o, c, on="o_custkey", n_salts=8).select(
+        "o_orderkey", "c_mktsegment"
+    )

@@ -76,18 +76,19 @@ def _embs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _shingles(docs: DataFrame) -> DataFrame:
     """documents → distinct (doc_id, sh) word-3-gram shingles.
+    Tokenize ONCE into a column, then index it — inlining split() into the
+    transform lambda re-evaluates it per element (quadratic per doc).
     Guarded sequence: docs with <3 tokens contribute no shingles."""
-    w = F.split(F.col("text"), " ")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     sh = F.when(
-        F.size(w) >= 3,
+        F.size("w") >= 3,
         F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 3), i -> "
-            "concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1], ' ', "
-            "split(text, ' ')[i+2]))"
+            "transform(sequence(0, size(w) - 3), i -> "
+            "concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select("doc_id", F.explode(sh).alias("sh"))
+        toks.select("doc_id", F.explode(sh).alias("sh"))
         .dropDuplicates(["doc_id", "sh"])
     )
 

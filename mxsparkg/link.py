@@ -29,15 +29,65 @@ def nil_id(col):
     return F.concat(F.lit("nil:"), F.substring(F.sha2(col.cast("binary"), 256), 1, 16))
 
 
-def link_mentions(mentions: DataFrame, entity_dict: DataFrame) -> DataFrame:
-    """mentions(+surface_norm) → linked mentions with entity_id, link_score,
-    nil flag. Left join keeps unlinkable mentions (J3)."""
-    best = best_candidates(entity_dict)
-    joined = mentions.join(F.broadcast(best), on="surface_norm", how="left")
-    return joined.select(
+def link_mentions(
+    mentions: DataFrame,
+    entity_dict: DataFrame,
+    context_weight: float = 1.0,
+) -> DataFrame:
+    """mentions(+surface_norm, context) → linked mentions with entity_id,
+    link_score, nil flag (J1 broadcast join + U4 context scoring + W1
+    best-candidate window + J3 NIL handling).
+
+    score = prior + context_weight × |ctx ∩ context_words| / |context_words|
+    Ambiguous surfaces (several dictionary candidates) are resolved by the
+    context overlap; with no context_words the score reduces to the prior
+    and the tie-break (score desc, entity_id desc) matches
+    reference_impl.tagger.link_surface exactly.
+
+    Scale: candidates stay a broadcast join (dictionary ≪ mentions); the W1
+    window partitions by mention key, so no global sort."""
+    from pyspark.sql.window import Window
+
+    has_ctx = "context" in mentions.columns
+    cand = entity_dict.select("surface_norm", "entity_id", "prior",
+                              "context_words")
+    joined = mentions.join(F.broadcast(cand), on="surface_norm", how="left")
+    if has_ctx:
+        overlap = F.size(
+            F.array_intersect(
+                F.split(F.coalesce(F.col("context"), F.lit("")), " "),
+                F.coalesce(
+                    F.col("context_words"),
+                    F.array().cast("array<string>"),
+                ),
+            )
+        )
+        ctx_score = overlap / F.greatest(
+            F.size(
+                F.coalesce(
+                    F.col("context_words"), F.array().cast("array<string>")
+                )
+            ),
+            F.lit(1),
+        )
+    else:
+        ctx_score = F.lit(0.0)
+    scored = joined.withColumn(
+        "_score",
+        F.coalesce(F.col("prior"), F.lit(0.0))
+        + F.lit(context_weight) * ctx_score,
+    )
+    w = Window.partitionBy("url", "sent_id", "m_start").orderBy(
+        F.desc("_score"), F.desc("entity_id")
+    )
+    best = scored.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") == 1
+    )
+    return best.select(
         *mentions.columns,
         F.coalesce(F.col("entity_id"), nil_id(F.col("surface_norm"))).alias("entity_id"),
-        F.coalesce(F.col("prior"), F.lit(0.0)).alias("link_score"),
+        F.when(F.col("entity_id").isNull(), F.lit(0.0))
+        .otherwise(F.col("_score")).alias("link_score"),
         F.col("entity_id").isNull().alias("nil"),
     )
 

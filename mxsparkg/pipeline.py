@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 from mxsparkg import graph as G
 from mxsparkg import link as L
 from mxsparkg.catalog import Checkpointer, read_table
-from mxsparkg.detect import broadcast_model, detect, split_detections
+from mxsparkg.detect import (
+    broadcast_model,
+    detect,
+    detect_pages,
+    split_detections,
+)
 from mxsparkg.extract import extract_pages
 from mxsparkg.metrics import append_metrics
 from mxsparkg.skew import repartition_salted
@@ -75,11 +80,17 @@ def run_pipeline(
 
     pages = read_table(spark, pages_path)
 
-    # 1+2. extract (U1) + detect (U3) fused — no shuffle touches html/text
+    # 1+2. extract (U1) + detect (U3) fused — no shuffle touches html/text.
+    # Default: ONE mapInArrow stage (html→text→tag in the same Python
+    # worker; text never crosses a process boundary). The salted variant
+    # shuffles extracted text by (host, salt) first — for host-clustered
+    # input layouts — at the cost of a second Python stage.
     def s_detect(p: DataFrame) -> DataFrame:
-        clean = extract_pages(p)
-        if salted_repartition:
-            clean = repartition_salted(clean, "host", npart, salt_on=["url"])
+        if not salted_repartition:
+            return detect_pages(p, model_bc)
+        clean = repartition_salted(
+            extract_pages(p), "host", npart, salt_on=["url"]
+        )
         return detect(clean, model_bc)
 
     detections = stage("detect", s_detect, pages)

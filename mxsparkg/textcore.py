@@ -334,6 +334,13 @@ def tag_text(
                         "etype": etype,
                         "rule_id": rule_id,
                         "score": score,
+                        # sentence context minus the mention itself — the
+                        # disambiguation signal for U4 context linking
+                        "context": " ".join(
+                            t[0].lower()
+                            for i, t in enumerate(sent)
+                            if (i < op or i >= cl) and t[0].isalnum()
+                        ),
                     }
                 )
             base = len(mentions_out) - len(picked)

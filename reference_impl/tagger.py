@@ -49,6 +49,30 @@ def link_surface(surface_norm: str, dictionary: dict[str, list[tuple[str, float]
     return max(cands, key=lambda c: (c[1], c[0]))[0]
 
 
+def link_surface_ctx(
+    surface_norm: str,
+    ctx_tokens: list[str],
+    dictionary: dict[str, list[tuple[str, float, list[str]]]],
+    context_weight: float = 1.0,
+) -> tuple[str, float]:
+    """Context-aware linking (U4 oracle): score = prior + w × overlap where
+    overlap = |distinct ctx ∩ context_words| / max(|context_words|, 1).
+    Mirrors mxsparkg.link.link_mentions (array_intersect is distinct-based);
+    tie-break (score, entity_id) max — identical to the W1 window order."""
+    cands = dictionary.get(surface_norm)
+    if not cands:
+        return "nil:" + textcore.sha2_text(surface_norm)[:16], 0.0
+    ctx = set(ctx_tokens)
+
+    def score(c):
+        _id, prior, cw = c
+        ov = len(ctx & set(cw)) / max(len(cw), 1)
+        return prior + context_weight * ov
+
+    best = max(cands, key=lambda c: (score(c), c[0]))
+    return best[0], score(best)
+
+
 def run_reference(
     pages: list[dict],
     rules: list[dict] | None = None,

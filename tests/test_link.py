@@ -1,0 +1,82 @@
+"""U4 context-aware linking: ambiguous surfaces resolved by context
+overlap; NIL handling; exact parity with the reference oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from mxsparkg.link import link_mentions
+from reference_impl.tagger import link_surface_ctx
+
+DICT_ROWS = [
+    # 'mistral' is ambiguous: an org and a person share the surface
+    Row(surface_norm="mistral", entity_id="org:mistral", prior=0.6,
+        context_words=["société", "institute", "company"]),
+    Row(surface_norm="mistral", entity_id="pers:mistral", prior=0.6,
+        context_words=["monsieur", "dit", "said"]),
+    Row(surface_norm="paris", entity_id="loc:paris", prior=0.8,
+        context_words=[]),
+]
+
+
+def _mention(url, surface_norm, context):
+    return Row(url=url, sent_id=0, m_start=0, m_end=7,
+               surface=surface_norm.title(), surface_norm=surface_norm,
+               etype="org", rule_id=1, score=1.0, context=context)
+
+
+@pytest.fixture(scope="module")
+def linked(spark):
+    mentions = spark.createDataFrame([
+        _mention("u1", "mistral", "la société mistral est basée à paris"),
+        _mention("u2", "mistral", "monsieur mistral dit bonjour"),
+        _mention("u3", "mistral", "rien d utile ici"),
+        _mention("u4", "paris", "any context at all"),
+        _mention("u5", "unknownco", "no dictionary entry"),
+    ])
+    edict = spark.createDataFrame(DICT_ROWS)
+    return {r["url"]: r for r in link_mentions(mentions, edict).collect()}
+
+
+def test_context_disambiguates_org(linked):
+    assert linked["u1"]["entity_id"] == "org:mistral"
+    assert linked["u1"]["link_score"] > 0.6
+
+
+def test_context_disambiguates_pers(linked):
+    assert linked["u2"]["entity_id"] == "pers:mistral"
+
+
+def test_no_context_falls_back_to_tiebreak(linked):
+    # equal priors, zero overlap → max entity_id wins (matches reference)
+    assert linked["u3"]["entity_id"] == "pers:mistral"
+    assert linked["u3"]["link_score"] == pytest.approx(0.6)
+
+
+def test_empty_context_words_reduce_to_prior(linked):
+    assert linked["u4"]["entity_id"] == "loc:paris"
+    assert linked["u4"]["link_score"] == pytest.approx(0.8)
+
+
+def test_nil_for_unknown_surface(linked):
+    assert linked["u5"]["nil"] is True
+    assert linked["u5"]["entity_id"].startswith("nil:")
+    assert linked["u5"]["link_score"] == 0.0
+
+
+def test_parity_with_reference_oracle(linked):
+    ref_dict = {
+        "mistral": [("org:mistral", 0.6, ["société", "institute", "company"]),
+                    ("pers:mistral", 0.6, ["monsieur", "dit", "said"])],
+        "paris": [("loc:paris", 0.8, [])],
+    }
+    cases = {
+        "u1": "la société mistral est basée à paris",
+        "u2": "monsieur mistral dit bonjour",
+        "u3": "rien d utile ici",
+    }
+    for url, ctx in cases.items():
+        eid, score = link_surface_ctx("mistral", ctx.split(" "), ref_dict)
+        assert linked[url]["entity_id"] == eid
+        assert linked[url]["link_score"] == pytest.approx(score)
