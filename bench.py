@@ -40,12 +40,12 @@ def _kg_detect(spark: SparkSession, sf: str) -> DataFrame:
 
     fdir = ensure_fixtures(_fixture_scale(sf))
     # split by on-disk bytes: tiny-HTML pages compress ~8x, default 128MB
-    # splits would leave the whole scan in 1-2 tasks at this corpus size
+    # splits would leave the whole scan in 1-2 tasks at this corpus size.
+    # Session conf (per-read options are ignored by file sources); kg_detect
+    # runs last in the headline list so no other query is affected.
     split = max(65536, os.path.getsize(f"{fdir}/pages.parquet") // 128)
-    pages = (
-        spark.read.option("maxPartitionBytes", str(split))
-        .parquet(f"{fdir}/pages.parquet")
-    )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    pages = spark.read.parquet(f"{fdir}/pages.parquet")
     return detect(extract_pages(pages), broadcast_model(spark))
 
 

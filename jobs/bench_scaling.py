@@ -47,30 +47,28 @@ def replicate_pages(fdir: str, factor: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = os.path.join(fdir, f"pages_x{factor}.parquet")
-    if os.path.exists(out):
+    out = os.path.join(fdir, f"pages_x{factor}")
+    if os.path.isdir(out) and os.listdir(out):
         return out
+    os.makedirs(out, exist_ok=True)
     tbl = pq.read_table(f"{fdir}/pages.parquet")
     urls = tbl.column("url").to_pylist()
-    copies = []
-    for i in range(factor):
+    n = tbl.num_rows
+    files_per_copy = 24  # multi-file like a real crawl segment: input
+    for i in range(factor):  # splits come from files, not a split-size conf
         t = tbl.set_column(
             tbl.schema.get_field_index("url"),
             "url",
             pa.array([f"https://r{i}.{u[8:]}" for u in urls], pa.string()),
         )
-        copies.append(t)
-    pq.write_table(
-        pa.concat_tables(copies), out, row_group_size=2048
-    )
+        step = (n + files_per_copy - 1) // files_per_copy
+        for j in range(files_per_copy):
+            part = t.slice(j * step, step)
+            if part.num_rows:
+                pq.write_table(
+                    part, os.path.join(out, f"part-{i:02d}-{j:02d}.parquet")
+                )
     return out
-
-
-def _split_bytes(pages_path: str, target_partitions: int = 192) -> int:
-    """Partition-size target from actual on-disk bytes: tiny-HTML corpora
-    compress ~8x, so a fixed 128MB split would under-parallelize."""
-    sz = os.path.getsize(pages_path)
-    return max(65536, sz // target_partitions)
 
 
 def run_once(cores: int, pages_path: str, fdir: str, zpath: str) -> dict:
@@ -80,10 +78,14 @@ def run_once(cores: int, pages_path: str, fdir: str, zpath: str) -> dict:
         cmd = [
             "spark-submit",
             "--master", f"local[{cores}]",
-            # match a real cluster submit: shuffle partitions ≈ 2× cores,
-            # input splits sized from on-disk bytes for this data size
+            # match a real cluster submit: shuffle partitions ≈ 2× cores;
+            # input parallelism comes from the multi-file corpus layout —
+            # 4MB splits + 1MB open cost keep ~2-3 of these heavily
+            # compressed page files per task instead of bin-packing all
+            # of them into a handful of 128MB partitions
             "--conf", f"spark.sql.shuffle.partitions={2 * cores}",
-            "--conf", f"spark.sql.files.maxPartitionBytes={_split_bytes(pages_path)}",
+            "--conf", "spark.sql.files.maxPartitionBytes=4194304",
+            "--conf", "spark.sql.files.openCostInBytes=1048576",
             "--conf", "spark.sql.adaptive.enabled=true",
             "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=512",
             "--conf", "spark.ui.enabled=false",
@@ -94,6 +96,7 @@ def run_once(cores: int, pages_path: str, fdir: str, zpath: str) -> dict:
             "--aliases", f"{fdir}/gold_canon.parquet",
             "--checkpoint", ckpt,
             "--no-metrics",
+            "--light-summary",
         ]
         out = subprocess.run(
             cmd, capture_output=True, text=True, check=True, timeout=1800
@@ -121,9 +124,9 @@ def main() -> None:
         if args.repeat > 1
         else f"{fdir}/pages.parquet"
     )
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as ds
 
-    n_pages = pq.ParquetFile(pages_path).metadata.num_rows
+    n_pages = ds.dataset(pages_path, format="parquet").count_rows()
     zpath = build_zip()
 
     levels = [int(x) for x in args.levels.split(",")]
@@ -136,7 +139,7 @@ def main() -> None:
             triples.append(r.get("triples_total", r["triples_distinct"]))
             print(
                 f"[scaling] local[{cores}] run {i + 1}/{args.runs}: "
-                f"{r['wall_sec']}s, {r['triples_distinct']} triples",
+                f"{r['wall_sec']}s, {r.get('triples_total', 0)} triples",
                 file=sys.stderr,
             )
         wall = statistics.median(walls)
@@ -145,7 +148,7 @@ def main() -> None:
             "wall_sec_all": walls,
             "docs_per_sec": round(n_pages / wall, 1),
             "triples_per_sec": round(triples[0] / wall, 1),
-            "triples_distinct": triples[0],
+            "triples_total": triples[0],
         }
     lo, hi = min(levels), max(levels)
     speedup = results[lo]["wall_sec_median"] / results[hi]["wall_sec_median"]
@@ -180,8 +183,8 @@ parallelism levels on one machine — `local[{lo}]` vs `local[{hi}]`.
 | local[{hi}] | {rh["wall_sec_median"]} | {rh["docs_per_sec"]} | {rh["triples_per_sec"]} |
 
 - corpus: {s["n_pages"]} seeded fixture pages (scale `{s["scale"]}`),
-  identical at both levels; triples_distinct identical
-  ({rl["triples_distinct"]}) — results are parallelism-invariant.
+  identical at both levels; triples_total identical
+  ({rl["triples_total"]}) — results are parallelism-invariant.
 - speedup {lo}->{hi}: **{s["speedup"]}x** over a {hi // lo}x core increase
 - scaling efficiency: **{s["value"]}** (rule: >=0.8 → {"PASS" if s["passes"] else "FAIL"})
 - protocol: fresh spark-submit JVM + fresh checkpoint per run, median of

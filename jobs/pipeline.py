@@ -40,6 +40,9 @@ def main() -> None:
     )
     ap.add_argument("--no-metrics", action="store_true",
                     help="skip per-partition metrics rows (bench runs)")
+    ap.add_argument("--light-summary", action="store_true",
+                    help="row counts from stage manifests (no extra count "
+                         "jobs); skips the distinct-triples scan")
     ap.add_argument("--salted", action="store_true",
                     help="salted (host, salt) repartition before detect "
                          "(for host-clustered input layouts)")
@@ -62,10 +65,23 @@ def main() -> None:
         with_metrics=not args.no_metrics,
         salted_repartition=args.salted,
     )
-    n_triples = triples_for_eval(res["triples"]).count()
-    n_total = res["triples"].count()
-    n_nodes = res["nodes"].count()
-    n_edges = res["edges"].count()
+    if args.light_summary:
+        import json as _json
+
+        def _rows(stage: str) -> int:
+            with open(os.path.join(
+                    args.checkpoint, f"{stage}._manifest.json")) as f:
+                return _json.load(f)["rows"]
+
+        n_total = _rows("triples")
+        n_triples = -1  # distinct scan skipped in light mode
+        n_nodes = _rows("nodes")
+        n_edges = _rows("edges")
+    else:
+        n_triples = triples_for_eval(res["triples"]).count()
+        n_total = res["triples"].count()
+        n_nodes = res["nodes"].count()
+        n_edges = res["edges"].count()
     if args.out:
         write_table(res["nodes"], os.path.join(args.out, "nodes"), args.format)
         write_table(res["edges"], os.path.join(args.out, "edges"), args.format)
@@ -78,6 +94,7 @@ def main() -> None:
         "edges": n_edges,
         "wall_sec": round(wall, 2),
         "triples_per_sec": round(n_total / wall, 1),
+        "stage_walls": res.get("_stage_walls", {}),
     }))
     spark.stop()
 

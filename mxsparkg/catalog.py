@@ -73,11 +73,20 @@ class Checkpointer:
     def materialize(self, df: DataFrame, stage: str, wall_ms: float | None = None) -> DataFrame:
         """Write stage output, then atomically commit via manifest; returns
         the re-read DataFrame (truncates lineage — the Spark-batch analogue
-        of a streaming checkpoint)."""
+        of a streaming checkpoint). Row count rides on the write job via the
+        Observation API — no separate count scan per stage."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         t0 = time.time()
-        write_table(df, self._dir(stage), self.fmt)
+        obs = Observation()
+        write_table(
+            df.observe(obs, F.count(F.lit(1)).alias("rows")),
+            self._dir(stage),
+            self.fmt,
+        )
         out = self.read(stage)
-        n = out.count()
+        n = obs.get["rows"]
         manifest = {
             "stage": stage,
             "rows": n,

@@ -49,6 +49,35 @@ def link_mentions(
     from pyspark.sql.window import Window
 
     has_ctx = "context" in mentions.columns
+    # adaptive plan: when no surface has >1 candidate, the W1 window is a
+    # no-op over the whole mention stream — skip the 10^10-row shuffle and
+    # broadcast-join the best-per-surface table directly. One tiny driver
+    # action on the (small, dimension-side) dictionary decides.
+    stats = (
+        entity_dict.groupBy("surface_norm")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(
+                F.coalesce(F.size("context_words"), F.lit(0))
+            ).alias("cw"),
+        )
+        .agg(F.max("n").alias("max_cands"), F.max("cw").alias("max_cw"))
+        .first()
+    )
+    if stats["max_cands"] is None or (
+        stats["max_cands"] <= 1 and stats["max_cw"] <= 0
+    ):
+        best = best_candidates(entity_dict)
+        joined = mentions.join(F.broadcast(best), on="surface_norm", how="left")
+        return joined.select(
+            *mentions.columns,
+            F.coalesce(
+                F.col("entity_id"), nil_id(F.col("surface_norm"))
+            ).alias("entity_id"),
+            F.coalesce(F.col("prior"), F.lit(0.0)).alias("link_score"),
+            F.col("entity_id").isNull().alias("nil"),
+        )
+
     cand = entity_dict.select("surface_norm", "entity_id", "prior",
                               "context_words")
     joined = mentions.join(F.broadcast(cand), on="surface_norm", how="left")

@@ -66,6 +66,7 @@ def run_pipeline(
     model_bc = broadcast_model(spark, rules, pred_patterns)
     npart = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ckset = set(checkpoint_stages)
+    timings: dict[str, float] = {}
 
     def stage(name: str, fn, *inputs: DataFrame) -> DataFrame:
         if name not in ckset:
@@ -73,6 +74,7 @@ def run_pipeline(
         t0 = time.time()
         done_before = ck.is_done(name)
         out = ck.run_stage(name, fn, *inputs)
+        timings[name] = round(time.time() - t0, 2)
         if with_metrics and not done_before:
             append_metrics(spark, checkpoint_root, out, name,
                            (time.time() - t0) * 1000.0)
@@ -122,6 +124,7 @@ def run_pipeline(
     )
 
     return {
+        "_stage_walls": timings,
         # pages_clean is derived lazily (not materialized): nothing
         # downstream needs text, but tests/tools can still inspect it
         "pages_clean": extract_pages(pages),
