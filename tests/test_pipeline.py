@@ -121,6 +121,26 @@ def test_partition_invariance(spark, tiny_fixtures, pipeline_result):
     assert _triples(res1["triples"]) == _triples(pipeline_result["triples"])
 
 
+def test_salt_invariance(spark, tiny_fixtures, pipeline_result):
+    """SURVEY §5.5c: the salted (host, salt) repartition path produces the
+    identical triple set — salting must never change results."""
+    import os
+
+    root = "/tmp/mxsparkg_test_salted"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    res = run_pipeline(
+        spark,
+        f"{tiny_fixtures}/pages.parquet",
+        f"{tiny_fixtures}/entity_dict.parquet",
+        f"{tiny_fixtures}/gold_canon.parquet",
+        f"{root}/ckpt",
+        salted_repartition=True,
+        with_metrics=False,
+    )
+    assert _triples(res["triples"]) == _triples(pipeline_result["triples"])
+
+
 def test_html_pruned_after_extract(spark, tiny_fixtures):
     """Plan hygiene: downstream of extract_pages, `html` is gone and the
     detect input schema carries only url+text."""
