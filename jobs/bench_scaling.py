@@ -132,11 +132,12 @@ def main() -> None:
     levels = [int(x) for x in args.levels.split(",")]
     results: dict[int, dict] = {}
     for cores in levels:
-        walls, triples = [], []
+        walls, triples, stage_walls = [], [], []
         for i in range(args.runs):
             r = run_once(cores, pages_path, fdir, zpath)
             walls.append(r["wall_sec"])
             triples.append(r.get("triples_total", r["triples_distinct"]))
+            stage_walls.append(r.get("stage_walls", {}))
             print(
                 f"[scaling] local[{cores}] run {i + 1}/{args.runs}: "
                 f"{r['wall_sec']}s, {r.get('triples_total', 0)} triples",
@@ -149,6 +150,7 @@ def main() -> None:
             "docs_per_sec": round(n_pages / wall, 1),
             "triples_per_sec": round(triples[0] / wall, 1),
             "triples_total": triples[0],
+            "stage_walls": stage_walls,
         }
     lo, hi = min(levels), max(levels)
     speedup = results[lo]["wall_sec_median"] / results[hi]["wall_sec_median"]

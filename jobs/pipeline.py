@@ -40,6 +40,9 @@ def main() -> None:
     )
     ap.add_argument("--no-metrics", action="store_true",
                     help="skip per-partition metrics rows (bench runs)")
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated language allowlist (P2 filter, "
+                         "pushed into the scan)")
     ap.add_argument("--light-summary", action="store_true",
                     help="row counts from stage manifests (no extra count "
                          "jobs); skips the distinct-triples scan")
@@ -64,6 +67,7 @@ def main() -> None:
         rules=rules,
         with_metrics=not args.no_metrics,
         salted_repartition=args.salted,
+        langs=args.langs.split(",") if args.langs else None,
     )
     if args.light_summary:
         import json as _json

@@ -34,6 +34,7 @@ def write_table(
     fmt: str = "parquet",
     partition_cols: list[str] | None = None,
     mode: str = "overwrite",
+    compression: str | None = None,
 ) -> None:
     if fmt == "iceberg":
         w = df.writeTo(path)
@@ -44,6 +45,8 @@ def write_table(
         w.createOrReplace()
         return
     writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
@@ -80,10 +83,13 @@ class Checkpointer:
 
         t0 = time.time()
         obs = Observation()
+        # zstd: checkpoints are write-once read-few; smaller files beat
+        # snappy's decode speed when the bottleneck is storage bandwidth
         write_table(
             df.observe(obs, F.count(F.lit(1)).alias("rows")),
             self._dir(stage),
             self.fmt,
+            compression="zstd",
         )
         out = self.read(stage)
         n = obs.get["rows"]

@@ -69,7 +69,8 @@ def _model_for(bc: Broadcast) -> tuple:
     return _TRIE_CACHE[key]
 
 
-def detect_pages(pages: DataFrame, model_bc: Broadcast) -> DataFrame:
+def detect_pages(pages: DataFrame, model_bc: Broadcast,
+                 with_context: bool = True) -> DataFrame:
     """pages(url, html) → detections, with extraction fused INTO the same
     Python pass (U1∘U3 in one mapInArrow stage).
 
@@ -87,12 +88,13 @@ def detect_pages(pages: DataFrame, model_bc: Broadcast) -> DataFrame:
             texts = [
                 pinned_extract(h) if h is not None else "" for h in htmls
             ]
-            yield _tag_batch(urls, texts, trie, lex, preds)
+            yield _tag_batch(urls, texts, trie, lex, preds, with_context)
 
     return pages.select("url", "html").mapInArrow(run, DETECT_SCHEMA)
 
 
-def detect(pages_clean: DataFrame, model_bc: Broadcast) -> DataFrame:
+def detect(pages_clean: DataFrame, model_bc: Broadcast,
+           with_context: bool = True) -> DataFrame:
     """pages_clean(url, text) → detections (kind=mention|triple)."""
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -101,13 +103,14 @@ def detect(pages_clean: DataFrame, model_bc: Broadcast) -> DataFrame:
             yield _tag_batch(
                 batch.column("url").to_pylist(),
                 batch.column("text").to_pylist(),
-                trie, lex, preds,
+                trie, lex, preds, with_context,
             )
 
     return pages_clean.select("url", "text").mapInArrow(run, DETECT_SCHEMA)
 
 
-def _tag_batch(urls, texts, trie, lex, preds) -> pa.RecordBatch:
+def _tag_batch(urls, texts, trie, lex, preds,
+               with_context: bool = True) -> pa.RecordBatch:
     # flat column buffers + direct appends: this loop runs once per
     # detection (10^1 per page × 10^12 pages) — no per-row closures
     c_url: list = []; c_sent: list = []; c_kind: list = []
@@ -116,7 +119,8 @@ def _tag_batch(urls, texts, trie, lex, preds) -> pa.RecordBatch:
     c_score: list = []; c_ctx: list = []; c_subj: list = []; c_pred: list = []
     c_obj: list = []; c_conf: list = []
     for url, text in zip(urls, texts):
-        mentions, triples = tag_text(text or "", trie, lex, preds)
+        mentions, triples = tag_text(text or "", trie, lex, preds,
+                                     with_context)
         for m in mentions:
             surf = m["surface"]
             c_url.append(url); c_sent.append(m["sent_id"])

@@ -29,6 +29,34 @@ def nil_id(col):
     return F.concat(F.lit("nil:"), F.substring(F.sha2(col.cast("binary"), 256), 1, 16))
 
 
+_DICT_STATS_CACHE: dict[int, dict] = {}
+
+
+def dict_stats(entity_dict: DataFrame) -> dict:
+    """One tiny driver action on the dimension-side dictionary: max
+    candidates per surface and max context_words size. Drives two adaptive
+    plan choices (link fast path; context emission in detect). Cached per
+    DataFrame object so the pipeline pays it once."""
+    key = id(entity_dict)
+    if key not in _DICT_STATS_CACHE:
+        row = (
+            entity_dict.groupBy("surface_norm")
+            .agg(
+                F.count("*").alias("n"),
+                F.max(
+                    F.coalesce(F.size("context_words"), F.lit(0))
+                ).alias("cw"),
+            )
+            .agg(F.max("n").alias("max_cands"), F.max("cw").alias("max_cw"))
+            .first()
+        )
+        _DICT_STATS_CACHE[key] = {
+            "max_cands": row["max_cands"],
+            "max_cw": row["max_cw"],
+        }
+    return _DICT_STATS_CACHE[key]
+
+
 def link_mentions(
     mentions: DataFrame,
     entity_dict: DataFrame,
@@ -53,17 +81,7 @@ def link_mentions(
     # no-op over the whole mention stream — skip the 10^10-row shuffle and
     # broadcast-join the best-per-surface table directly. One tiny driver
     # action on the (small, dimension-side) dictionary decides.
-    stats = (
-        entity_dict.groupBy("surface_norm")
-        .agg(
-            F.count("*").alias("n"),
-            F.max(
-                F.coalesce(F.size("context_words"), F.lit(0))
-            ).alias("cw"),
-        )
-        .agg(F.max("n").alias("max_cands"), F.max("cw").alias("max_cw"))
-        .first()
-    )
+    stats = dict_stats(entity_dict)
     if stats["max_cands"] is None or (
         stats["max_cands"] <= 1 and stats["max_cw"] <= 0
     ):

@@ -61,6 +61,7 @@ def run_pipeline(
     with_metrics: bool = True,
     salted_repartition: bool = False,
     checkpoint_stages: tuple[str, ...] = DEFAULT_CHECKPOINT_STAGES,
+    langs: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     ck = Checkpointer(spark, checkpoint_root)
     model_bc = broadcast_model(spark, rules, pred_patterns)
@@ -81,6 +82,16 @@ def run_pipeline(
         return out
 
     pages = read_table(spark, pages_path)
+    if langs:
+        # P2: declared BEFORE any UDF so Catalyst pushes it into the scan
+        # (parquet row-group stats skip non-matching groups; asserted in
+        # tests via PushedFilters)
+        pages = pages.filter(F.col("lang").isin(langs))
+
+    # adaptive: mention contexts are only worth emitting (python string
+    # work + checkpoint bytes) if the dictionary can use them
+    edict = read_table(spark, entity_dict_path)
+    with_context = (L.dict_stats(edict)["max_cw"] or 0) > 0
 
     # 1+2. extract (U1) + detect (U3) fused — no shuffle touches html/text.
     # Default: ONE mapInArrow stage (html→text→tag in the same Python
@@ -89,18 +100,17 @@ def run_pipeline(
     # input layouts — at the cost of a second Python stage.
     def s_detect(p: DataFrame) -> DataFrame:
         if not salted_repartition:
-            return detect_pages(p, model_bc)
+            return detect_pages(p, model_bc, with_context=with_context)
         clean = repartition_salted(
             extract_pages(p), "host", npart, salt_on=["url"]
         )
-        return detect(clean, model_bc)
+        return detect(clean, model_bc, with_context=with_context)
 
     detections = stage("detect", s_detect, pages)
     mentions, raw_triples = split_detections(detections)
 
     # 3. link (J1/W1/J3) — broadcast dictionary joins, cheap: recomputed on
     #    resume unless explicitly checkpointed
-    edict = read_table(spark, entity_dict_path)
     linked = stage("link_mentions", lambda m: L.link_mentions(m, edict), mentions)
     triples_linked = stage(
         "link_triples", lambda t: L.link_triples(t, edict), raw_triples

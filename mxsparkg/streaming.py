@@ -1,0 +1,106 @@
+"""Incremental crawl ingest via Structured Streaming (SURVEY.md §2.11).
+
+The batch pipeline stays the primary surface (north_rule: batch with
+checkpoint-resume); this module is the streaming analogue for continuous
+crawl feeds. Every stage is already a pure table-in/table-out function, so
+the streaming ingest is just:
+
+  readStream(new page files) → watermark + per-url dedup → foreachBatch:
+      fused extract+detect (the SAME detect_pages as batch) → append
+
+foreachBatch (not a streaming-native sink) because detections feed the
+batch linking/canonicalization stages downstream — micro-batch appends into
+the same checkpoint layout keep one code path for all semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.broadcast import Broadcast
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def read_page_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """File-arrival stream over a crawl-segment directory (new parquet
+    files = new fetches). Schema is pinned — streaming sources cannot
+    infer it."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def dedup_late_fetches(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Late/duplicate page fetches: keep the first fetch per url within the
+    watermark (state is bounded by the watermark — mandatory for an
+    unbounded stream)."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+
+
+def start_detect_stream(
+    pages_stream: DataFrame,
+    model_bc: Broadcast,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Stream → fused extract+detect → append. foreachBatch reuses the
+    exact batch operator, so streaming and batch results are identical by
+    construction (asserted in tests/test_streaming.py)."""
+    from mxsparkg.detect import detect_pages
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            detect_pages(batch_df, model_bc)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hourly_ingest_stats(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window ingest metrics (streaming-native agg): pages and
+    hosts per hour of crawl time, watermark-bounded."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.approx_count_distinct(
+                F.parse_url("url", F.lit("HOST"))
+            ).alias("n_hosts"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_pages",
+            "n_hosts",
+        )
+    )

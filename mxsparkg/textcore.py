@@ -305,6 +305,7 @@ def tag_text(
     trie: list,
     lexicons: dict[str, list[str]],
     pred_patterns: list[dict],
+    with_context: bool = True,
 ) -> tuple[list[dict], list[dict]]:
     """→ (mentions, triples) for one document.
 
@@ -335,12 +336,14 @@ def tag_text(
                         "rule_id": rule_id,
                         "score": score,
                         # sentence context minus the mention itself — the
-                        # disambiguation signal for U4 context linking
+                        # disambiguation signal for U4 context linking;
+                        # skipped (empty) when the dictionary carries no
+                        # context words, saving string work + checkpoint bytes
                         "context": " ".join(
                             t[0].lower()
                             for i, t in enumerate(sent)
                             if (i < op or i >= cl) and t[0].isalnum()
-                        ),
+                        ) if with_context else "",
                     }
                 )
             base = len(mentions_out) - len(picked)

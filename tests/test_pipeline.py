@@ -151,6 +151,33 @@ def test_html_pruned_after_extract(spark, tiny_fixtures):
     assert "ArrowEvalPython" in plan or "Python" in plan
 
 
+def test_lang_filter_pushed_to_scan(spark, tiny_fixtures):
+    """Plan hygiene: the P2 language filter reaches the parquet scan as a
+    pushed filter (UDFs would be a pushdown barrier if it came after)."""
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(f"{tiny_fixtures}/pages.parquet").filter(
+        F.col("lang").isin(["fr"])
+    )
+    plan = pages._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan
+
+    res = run_pipeline(
+        spark,
+        f"{tiny_fixtures}/pages.parquet",
+        f"{tiny_fixtures}/entity_dict.parquet",
+        f"{tiny_fixtures}/gold_canon.parquet",
+        "/tmp/mxsparkg_test_langckpt",
+        langs=["fr"],
+        with_metrics=False,
+        checkpoint_stages=(),
+    )
+    langs = {
+        r["lang"] for r in res["pages_clean"].select("lang").distinct().collect()
+    }
+    assert langs == {"fr"}
+
+
 def test_metrics_rows_written(spark, pipeline_result):
     from mxsparkg.metrics import read_metrics
 

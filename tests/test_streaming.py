@@ -1,0 +1,75 @@
+"""§2.11 streaming ingest: the streaming path must produce the identical
+detections as the batch path (same detect_pages via foreachBatch), and the
+url dedup must drop late duplicate fetches."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from mxsparkg.detect import broadcast_model, detect_pages
+from mxsparkg.streaming import (
+    dedup_late_fetches,
+    read_page_stream,
+    start_detect_stream,
+)
+
+ROOT = "/tmp/mxsparkg_test_stream"
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, tiny_fixtures):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    src = f"{ROOT}/incoming"
+    os.makedirs(src)
+    # split fixture pages into several "arriving" files
+    pages = spark.read.parquet(f"{tiny_fixtures}/pages.parquet")
+    pages.repartition(4).write.mode("overwrite").parquet(src)
+    return src, f"{ROOT}/detections", f"{ROOT}/ckpt"
+
+
+def test_stream_matches_batch(spark, stream_dirs):
+    src, out, ckpt = stream_dirs
+    bc = broadcast_model(spark)
+    q = start_detect_stream(read_page_stream(spark, src), bc, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = detect_pages(spark.read.parquet(src), bc)
+    key = ["url", "sent_id", "kind", "m_start", "surface", "subj", "pred", "obj"]
+    assert got.count() == batch.count()
+    assert (
+        got.select(*key).exceptAll(batch.select(*key)).count() == 0
+    )
+
+
+def test_stream_resume_is_incremental(spark, stream_dirs):
+    """Re-starting the stream with the same checkpoint processes nothing new
+    (exactly-once file tracking)."""
+    src, out, ckpt = stream_dirs
+    before = spark.read.parquet(out).count()
+    q = start_detect_stream(
+        read_page_stream(spark, src), broadcast_model(spark), out, ckpt
+    )
+    q.awaitTermination(60)
+    assert spark.read.parquet(out).count() == before
+
+
+def test_dedup_late_fetches(spark):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("u1", base),
+        ("u1", base + dt.timedelta(minutes=5)),  # duplicate fetch
+        ("u2", base),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
+    df = df.select("url", "warc_ts",
+                   *[__import__("pyspark.sql.functions", fromlist=["functions"]).lit(None).cast(t).alias(c)
+                     for c, t in [("html", "binary"), ("text", "string"), ("lang", "string")]])
+    out = dedup_late_fetches(df)
+    # batch execution of the streaming transform: dropDuplicates applies
+    assert out.count() == 2
