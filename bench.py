@@ -35,18 +35,18 @@ def _kg_detect(spark: SparkSession, sf: str) -> DataFrame:
     detection + predicate pairing (U3) over the deterministic fixture pages
     (seeded, planted entities — FIXTURES.md §B), scale tied to sf."""
     from fixtures.generate import ensure_fixtures
-    from mxsparkg.detect import broadcast_model, detect
-    from mxsparkg.extract import extract_pages
+    from mxsparkg.detect import broadcast_model, detect_pages
 
     fdir = ensure_fixtures(_fixture_scale(sf))
     # split by on-disk bytes: tiny-HTML pages compress ~8x, default 128MB
     # splits would leave the whole scan in 1-2 tasks at this corpus size.
     # Session conf (per-read options are ignored by file sources); kg_detect
     # runs last in the headline list so no other query is affected.
-    split = max(65536, os.path.getsize(f"{fdir}/pages.parquet") // 128)
+    split = max(262144, os.path.getsize(f"{fdir}/pages.parquet") // 64)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     pages = spark.read.parquet(f"{fdir}/pages.parquet")
-    return detect(extract_pages(pages), broadcast_model(spark))
+    # fused U1∘U3 — the pipeline's hot path
+    return detect_pages(pages, broadcast_model(spark), with_context=False)
 
 
 def headline_queries() -> dict:

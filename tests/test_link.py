@@ -65,6 +65,70 @@ def test_nil_for_unknown_surface(linked):
     assert linked["u5"]["link_score"] == 0.0
 
 
+def test_ambiguous_dict_through_full_pipeline(spark, tmp_path):
+    """E2E: with an ambiguous dictionary carrying context words, the
+    pipeline takes the context-scoring path (detect emits contexts, link
+    windows over candidates) and still resolves deterministically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mxsparkg.pipeline import run_pipeline
+    from mxsparkg.textcore import html_escape
+
+    lines = [
+        "Jean Dupont dirige la société Mistral .",
+        "monsieur Dupont visite Paris .",
+    ]
+    html = "".join(f"<p>{html_escape(ln)}</p>" for ln in lines).encode()
+    import datetime as dt
+
+    pq.write_table(pa.table({
+        "url": pa.array(["https://a.example/1"]),
+        "warc_ts": pa.array([dt.datetime(2026, 1, 1)],
+                            pa.timestamp("us", tz="UTC")),
+        "html": pa.array([html], pa.binary()),
+        "text": pa.array(["\n".join(lines)]),
+        "lang": pa.array(["fr"]),
+    }), str(tmp_path / "pages.parquet"))
+    # the detector emits 'société mistral' (ORGWORD + Xxx rule) — make that
+    # surface ambiguous between two org entities with equal priors
+    pq.write_table(pa.table({
+        "surface_norm": pa.array(
+            ["société mistral", "société mistral", "paris"]),
+        "entity_id": pa.array(
+            ["org:mistral_wind", "org:mistral_ai", "loc:paris"]),
+        "prior": pa.array([0.6, 0.6, 0.8]),
+        "context_words": pa.array(
+            [["vent", "météo"], ["dirige", "modèles"], []],
+            pa.list_(pa.string())),
+    }), str(tmp_path / "dict.parquet"))
+    pq.write_table(pa.table({
+        "entity_id": pa.array(["org:mistral_ai"]),
+        "canon_id": pa.array(["org:mistral_ai"]),
+    }), str(tmp_path / "aliases.parquet"))
+
+    res = run_pipeline(
+        spark,
+        str(tmp_path / "pages.parquet"),
+        str(tmp_path / "dict.parquet"),
+        str(tmp_path / "aliases.parquet"),
+        str(tmp_path / "ckpt"),
+        with_metrics=False,
+    )
+    linked = {
+        r["surface_norm"]: (r["entity_id"], r["link_score"])
+        for r in res["linked_mentions"].collect()
+    }
+    # sentence context 'jean dupont dirige la' overlaps {dirige} →
+    # org:mistral_ai wins the otherwise-tied priors
+    eid, score = linked["société mistral"]
+    assert eid == "org:mistral_ai"
+    assert score == pytest.approx(0.6 + 0.5)  # prior + 1/2 context overlap
+    # contexts were emitted (adaptive flag on)
+    ctx = [r["context"] for r in res["mentions"].collect()]
+    assert any(c for c in ctx)
+
+
 def test_parity_with_reference_oracle(linked):
     ref_dict = {
         "mistral": [("org:mistral", 0.6, ["société", "institute", "company"]),
