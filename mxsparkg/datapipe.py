@@ -536,6 +536,144 @@ def ann_lsh_topk_sql() -> str:
     """
 
 
+N_IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def _centroids() -> list[list[float]]:
+    """Seeded coarse-quantizer centroids (the trained-kmeans stand-in),
+    rounded to 3dp so identical literals embed in Spark and the oracle."""
+    rng = np.random.RandomState(7)
+    c = rng.standard_normal((N_IVF_CELLS, EMB_DIM)) * 0.1
+    return [[round(float(x), 3) for x in row] for row in c]
+
+
+def _ivf_assign_df(spark: SparkSession, sf: str, id_col: str = "vec_id") -> DataFrame:
+    """vector → nearest centroid by L2 (d² = |v|² − 2·v·c + |c|²; only the
+    −2·v·c + |c|² part varies per cell). One narrow pass, no shuffle."""
+    v = _vecs_with_norm(_embs(spark, sf))
+    cents = _centroids()
+    dist_cols = []
+    for ci, c in enumerate(cents):
+        carr = F.array(*[F.lit(x) for x in c])
+        c2 = sum(x * x for x in c)
+        d2 = F.col("norm") * F.col("norm") - 2.0 * _dot(F.col("v"), carr) + F.lit(c2)
+        dist_cols.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    best = F.array_min(F.array(*dist_cols))
+    return v.select(
+        F.col("vec_id").alias(id_col),
+        "v",
+        "norm",
+        best.getField("cell").alias("cell"),
+    )
+
+
+def ann_ivf_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest of 16
+    seeded centroids. At 10^9 vectors this is the partition key that turns
+    ANN into a per-cell local problem."""
+    return _ivf_assign_df(spark, sf).select("vec_id", "cell")
+
+
+def _sql_ivf_assign(alias: str = "assign") -> str:
+    rows = ", ".join(
+        f"({ci}, {c!r}::DOUBLE[])" for ci, c in enumerate(_centroids())
+    )
+    return f"""
+  cents(cell, c) AS (VALUES {rows}),
+  {alias} AS (
+    SELECT vec_id, v, norm, cell FROM (
+      SELECT vecs.vec_id, vecs.v, vecs.norm, cents.cell,
+             row_number() OVER (
+               PARTITION BY vecs.vec_id
+               ORDER BY list_dot_product(vecs.v, vecs.v)
+                        - 2 * list_dot_product(vecs.v, cents.c)
+                        + list_dot_product(cents.c, cents.c),
+                        cents.cell) AS rk
+      FROM vecs CROSS JOIN cents) WHERE rk = 1)
+"""
+
+
+def ann_ivf_assign_sql() -> str:
+    return (
+        f"WITH {_SQL_VECS}, {_sql_ivf_assign()} "
+        "SELECT vec_id, cell FROM assign"
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF probe search: per query vector, search only its IVF_NPROBE
+    nearest cells for cosine top-k — the coarse-quantizer ANN scale path
+    (touches nprobe/ncells of the corpus instead of all of it)."""
+    from pyspark.sql.window import Window
+
+    assigned = _ivf_assign_df(spark, sf)
+    cents = _centroids()
+    q = assigned.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    probe_cols = []
+    for ci, c in enumerate(cents):
+        carr = F.array(*[F.lit(x) for x in c])
+        c2 = sum(x * x for x in c)
+        d2 = (
+            F.col("qnorm") * F.col("qnorm")
+            - 2.0 * _dot(F.col("qv"), carr)
+            + F.lit(c2)
+        )
+        probe_cols.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    probes = q.select(
+        "q_id", "qv", "qnorm",
+        F.explode(
+            F.slice(F.array_sort(F.array(*probe_cols)), 1, IVF_NPROBE)
+        ).alias("p"),
+    ).select("q_id", "qv", "qnorm", F.col("p.cell").alias("cell"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("q_id", "rank", "vec_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def ann_ivf_topk_sql() -> str:
+    return f"""
+      WITH {_SQL_VECS}, {_sql_ivf_assign()},
+      q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM vecs
+            WHERE vec_id < {ANN_N_QUERIES}),
+      probes AS (
+        SELECT q_id, qv, qnorm, cell FROM (
+          SELECT q.q_id, q.qv, q.qnorm, cents.cell,
+                 row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY list_dot_product(q.qv, q.qv)
+                            - 2 * list_dot_product(q.qv, cents.c)
+                            + list_dot_product(cents.c, cents.c),
+                            cents.cell) AS rk
+          FROM q CROSS JOIN cents) WHERE rk <= {IVF_NPROBE}),
+      scored AS (
+        SELECT p.q_id, a.vec_id,
+               list_dot_product(p.qv, a.v) / (p.qnorm * a.norm) AS cos_raw
+        FROM assign a JOIN probes p ON a.cell = p.cell
+        WHERE a.vec_id != p.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cos_raw,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_raw DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id, round(cos_raw, 6) AS cosine
+      FROM ranked WHERE rank <= {ANN_K}
+    """
+
+
 # ================================================================ text
 
 def txt_langid(spark: SparkSession, sf: str) -> DataFrame:
@@ -778,6 +916,8 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": ann_topk_cosine,
         "ann_lsh_bucket": ann_lsh_bucket,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_assign": ann_ivf_assign,
+        "ann_ivf_topk": ann_ivf_topk,
         "txt_langid": txt_langid,
         "txt_quality": txt_quality,
         "txt_tokens": txt_tokens,
@@ -796,6 +936,8 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "ann_topk_cosine": ann_topk_cosine_sql(),
         "ann_lsh_bucket": ann_lsh_bucket_sql(),
         "ann_lsh_topk": ann_lsh_topk_sql(),
+        "ann_ivf_assign": ann_ivf_assign_sql(),
+        "ann_ivf_topk": ann_ivf_topk_sql(),
         "txt_langid": txt_langid_sql(),
         "txt_quality": txt_quality_sql(),
         "txt_tokens": txt_tokens_sql(),

@@ -92,6 +92,20 @@ def test_lsh_bucket_deterministic(spark):
     assert all(len(bk) == 8 and set(bk) <= {"0", "1"} for _, bk in a)
 
 
+def test_ivf_probe_recall_vs_bruteforce(spark):
+    """IVF with 4/16 probes must recover a meaningful fraction of the
+    brute-force top-10 (plumbing check; on random vectors recall ≈ the
+    probed corpus fraction, far above zero)."""
+    from mxsparkg.datapipe import ann_ivf_topk
+
+    brute = {(r.q_id, r.vec_id) for r in ann_topk_cosine(spark, SF).collect()}
+    ivf = {(r.q_id, r.vec_id) for r in ann_ivf_topk(spark, SF).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.15
+    # every IVF hit must be a real vector pair, self excluded
+    assert all(q != v for q, v in ivf)
+
+
 def test_langid_prefers_en_on_en_salad(spark):
     rows = txt_langid(spark, SF).collect()
     # driver docs contain 'the'/'a' from the shared vocab → en or und
