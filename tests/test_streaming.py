@@ -57,6 +57,17 @@ def test_stream_resume_is_incremental(spark, stream_dirs):
     assert spark.read.parquet(out).count() == before
 
 
+def test_hourly_ingest_stats(spark, tiny_fixtures):
+    from mxsparkg.streaming import hourly_ingest_stats
+
+    pages = spark.read.parquet(f"{tiny_fixtures}/pages.parquet")
+    rows = hourly_ingest_stats(pages).collect()
+    assert sum(r.n_pages for r in rows) == pages.count()
+    assert all(r.n_hosts >= 1 for r in rows)
+    starts = [r.window_start for r in rows]
+    assert len(set(starts)) == len(starts)
+
+
 def test_dedup_late_fetches(spark):
     import datetime as dt
 
