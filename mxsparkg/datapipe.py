@@ -838,6 +838,58 @@ def txt_fingerprint_sql() -> str:
     """
 
 
+# ====================================================== per-group pandas
+
+GRP_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("n_docs", LongType()),
+        StructField("mean_chars", StringType()),
+        StructField("max_chars", LongType()),
+        StructField("first_doc", LongType()),
+    ]
+)
+
+
+def grp_apply_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """U5 per-group processing: df.groupBy(key).applyInPandas — the shape
+    for per-host batch work (politeness stats, per-host dedup) where the
+    whole group must be visible to one Python function. Arrow-batched;
+    group key drives the shuffle, so salting (J8) applies when keys skew."""
+
+    def stats(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                # string-formatted to 4dp: float mean differs in the last
+                # ulp between engines' summation orders
+                "mean_chars": [f"{pdf['n_chars'].mean():.4f}"],
+                "max_chars": [int(pdf["n_chars"].max())],
+                "first_doc": [int(pdf["doc_id"].min())],
+            }
+        )
+
+    return (
+        _docs(spark, sf)
+        .select("source", "doc_id", "n_chars")
+        .groupBy("source")
+        .applyInPandas(stats, GRP_SCHEMA)
+    )
+
+
+def grp_apply_pandas_sql() -> str:
+    return """
+      SELECT source, count(*) AS n_docs,
+             printf('%.4f', avg(n_chars)) AS mean_chars,
+             max(n_chars) AS max_chars,
+             min(doc_id) AS first_doc
+      FROM documents GROUP BY source
+    """
+
+
 # ================================================================ multimodal
 
 MM_SCHEMA = StructType(
@@ -923,6 +975,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tokens": txt_tokens,
         "txt_fingerprint": txt_fingerprint,
         "mm_decode_stub": mm_decode_stub,
+        "grp_apply_pandas": grp_apply_pandas,
     }
 
 
@@ -943,4 +996,5 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_tokens": txt_tokens_sql(),
         "txt_fingerprint": txt_fingerprint_sql(),
         "mm_decode_stub": mm_decode_stub_sql(),
+        "grp_apply_pandas": grp_apply_pandas_sql(),
     }

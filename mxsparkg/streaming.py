@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
     BinaryType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -83,6 +84,45 @@ def start_detect_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stateful_host_counts(pages: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-host fetch totals across micro-batches — the state backbone for
+    per-host politeness/throttling decisions on a continuous crawl.
+    Emits one update row per (host, micro-batch); state = the running
+    total, persisted in the streaming state store."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("total_fetches", LongType()),
+            StructField("batch_fetches", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("total", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        n = sum(len(p) for p in pdfs)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "total_fetches": [total],
+                "batch_fetches": [n],
+            }
+        )
+
+    hosts = pages.select(
+        F.parse_url("url", F.lit("HOST")).alias("host")
+    )
+    return hosts.groupBy("host").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

@@ -57,6 +57,48 @@ def test_stream_resume_is_incremental(spark, stream_dirs):
     assert spark.read.parquet(out).count() == before
 
 
+def test_stateful_host_counts_accumulate(spark, stream_dirs):
+    """applyInPandasWithState: per-host totals accumulate across
+    micro-batches (2 files per trigger → multiple batches) and the final
+    running totals equal the batch groupBy counts."""
+    from pyspark.sql import functions as F
+
+    from mxsparkg.streaming import read_page_stream, stateful_host_counts
+
+    src, _out, _ckpt = stream_dirs
+    q = (
+        stateful_host_counts(
+            read_page_stream(spark, src, max_files_per_trigger=2)
+        )
+        .writeStream.format("memory")
+        .queryName("host_counts")
+        .outputMode("update")
+        .option("checkpointLocation", f"{ROOT}/state_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.sql("SELECT * FROM host_counts").collect()
+    assert updates
+    # final state per host == batch-side truth
+    final = {}
+    for r in updates:
+        final[r["host"]] = max(final.get(r["host"], 0), r["total_fetches"])
+    truth = {
+        r["host"]: r["n"]
+        for r in spark.read.parquet(src)
+        .select(F.parse_url("url", F.lit("HOST")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == truth
+    # at least one host spanned multiple micro-batches (state actually used)
+    assert any(
+        r["total_fetches"] > r["batch_fetches"] for r in updates
+    )
+
+
 def test_hourly_ingest_stats(spark, tiny_fixtures):
     from mxsparkg.streaming import hourly_ingest_stats
 
