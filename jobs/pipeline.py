@@ -40,6 +40,10 @@ def main() -> None:
     )
     ap.add_argument("--no-metrics", action="store_true",
                     help="skip per-partition metrics rows (bench runs)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="delta ingest: detect only urls missing from the "
+                         "existing detect checkpoint, append, recompute "
+                         "derived tables")
     ap.add_argument("--langs", default=None,
                     help="comma-separated language allowlist (P2 filter, "
                          "pushed into the scan)")
@@ -68,6 +72,7 @@ def main() -> None:
         with_metrics=not args.no_metrics,
         salted_repartition=args.salted,
         langs=args.langs.split(",") if args.langs else None,
+        incremental=args.incremental,
     )
     if args.light_summary:
         import json as _json

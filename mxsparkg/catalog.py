@@ -113,3 +113,39 @@ class Checkpointer:
         t0 = time.time()
         df = fn(*inputs)
         return self.materialize(df, stage, wall_ms=(time.time() - t0) * 1000.0)
+
+    def append(self, df: DataFrame, stage: str) -> int:
+        """Delta-ingest append into a completed stage: the write job commits
+        atomically (files appear only on job commit), then the manifest row
+        count is bumped. Returns rows appended. Idempotent under kill:
+        un-committed appends leave no files, and the caller's anti-join
+        derives the delta from the data actually present, not the manifest."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        (
+            df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .write.mode("append")
+            .option("compression", "zstd")
+            .parquet(self._dir(stage))
+        )
+        n_new = obs.get["rows"]
+        with open(self._manifest(stage)) as f:
+            manifest = json.load(f)
+        manifest["rows"] += n_new
+        manifest["appends"] = manifest.get("appends", 0) + 1
+        tmp = self._manifest(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest(stage))
+        return n_new
+
+    def invalidate(self, *stages: str) -> None:
+        """Drop manifests so downstream stages recompute (used after a
+        delta append upstream)."""
+        for stage in stages:
+            try:
+                os.remove(self._manifest(stage))
+            except FileNotFoundError:
+                pass

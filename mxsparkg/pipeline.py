@@ -62,6 +62,7 @@ def run_pipeline(
     salted_repartition: bool = False,
     checkpoint_stages: tuple[str, ...] = DEFAULT_CHECKPOINT_STAGES,
     langs: list[str] | None = None,
+    incremental: bool = False,
 ) -> dict[str, DataFrame]:
     ck = Checkpointer(spark, checkpoint_root)
     model_bc = broadcast_model(spark, rules, pred_patterns)
@@ -106,7 +107,20 @@ def run_pipeline(
         )
         return detect(clean, model_bc, with_context=with_context)
 
-    detections = stage("detect", s_detect, pages)
+    if incremental and ck.is_done("detect"):
+        # delta ingest (J5/T2): detect ONLY urls not in the completed
+        # checkpoint, append, and invalidate the derived tables. At web
+        # scale this is how a grown crawl re-runs without re-tagging
+        # 10^12 already-processed pages.
+        prev_urls = ck.read("detect").select("url").distinct()
+        new_pages = pages.join(prev_urls, on="url", how="left_anti")
+        n_new = ck.append(s_detect(new_pages), "detect")
+        if n_new > 0:
+            ck.invalidate("triples", "edges", "nodes", "link_mentions",
+                          "link_triples")
+        detections = ck.read("detect")
+    else:
+        detections = stage("detect", s_detect, pages)
     mentions, raw_triples = split_detections(detections)
 
     # 3. link (J1/W1/J3) — broadcast dictionary joins, cheap: recomputed on

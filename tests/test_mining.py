@@ -69,6 +69,27 @@ def test_mined_rules_well_formed(mined_model):
         assert pat[closes[0]] == f"</{r['etype']}>"
 
 
+def test_mined_rules_subsume_core_default_patterns(mined_model):
+    """The mined set must rediscover the load-bearing hand-written patterns
+    (model.py promises subsumption): the core pers/org/loc transductions."""
+    mined = {tuple(r["pattern"]) for r in mined_model}
+    core = [
+        ("<pers>", "FIRSTNAME", "SURNAME", "</pers>"),
+        ("FUNCWORD", "<pers>", "SURNAME", "</pers>"),
+        ("<org>", "ORGWORD", "Xxx", "</org>"),
+        ("<org>", "Xxx", "ORGWORD", "</org>"),
+        ("<loc>", "TOPONYM", "</loc>"),
+    ]
+    missing = [p for p in core
+               if not any(set(p) <= set(m) and _subseq(p, m) for m in mined)]
+    assert not missing, missing
+
+
+def _subseq(small: tuple, big: tuple) -> bool:
+    it = iter(big)
+    return all(x in it for x in small)
+
+
 def test_mined_model_tagger_parity(mined_model, fixture_dir):
     """north_rule: same entity spans/types as the gold annotation, P/R≥0.95
     (Etape/Ester2-style evaluation, SURVEY.md §5.1)."""

@@ -121,6 +121,51 @@ def test_partition_invariance(spark, tiny_fixtures, pipeline_result):
     assert _triples(res1["triples"]) == _triples(pipeline_result["triples"])
 
 
+def test_incremental_delta_ingest(spark, tiny_fixtures, pipeline_result):
+    """J5/T2 delta resume: run on 60% of the corpus, then incrementally on
+    the full corpus — only new urls are detected (append), downstream
+    recomputes, final triples equal the full-run triples."""
+    import os
+
+    root = "/tmp/mxsparkg_test_incr"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    pages = spark.read.parquet(f"{tiny_fixtures}/pages.parquet")
+    sub = pages.orderBy("url").limit(300)
+    sub.write.mode("overwrite").parquet(f"{root}/pages_sub.parquet")
+
+    run_pipeline(
+        spark, f"{root}/pages_sub.parquet",
+        f"{tiny_fixtures}/entity_dict.parquet",
+        f"{tiny_fixtures}/gold_canon.parquet",
+        f"{root}/ckpt", with_metrics=False,
+    )
+    import json
+
+    with open(f"{root}/ckpt/detect._manifest.json") as f:
+        rows_before = json.load(f)["rows"]
+
+    res2 = run_pipeline(
+        spark, f"{tiny_fixtures}/pages.parquet",
+        f"{tiny_fixtures}/entity_dict.parquet",
+        f"{tiny_fixtures}/gold_canon.parquet",
+        f"{root}/ckpt", with_metrics=False, incremental=True,
+    )
+    with open(f"{root}/ckpt/detect._manifest.json") as f:
+        m = json.load(f)
+    assert m["appends"] == 1 and m["rows"] > rows_before
+    assert _triples(res2["triples"]) == _triples(pipeline_result["triples"])
+
+    # re-running incrementally again is a no-op append (0 new urls)
+    res3 = run_pipeline(
+        spark, f"{tiny_fixtures}/pages.parquet",
+        f"{tiny_fixtures}/entity_dict.parquet",
+        f"{tiny_fixtures}/gold_canon.parquet",
+        f"{root}/ckpt", with_metrics=False, incremental=True,
+    )
+    assert _triples(res3["triples"]) == _triples(pipeline_result["triples"])
+
+
 def test_salt_invariance(spark, tiny_fixtures, pipeline_result):
     """SURVEY §5.5c: the salted (host, salt) repartition path produces the
     identical triple set — salting must never change results."""
