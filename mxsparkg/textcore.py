@@ -171,6 +171,15 @@ def build_trie(rules: list[dict]) -> list:
         node[_RULES].append(
             (float(r["score"]), int(r["rule_id"]), str(r["etype"]))
         )
+    # root[ _FIRST ]: every item that can CONSUME the first token of any
+    # rule — root item children plus the item children of marker-opening
+    # roots (markers consume nothing). match_sentence skips DFS at start
+    # positions whose genset misses this set entirely; on noise-dominated
+    # web text most positions skip.
+    first = set(root[_ITEMS])
+    for _tag, child in root[_OPENS]:
+        first.update(child[_ITEMS])
+    root.append(first)
     return root
 
 
@@ -189,7 +198,10 @@ def match_sentence(
     """
     n = len(gen_sets)
     out: list[tuple[int, int, str, float, int]] = []
+    first = trie[4] if len(trie) > 4 else None
     for start in range(n):
+        if first is not None and first.isdisjoint(gen_sets[start]):
+            continue
         # DFS over (node, tok_idx, open_pos, close_pos)
         stack = [(trie, start, -1, -1)]
         while stack:

@@ -223,6 +223,30 @@ def test_lang_filter_pushed_to_scan(spark, tiny_fixtures):
     assert langs == {"fr"}
 
 
+def test_zz_resume_after_midpipeline_death(spark, tiny_fixtures, pipeline_result):
+    """SURVEY §5.5b: simulate dying between stages — drop the manifests of
+    every stage after detect (as if the job was killed mid-canonicalize);
+    the re-run recomputes only those and matches the original output.
+    Runs LAST (zz): it rewrites the shared checkpoint dir, which
+    invalidates other tests' lazily-read DataFrames."""
+    import os
+
+    expected = _triples(pipeline_result["triples"])
+    expected_nodes = pipeline_result["nodes"].count()
+    for stage in ("canon_map", "triples", "edges", "nodes"):
+        os.remove(f"{CKPT}/{stage}._manifest.json")
+    res = run_pipeline(
+        spark,
+        f"{tiny_fixtures}/pages.parquet",
+        f"{tiny_fixtures}/entity_dict.parquet",
+        f"{tiny_fixtures}/gold_canon.parquet",
+        CKPT,
+        with_metrics=False,
+    )
+    assert _triples(res["triples"]) == expected
+    assert res["nodes"].count() == expected_nodes
+
+
 def test_metrics_rows_written(spark, pipeline_result):
     from mxsparkg.metrics import read_metrics
 
