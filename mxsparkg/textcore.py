@@ -197,7 +197,12 @@ def match_sentence(
     tokens [tok_open, tok_close).
     """
     n = len(gen_sets)
-    out: list[tuple[int, int, str, float, int]] = []
+    # best match per (span, etype): a large mined rule set fires many rules
+    # on the same span; only the best can ever survive conflict resolution
+    # (a lower-scored same-span match is blocked by exactly the same
+    # overlaps), so dedup here is semantics-preserving and keeps the
+    # resolver input small
+    best: dict[tuple[int, int, str], tuple[float, int]] = {}
     first = trie[4] if len(trie) > 4 else None
     for start in range(n):
         if first is not None and first.isdisjoint(gen_sets[start]):
@@ -208,9 +213,12 @@ def match_sentence(
             node, ti, op, cl = stack.pop()
             if node[_RULES] and op >= 0 and cl >= 0:
                 for score, rule_id, etype in node[_RULES]:
-                    out.append((op, cl, etype, score, rule_id))
-                    if len(out) >= max_matches * 4:
-                        break
+                    key = (op, cl, etype)
+                    cur = best.get(key)
+                    # prefer higher score; tie-break lower rule_id (the
+                    # order resolve_matches would pick)
+                    if cur is None or (-score, rule_id) < (-cur[0], cur[1]):
+                        best[key] = (score, rule_id)
             if op < 0:
                 for _item, child in node[_OPENS]:
                     stack.append((child, ti, ti, cl))
@@ -231,6 +239,13 @@ def match_sentence(
                     for it, child in items.items():
                         if it in gs:
                             stack.append((child, ti + 1, op, cl))
+    out = [
+        (op, cl, etype, score, rule_id)
+        for (op, cl, etype), (score, rule_id) in best.items()
+    ]
+    if len(out) > max_matches * 4:
+        out.sort(key=lambda m: (-m[3], m[0]))
+        del out[max_matches * 4:]
     return out
 
 
@@ -238,11 +253,20 @@ def resolve_matches(
     matches: list[tuple[int, int, str, float, int]],
 ) -> list[tuple[int, int, str, float, int]]:
     """mXS-style conflict resolution: best score wins, longer spans break
-    ties, then leftmost, then lowest rule_id; greedy non-overlapping."""
+    ties, then leftmost, then lowest rule_id; greedy non-overlapping.
+    Occupancy array instead of an O(picked) scan per candidate — sentences
+    are short, so marking token positions is O(span)."""
+    if not matches:
+        return []
     picked: list[tuple[int, int, str, float, int]] = []
+    limit = max(m[1] for m in matches)
+    occupied = bytearray(limit)
     for m in sorted(matches, key=lambda m: (-m[3], -(m[1] - m[0]), m[0], m[4])):
-        if all(m[1] <= p[0] or m[0] >= p[1] for p in picked):
+        span = occupied[m[0]:m[1]]
+        if not any(span):
             picked.append(m)
+            for i in range(m[0], m[1]):
+                occupied[i] = 1
     picked.sort(key=lambda m: m[0])
     return picked
 
