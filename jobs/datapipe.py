@@ -1,0 +1,80 @@
+"""spark-submit surface for the training-data pipeline ops (datapipe.py):
+
+  spark-submit --py-files mxsparkg.zip jobs/datapipe.py \
+      --op dedup_minhash_pairs --input <documents.parquet> --out <dir> \
+      [--min-est-jaccard 0.5]
+
+ops:
+  dedup_exact          keeper per content hash
+  dedup_minhash_pairs  MinHash+LSH near-dup candidate PAIRS (the actual
+                       dedup decision table; bucket-join, never O(n²))
+  dedup_simhash        16-bit fingerprints
+  txt_quality          quality-score table (filtering input)
+  txt_langid           language-ID table
+  mm_decode            multimodal decode-stub features
+
+Prints one JSON line {op, rows, wall_sec, out}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--op", required=True,
+                    choices=["dedup_exact", "dedup_minhash_pairs",
+                             "dedup_simhash", "txt_quality", "txt_langid",
+                             "mm_decode"])
+    ap.add_argument("--input", required=True,
+                    help="documents-shaped parquet (doc_id, text, ...)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--min-est-jaccard", type=float, default=0.5)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from mxsparkg import datapipe as dp
+    from mxsparkg.session import get_spark
+
+    spark = get_spark(master=args.master, app_name=f"datapipe-{args.op}")
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.time()
+
+    # the queries() registry reads f"{sf}/documents.parquet"; point sf at
+    # the input's parent and symlink-free: read directly instead
+    docs = spark.read.parquet(args.input)
+    orig_docs = dp._docs
+    dp._docs = lambda _s, _sf: docs
+    try:
+        if args.op == "dedup_minhash_pairs":
+            sig = dp.minhash_signatures(docs)
+            out_df = dp.minhash_candidate_pairs(sig, args.min_est_jaccard)
+        else:
+            fn = {
+                "dedup_exact": dp.dedup_exact,
+                "dedup_simhash": dp.dedup_simhash,
+                "txt_quality": dp.txt_quality,
+                "txt_langid": dp.txt_langid,
+                "mm_decode": dp.mm_decode_stub,
+            }[args.op]
+            out_df = fn(spark, "")
+        out_df.write.mode("overwrite").parquet(args.out)
+    finally:
+        dp._docs = orig_docs
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({
+        "op": args.op, "rows": n,
+        "wall_sec": round(time.time() - t0, 2), "out": args.out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

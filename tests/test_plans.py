@@ -1,0 +1,74 @@
+"""Physical-plan hygiene (SURVEY.md §4): the optimizations we rely on at
+100 TB must actually appear in the executed plans — broadcast joins on
+dimension sides, pushed filters, whole-stage codegen on relational ops."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_link_uses_broadcast_hash_join(spark, tiny_fixtures):
+    from mxsparkg.detect import broadcast_model, detect_pages, split_detections
+    from mxsparkg.link import link_mentions
+
+    pages = spark.read.parquet(f"{tiny_fixtures}/pages.parquet").limit(50)
+    det = detect_pages(pages, broadcast_model(spark))
+    mentions, _ = split_detections(det)
+    edict = spark.read.parquet(f"{tiny_fixtures}/entity_dict.parquet")
+    plan = _plan(link_mentions(mentions, edict))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_canon_rewrite_broadcasts_map(spark, tiny_fixtures):
+    from mxsparkg.graph import rewrite_canonical
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b", "u", 0, 1.0)],
+        "subj string, pred string, obj string, url string, sent_id int, conf double",
+    )
+    cm = spark.createDataFrame(
+        [("a", "A")], "entity_id string, canon_id string"
+    )
+    assert "BroadcastHashJoin" in _plan(rewrite_canonical(triples, cm))
+
+
+def test_detect_input_prunes_to_url_html(spark, tiny_fixtures):
+    """The fused detect scan must read ONLY url+html — text/lang/warc_ts
+    never leave the parquet reader."""
+    from mxsparkg.detect import broadcast_model, detect_pages
+
+    pages = spark.read.parquet(f"{tiny_fixtures}/pages.parquet")
+    plan = _plan(detect_pages(pages, broadcast_model(spark)))
+    import re
+
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    assert "url" in m.group(1) and "html" in m.group(1)
+    assert "text" not in m.group(1) and "lang" not in m.group(1)
+
+
+def test_agg_map_side_combine_no_python(spark, tiny_fixtures):
+    """Relational rollups use partial (map-side) + final hash aggregation,
+    scan only needed columns, and have no Python in the path. (AQE shows
+    the pre-execution plan, so WSCG spans aren't visible here — the
+    partial_count IS the load-bearing property.)"""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    agg = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    plan = _plan(agg)
+    assert "partial_count" in plan and plan.count("HashAggregate") >= 2
+    assert "Python" not in plan
+    assert "ReadSchema: struct<lang:string>" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, tiny_fixtures):
+    pages = spark.read.parquet(f"{tiny_fixtures}/pages.parquet").filter(
+        F.col("lang") == "fr"
+    )
+    plan = _plan(pages)
+    assert "PushedFilters" in plan
+    assert "lang" in plan
