@@ -576,3 +576,30 @@ def join_salted_q(spark, sf):
     return salted_join(o, c, on="o_custkey", n_salts=8).select(
         "o_orderkey", "c_mktsegment"
     )
+
+
+# ------------------------------------------------ time-window agg ----------
+
+@reg("agg_time_window",
+     "SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), "
+     "'%Y-%m-%d %H:%M:%S') AS window_start, "
+     "count(*) AS n_events, "
+     "round(sum(value), 2) AS total_value "
+     "FROM events GROUP BY 1")
+def agg_time_window(spark, sf):
+    """Tumbling 1-hour window aggregation — the batch shape of the
+    streaming windowed agg (streaming.hourly_ingest_stats); window().start
+    vs DuckDB time_bucket."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
