@@ -135,21 +135,28 @@ def measure_hardware_ceiling(lo: int, hi: int) -> float:
     executor keeps its own clock, so the software-only (normalized) number
     is the right predictor."""
     import multiprocessing as mp
+    import statistics as _st
     import time as _t
 
     from fixtures.generate import ensure_fixtures
 
     ensure_fixtures("bench")
-    agg = {}
-    for nproc in (1, lo, hi):
-        with mp.Pool(nproc) as p:
-            p.map(_ceiling_work, [0] * nproc)  # warm
-            t0 = _t.time()
-            p.map(_ceiling_work, [0] * nproc)
-            agg[nproc] = nproc * 10000 / (_t.time() - t0)
-    # agg[1] = the single-node single-process reference tagger rate (the
+    # cooldown: measured right after sustained all-core Spark load the box
+    # is thermally throttled and the ceiling reads absurdly low (one run
+    # measured 0.56 hot vs ~0.84 idle → normalized eff > 1, nonsense)
+    _t.sleep(45)
+    agg: dict[int, list[float]] = {1: [], lo: [], hi: []}
+    for _rep in range(3):
+        for nproc in (1, lo, hi):
+            with mp.Pool(nproc) as p:
+                p.map(_ceiling_work, [0] * nproc)  # warm
+                t0 = _t.time()
+                p.map(_ceiling_work, [0] * nproc)
+                agg[nproc].append(nproc * 10000 / (_t.time() - t0))
+    med = {n: _st.median(v) for n, v in agg.items()}
+    # med[1] = the single-node single-process reference tagger rate (the
     # same pure-Python code path reference_impl runs)
-    return (agg[hi] / agg[lo]) / (hi / lo), agg[1]
+    return (med[hi] / med[lo]) / (hi / lo), med[1]
 
 
 def main() -> None:
