@@ -603,3 +603,55 @@ def agg_time_window(spark, sf):
             "total_value",
         )
     )
+
+
+# ------------------------------------------- U1 / S2 text-core keys --------
+
+@reg("udf_extract_identity",
+     "SELECT doc_id, text AS extracted FROM documents")
+def udf_extract_identity(spark, sf):
+    """U1 byte-identity under the oracle gate: wrap each document's text in
+    the generated-page html shape, run the REAL extraction UDF, and the
+    oracle is the original text column — extract(wrap(text)) == text
+    byte-for-byte (BASELINE.json input_hint invariant)."""
+    from mxsparkg.extract import extract_text_udf
+
+    d = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><head><script>var x=1;</script></head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    ).cast("binary")
+    return d.select("doc_id", extract_text_udf(html).alias("extracted"))
+
+
+@reg("scan_annotated", None)  # rows-only: fixture-backed, no sf table
+def scan_annotated(spark, sf):
+    """S2: marker-annotated corpus scan + inline-marker parse (Arrow UDF).
+    Uses the repo's deterministic fixture corpus (cached); rows-only check."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    from fixtures.generate import ensure_fixtures
+    from mxsparkg.textcore import parse_annotated
+
+    fdir = ensure_fixtures("tiny")
+
+    def parse(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            raws = batch.column("raw").to_pylist()
+            clean_lens, n_spans = [], []
+            for r in raws:
+                clean, spans = parse_annotated(r or "")
+                clean_lens.append(len(clean))
+                n_spans.append(len(spans))
+            yield pa.RecordBatch.from_pydict({
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_len": pa.array(clean_lens, pa.int32()),
+                "n_spans": pa.array(n_spans, pa.int32()),
+            })
+
+    ann = spark.read.parquet(f"{fdir}/annotated.parquet")
+    return ann.mapInArrow(parse, "doc_id bigint, clean_len int, n_spans int")

@@ -104,3 +104,24 @@ def test_annotated_sequence_has_marker_items():
     )
     flat = [i for s in seq for i in s]
     assert "<pers>" in flat and "</pers>" in flat and "TOPONYM" in flat
+
+
+def test_tokenize_pages_offsets_byte_exact(spark, tiny_fixtures):
+    """U2 tokens table: every token's (start, end) indexes text exactly
+    (the offset contract that makes mention spans byte-accurate)."""
+    from mxsparkg.extract import extract_pages
+    from mxsparkg.tokenize import tokenize_pages
+
+    pages = spark.read.parquet(f"{tiny_fixtures}/pages.parquet").limit(20)
+    clean = extract_pages(pages)
+    texts = {r["url"]: r["text"] for r in clean.collect()}
+    rows = tokenize_pages(clean).collect()
+    assert rows
+    n_checked = 0
+    for r in rows:
+        text = texts[r["url"]]
+        for t in r["toks"]:
+            assert text[t["start"]:t["end"]] == t["tok"]
+            assert t["gen"][0] == t["tok"].lower()
+            n_checked += 1
+    assert n_checked > 100
