@@ -272,8 +272,16 @@ parallelism levels on one machine — `local[{lo}]` vs `local[{hi}]`.
 
 Regenerate: `python jobs/bench_scaling.py --scale {s["scale"]} --repeat 16 --levels {lo},{hi}`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve a manually-maintained appendix (measurement-honesty notes)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    marker = "## Measurement honesty note"
+    appendix = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            appendix = "\n" + old[old.index(marker) - 3:]
+    with open(path, "w") as f:
+        f.write(md + appendix)
 
 
 if __name__ == "__main__":
