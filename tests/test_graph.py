@@ -53,6 +53,33 @@ def test_cc_distributed_equals_driver_path(spark):
     assert driver == dist
 
 
+def test_cc_random_graph_paths_agree(spark):
+    """Moderate-scale property: on a seeded random graph (3k nodes, mixed
+    chains/stars/cycles + singleton-free noise), driver union-find and the
+    distributed alternating-star loop produce the identical canon map."""
+    import random
+
+    rng = random.Random(42)
+    nodes = [f"n{i:04d}" for i in range(3000)]
+    edges = []
+    for i in range(0, 2400, 3):          # chains of 3
+        edges.append((nodes[i], nodes[i + 1]))
+        edges.append((nodes[i + 1], nodes[i + 2]))
+    for h in range(2400, 2450):          # stars
+        for _ in range(8):
+            edges.append((nodes[h], nodes[rng.randrange(2450, 3000)]))
+    for _ in range(500):                 # random noise edges
+        edges.append((nodes[rng.randrange(3000)], nodes[rng.randrange(3000)]))
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges if a != b]
+    )
+    driver = {(r["entity_id"], r["canon_id"])
+              for r in connected_components(df).collect()}
+    dist = {(r["entity_id"], r["canon_id"])
+            for r in connected_components(df, driver_threshold=0).collect()}
+    assert driver == dist and len(driver) > 2000
+
+
 def test_sameas_edges_chain_within_cluster(spark):
     df = spark.createDataFrame(
         [
