@@ -40,6 +40,9 @@ def main() -> None:
     )
     ap.add_argument("--no-metrics", action="store_true",
                     help="skip per-partition metrics rows (bench runs)")
+    ap.add_argument("--gold", default=None,
+                    help="gold triples parquet: report P/R/F1 inline "
+                         "(north_rule threshold 0.95)")
     ap.add_argument("--incremental", action="store_true",
                     help="delta ingest: detect only urls missing from the "
                          "existing detect checkpoint, append, recompute "
@@ -96,7 +99,23 @@ def main() -> None:
         write_table(res["edges"], os.path.join(args.out, "edges"), args.format)
         write_table(res["triples"], os.path.join(args.out, "triples"), args.format)
     wall = time.time() - t0
+    eval_block = {}
+    if args.gold:
+        pred = triples_for_eval(res["triples"])
+        gold = spark.read.parquet(args.gold).select(
+            "subj", "pred", "obj", "url").distinct()
+        n_pred, n_gold = pred.count(), gold.count()
+        tp = pred.intersect(gold).count()
+        p = tp / n_pred if n_pred else 0.0
+        r = tp / n_gold if n_gold else 0.0
+        eval_block = {
+            "precision": round(p, 4),
+            "recall": round(r, 4),
+            "f1": round(2 * p * r / (p + r), 4) if p + r else 0.0,
+            "meets_north_rule": p >= 0.95 and r >= 0.95,
+        }
     print(json.dumps({
+        **eval_block,
         "triples_distinct": n_triples,
         "triples_total": n_total,
         "nodes": n_nodes,
