@@ -321,3 +321,83 @@ if __name__ == "__main__":
     ap.add_argument("--base", default="/tmp/mxsparkg_fixtures")
     args = ap.parse_args()
     print(ensure_fixtures(args.scale, args.base))
+
+
+# ---------------------------------------------------------------------------
+# Ambiguous-linking corpus (context disambiguation at corpus scale)
+# ---------------------------------------------------------------------------
+
+AMBIG_TEMPLATES = [
+    # (suffix sentence after the tagged surname, context_words, entity tag)
+    ("dirige la société Axiom .", ["dirige", "société", "axiom"], "a"),
+    ("visite le port de Marseille .", ["visite", "port", "marseille"], "b"),
+]
+
+
+def generate_ambig(out_dir: str, n_pages: int = 200, seed: int = 43) -> None:
+    """Seeded corpus where every detected mention's surface is AMBIGUOUS
+    between two dictionary entities with EQUAL priors; only the sentence
+    context (matched against each candidate's context_words) decides.
+    Emits pages/entity_dict/aliases plus gold_links(url, entity_id)."""
+    from mxsparkg.lexicons import SURNAMES
+
+    rng = random.Random(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    pages = {k: [] for k in ["url", "warc_ts", "html", "text", "lang"]}
+    ed = {"surface_norm": [], "entity_id": [], "prior": [], "context_words": []}
+    gl = {"url": [], "surface_norm": [], "entity_id": []}
+    gc = {"entity_id": [], "canon_id": []}
+
+    ents = {}
+    for s in SURNAMES[:10]:
+        for tag, first in (("a", "jean"), ("b", "marie")):
+            eid = f"pers:{first}_{s}"
+            tpl = next(t for t in AMBIG_TEMPLATES if t[2] == tag)
+            ed["surface_norm"].append(s)
+            ed["entity_id"].append(eid)
+            ed["prior"].append(0.6)
+            ed["context_words"].append(tpl[1])
+            gc["entity_id"].append(eid)
+            gc["canon_id"].append(eid)
+            ents[(s, tag)] = eid
+
+    for i in range(n_pages):
+        s = SURNAMES[rng.randrange(10)]
+        suffix, _cw, tag = AMBIG_TEMPLATES[rng.randrange(2)]
+        line = f"monsieur {s.capitalize()} {suffix}"
+        url = f"https://ambig.example/page/{i}"
+        html = (f"<html><head></head><body><p>{html_escape(line)}</p>"
+                f"</body></html>").encode("utf-8")
+        pages["url"].append(url)
+        pages["warc_ts"].append(EPOCH + timedelta(seconds=i * 61))
+        pages["html"].append(html)
+        pages["text"].append(line)
+        pages["lang"].append("fr")
+        gl["url"].append(url)
+        gl["surface_norm"].append(s)
+        gl["entity_id"].append(ents[(s, tag)])
+
+    pq.write_table(pa.table({
+        "url": pa.array(pages["url"], pa.string()),
+        "warc_ts": pa.array(pages["warc_ts"], pa.timestamp("us", tz="UTC")),
+        "html": pa.array(pages["html"], pa.binary()),
+        "text": pa.array(pages["text"], pa.string()),
+        "lang": pa.array(pages["lang"], pa.string()),
+    }), os.path.join(out_dir, "pages.parquet"), row_group_size=512)
+    pq.write_table(pa.table({
+        "surface_norm": pa.array(ed["surface_norm"], pa.string()),
+        "entity_id": pa.array(ed["entity_id"], pa.string()),
+        "prior": pa.array(ed["prior"], pa.float64()),
+        "context_words": pa.array(ed["context_words"], pa.list_(pa.string())),
+    }), os.path.join(out_dir, "entity_dict.parquet"))
+    pq.write_table(pa.table({k: pa.array(v, pa.string()) for k, v in gc.items()}),
+                   os.path.join(out_dir, "gold_canon.parquet"))
+    pq.write_table(pa.table({k: pa.array(v, pa.string()) for k, v in gl.items()}),
+                   os.path.join(out_dir, "gold_links.parquet"))
+
+
+def ensure_ambig(base: str = "/tmp/mxsparkg_fixtures") -> str:
+    out = os.path.join(base, "ambig")
+    if not os.path.exists(os.path.join(out, "gold_links.parquet")):
+        generate_ambig(out)
+    return out

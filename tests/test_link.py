@@ -144,3 +144,36 @@ def test_parity_with_reference_oracle(linked):
         eid, score = link_surface_ctx("mistral", ctx.split(" "), ref_dict)
         assert linked[url]["entity_id"] == eid
         assert linked[url]["link_score"] == pytest.approx(score)
+
+
+def test_context_linking_corpus_scale(spark):
+    """Corpus-scale context disambiguation: 200 seeded pages where every
+    detected surname is ambiguous between two equal-prior entities; the
+    sentence context must pick the gold entity on EVERY page."""
+    from fixtures.generate import ensure_ambig
+    from mxsparkg.pipeline import run_pipeline
+    import shutil
+
+    fdir = ensure_ambig()
+    root = "/tmp/mxsparkg_test_ambig_corpus"
+    shutil.rmtree(root, ignore_errors=True)
+    res = run_pipeline(
+        spark,
+        f"{fdir}/pages.parquet",
+        f"{fdir}/entity_dict.parquet",
+        f"{fdir}/gold_canon.parquet",
+        f"{root}/ckpt",
+        with_metrics=False,
+    )
+    gold = {
+        (r["url"], r["surface_norm"]): r["entity_id"]
+        for r in spark.read.parquet(f"{fdir}/gold_links.parquet").collect()
+    }
+    linked = res["linked_mentions"].filter("not nil").collect()
+    checked = 0
+    for r in linked:
+        key = (r["url"], r["surface_norm"])
+        if key in gold:
+            assert r["entity_id"] == gold[key], (key, r["entity_id"], gold[key])
+            checked += 1
+    assert checked == 200  # every page's ambiguous mention resolved correctly
