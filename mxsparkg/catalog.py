@@ -123,6 +123,13 @@ class Checkpointer:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
+        if self.fmt != "parquet":
+            # appending raw parquet files into e.g. an Iceberg table location
+            # would corrupt it; route non-parquet formats explicitly when the
+            # runtime ships the jar
+            raise NotImplementedError(
+                f"Checkpointer.append supports fmt='parquet' only, got {self.fmt!r}"
+            )
         obs = Observation()
         (
             df.observe(obs, F.count(F.lit(1)).alias("rows"))

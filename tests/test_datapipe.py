@@ -113,6 +113,101 @@ def test_langid_prefers_en_on_en_salad(spark):
     assert sum(r.pred_lang == "en" for r in rows) > len(rows) * 0.5
 
 
+def test_minhash_pairs_bucket_cap_invariance(planted):
+    """Hot-bucket cap property: below the cap, candidate pairs are
+    IDENTICAL with the cap on/off; a tiny cap (1) kills every bucket."""
+    sig = minhash_signatures(planted)
+    capped = {(r.a_id, r.b_id, r.est_jaccard)
+              for r in minhash_candidate_pairs(sig).collect()}
+    uncapped = {(r.a_id, r.b_id, r.est_jaccard)
+                for r in minhash_candidate_pairs(
+                    sig, max_bucket_size=None).collect()}
+    assert capped == uncapped
+    assert minhash_candidate_pairs(sig, max_bucket_size=1).count() == 0
+
+
+def test_ngram_jaccard_df_cap_invariance_and_binding(spark, planted):
+    """Shingle-df cap: invariant below the cap; binds above it (a shingle
+    in >cap docs stops contributing to intersections)."""
+    import mxsparkg.datapipe as dp
+    from mxsparkg.datapipe import dedup_ngram_jaccard
+
+    orig = dp._docs
+    try:
+        dp._docs = lambda s, sf: planted
+        with_cap = {(r.a_id, r.b_id, r.jaccard)
+                    for r in dedup_ngram_jaccard(spark, "").collect()}
+        no_cap = {(r.a_id, r.b_id, r.jaccard)
+                  for r in dedup_ngram_jaccard(
+                      spark, "", max_doc_freq=None).collect()}
+        assert with_cap == no_cap and len(with_cap) > 0
+        # cap=1: every shared shingle has df>=2 → no intersections at all
+        assert dedup_ngram_jaccard(spark, "", max_doc_freq=1).count() == 0
+    finally:
+        dp._docs = orig
+
+
+def test_simhash_width_64(spark, planted):
+    """64-bit SimHash: chained salted digests extend the 32 md5 hex digits;
+    the first bits agree with the 16-bit default (same hash family), exact
+    dups agree on all 64 bits, unrelated docs differ somewhere."""
+    import mxsparkg.datapipe as dp
+    from mxsparkg.datapipe import dedup_simhash
+
+    orig = dp._docs
+    try:
+        dp._docs = lambda s, sf: planted
+        h16 = {r.doc_id: r.simhash for r in dedup_simhash(spark, "").collect()}
+        h64 = {r.doc_id: r.simhash
+               for r in dedup_simhash(spark, "", n_bits=64).collect()}
+    finally:
+        dp._docs = orig
+    assert all(len(v) == 64 for v in h64.values())
+    assert all(h64[d][:16] == h16[d] for d in h16)
+    assert h64[2] == h64[3]                      # exact dups
+    assert any(h64[0] != h64[i] for i in range(4, 12))
+
+
+def test_mm_codec_roundtrip_pure():
+    """The BMP/WAV codecs are real: encode with spec headers, parse back
+    with struct.unpack only. Odd widths exercise the 4-byte row padding."""
+    from mxsparkg.datapipe import _encode_bmp, _encode_wav, _parse_media
+
+    for w, h in [(1, 1), (5, 3), (32, 17), (6, 4)]:
+        blob = _encode_bmp(w, h, seed=7)
+        meta = _parse_media(blob)
+        assert meta["media_type"] == "image"
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["n_bytes"] == len(blob) == 54 + ((w * 3 + 3) // 4 * 4) * h
+        assert meta["bit_depth"] == 24
+    for rate, n in [(8000, 1), (16000, 137), (12000, 50)]:
+        blob = _encode_wav(rate, n, seed=3)
+        meta = _parse_media(blob)
+        assert meta["media_type"] == "audio"
+        assert meta["sample_rate"] == rate
+        assert meta["n_samples"] == n
+        assert meta["n_bytes"] == len(blob) == 44 + n * 2
+        assert meta["bit_depth"] == 16
+
+
+def test_mm_decode_real_fields(spark):
+    """End-to-end mapInPandas decode: parsed header fields equal the
+    generation arithmetic for every doc (the Spark side of the oracle)."""
+    from mxsparkg.datapipe import mm_decode
+
+    rows = mm_decode(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        if r.doc_id % 2 == 0:
+            w, h = 4 + r.doc_id % 29, 3 + r.doc_id % 17
+            assert (r.media_type, r.width, r.height) == ("image", w, h)
+            assert r.n_bytes == 54 + ((w * 3 + 3) // 4 * 4) * h
+        else:
+            assert r.media_type == "audio"
+            assert r.sample_rate == 8000 + (r.doc_id % 3) * 4000
+            assert r.n_samples == 50 + r.doc_id % 100
+
+
 def test_mm_decode_stub_schema_and_determinism(spark):
     rows = mm_decode_stub(spark, SF).collect()
     assert len(rows) == 500

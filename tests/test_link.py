@@ -177,3 +177,34 @@ def test_context_linking_corpus_scale(spark):
             assert r["entity_id"] == gold[key], (key, r["entity_id"], gold[key])
             checked += 1
     assert checked == 200  # every page's ambiguous mention resolved correctly
+
+
+def test_dict_stats_cache_keyed_by_content(spark):
+    """Regression (round-1 advice): the stats cache must not serve stale
+    results for a *different* dictionary that happens to reuse a Python
+    object id. The key is now the analyzed plan, so a rebuilt dictionary
+    with different content gets fresh stats, and an identical expression
+    hits the cache."""
+    from pyspark.sql import Row
+
+    from mxsparkg.link import _DICT_STATS_CACHE, dict_stats
+
+    schema = ("surface_norm string, entity_id string, prior double, "
+              "context_words array<string>")
+    single = [Row(surface_norm="a", entity_id="e1", prior=0.5,
+                  context_words=[])]
+    double = single + [Row(surface_norm="a", entity_id="e2", prior=0.4,
+                           context_words=["ctx", "words"])]
+    d1 = spark.createDataFrame(single, schema)
+    s1 = dict_stats(d1)
+    assert s1["max_cands"] == 1 and s1["max_cw"] == 0
+    del d1  # a new DataFrame may now reuse the freed object id
+    d2 = spark.createDataFrame(double, schema)
+    s2 = dict_stats(d2)
+    assert s2["max_cands"] == 2 and s2["max_cw"] == 2
+    # same expression again → cache hit (no new entry). NB: rebuilt *local*
+    # dictionaries get fresh LogicalRDD hashes (never collide, never hit);
+    # parquet-backed dictionaries — the production path — hit by file path.
+    n = len(_DICT_STATS_CACHE)
+    dict_stats(d2)
+    assert len(_DICT_STATS_CACHE) == n

@@ -28,7 +28,11 @@ def main() -> None:
     con = duckdb.connect()
 
     def load(path: str, name: str) -> int:
-        glob = f"{path}/**/*.parquet" if "." not in path.rsplit("/", 1)[-1] else path
+        import os
+
+        # isdir, not "has a dot": directories like out.v1/ or sf0.1/ must
+        # still get the recursive glob
+        glob = f"{path}/**/*.parquet" if os.path.isdir(path) else path
         con.execute(
             f"CREATE VIEW {name} AS SELECT DISTINCT {cols} "
             f"FROM read_parquet('{glob}')"
