@@ -264,9 +264,16 @@ def generate(out_dir: str, n_pages: int = 500, n_annotated: int = 2000,
     # ---- annotated training corpus (Etape/Ester2-STYLE inline markers) ----
     ann = {"doc_id": [], "raw": []}
     gs = {"doc_id": [], "start": [], "end": [], "etype": []}
+    seed = set()  # (subj_norm, pred, obj_norm) — the distant-supervision KG
     for i in range(n_annotated):
         lang = "fr" if rng.random() < 0.7 else "en"
-        line, mentions, _ = _render_sentence(rng, lang, persons, orgs, locs)
+        line, mentions, sent_triples = _render_sentence(
+            rng, lang, persons, orgs, locs)
+        canon2surf = {}
+        for (_s, _e, surf, _etype, canon, _a) in mentions:
+            canon2surf.setdefault(canon, normalize_surface(surf))
+        for s, p, o in sent_triples:
+            seed.add((canon2surf[s], p, canon2surf[o]))
         # re-render with inline space-separated markers
         raw_words, clean_pos = [], 0
         spans = sorted(mentions, key=lambda m: m[0])
@@ -299,17 +306,31 @@ def generate(out_dir: str, n_pages: int = 500, n_annotated: int = 2000,
         "end": pa.array(gs["end"], pa.int32()),
         "etype": pa.array(gs["etype"], pa.string()),
     }), os.path.join(out_dir, "gold_spans.parquet"))
+    srl = sorted(seed)
+    pq.write_table(pa.table({
+        "subj_norm": pa.array([s for s, _, _ in srl], pa.string()),
+        "pred": pa.array([p for _, p, _ in srl], pa.string()),
+        "obj_norm": pa.array([o for _, _, o in srl], pa.string()),
+    }), os.path.join(out_dir, "seed_relations.parquet"))
+
+
+_FIXTURE_VERSION = "v2"  # bump when generate() gains/changes output files
 
 
 def ensure_fixtures(scale: str = "tiny", base: str = "/tmp/mxsparkg_fixtures") -> str:
-    """Generate-on-demand, cached by scale. Deterministic ⇒ safe to reuse."""
+    """Generate-on-demand, cached by scale+version. Deterministic ⇒ safe
+    to reuse; a version bump regenerates stale cached dirs in place."""
     n = {"tiny": 500, "small": 5000, "bench": 50000, "bench_xl": 200000}[scale]
     out = os.path.join(base, scale)
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    stamp = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stamp = f.read().strip()
+    if stamp != _FIXTURE_VERSION:
         generate(out, n_pages=n, n_annotated=2000 if scale != "tiny" else 500)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(_FIXTURE_VERSION)
     return out
 
 
@@ -400,4 +421,160 @@ def ensure_ambig(base: str = "/tmp/mxsparkg_fixtures") -> str:
     out = os.path.join(base, "ambig")
     if not os.path.exists(os.path.join(out, "gold_links.parquet")):
         generate_ambig(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Relation-paraphrase corpus (predicate mining: train/test entity split,
+# paraphrases per predicate, a high-variance adverb slot that FORCES
+# shape-level generalization, and negative pair sentences)
+# ---------------------------------------------------------------------------
+
+# parts: literal token, ("ADV",) varying-adverb slot, or entity slot
+# ("pers"|"org", role). pred=None ⇒ negative (no relation planted).
+REL_TEMPLATES = [
+    ("works_for", [("pers", "P"), "travaille", "pour", "la", ("org", "O")]),
+    ("works_for", [("pers", "P"), "est", "employé", "par", ("org", "O")]),
+    ("works_for", [("pers", "P"), "works", "for", "the", ("org", "O")]),
+    ("leads", [("pers", "P"), "dirige", "la", ("org", "O")]),
+    ("leads", [("pers", "P"), "pilote", "la", ("org", "O")]),
+    # 'rejoint <adverb> la': the adverb pool is larger than min_support, so
+    # no surface-level pattern is frequent — the miner MUST generalize the
+    # middle item to its shape class to cover this predicate
+    ("joins", [("pers", "P"), "rejoint", ("ADV",), "la", ("org", "O")]),
+    ("meets", [("pers", "P"), "rencontre", ("pers", "Q")]),
+    (None, [("pers", "P"), "salue", ("pers", "Q")]),
+    (None, [("pers", "P"), "greets", ("pers", "Q")]),
+]
+
+ADVERBS = [f"adverbe{i:02d}" for i in range(40)]
+
+
+def _render_relation(rng, tpl, persons, orgs, adv_pool):
+    """→ (annotated_line, clean_line, triples[(subj_norm, pred, obj_norm)])."""
+    pred, parts = tpl
+    bind = {}
+    raw_words, clean_words = [], []
+    used = []
+    for part in parts:
+        if isinstance(part, tuple) and part[0] == "ADV":
+            adv = adv_pool[rng.randrange(len(adv_pool))]
+            raw_words.append(adv)
+            clean_words.append(adv)
+        elif isinstance(part, tuple):
+            kind, role = part
+            if role not in bind:
+                if kind == "pers":
+                    pool = [p for p in persons if p not in used]
+                    ent = pool[rng.randrange(len(pool))]
+                    used.append(ent)
+                    surface, etype = ent["full"], "pers"
+                else:
+                    ent = orgs[rng.randrange(len(orgs))]
+                    # language follows the template's function words
+                    surface = ent["fr"] if "la" in parts else ent["en"]
+                    etype = "org"
+                bind[role] = (surface, etype)
+            surface, etype = bind[role]
+            raw_words.append(f"<{etype}>")
+            raw_words.extend(surface.split(" "))
+            raw_words.append(f"</{etype}>")
+            clean_words.append(surface)
+        else:
+            raw_words.append(part)
+            clean_words.append(part)
+    raw_words.append(".")
+    clean_words.append(".")
+    triples = []
+    if pred is not None:
+        roles = [r for p in parts
+                 if isinstance(p, tuple) and p[0] != "ADV"
+                 for r in [p[1]]]
+        subj, obj = bind[roles[0]][0], bind[roles[1]][0]
+        triples.append((normalize_surface(subj), pred, normalize_surface(obj)))
+    return " ".join(raw_words), " ".join(clean_words), triples
+
+
+def _rel_entities():
+    """LARGE pools for the relation corpus: name cross-products give 600
+    persons and 132 orgs, so a given (subj, obj) pair rarely repeats across
+    predicates — keeping distant-supervision label noise (the same pair
+    seen under two relations) realistic instead of dominant."""
+    persons = []
+    for f in FIRSTNAMES:
+        for s in SURNAMES:
+            persons.append({"full": f"{f.capitalize()} {s.capitalize()}"})
+    orgs = []
+    for a in ORG_NAMES:
+        for b in ORG_NAMES:
+            if a != b:
+                orgs.append({"fr": f"société {a}{b}",
+                             "en": f"{a}{b} institute"})
+    return persons, orgs
+
+
+def generate_relations(out_dir: str, n_train: int = 600, n_test: int = 200,
+                       seed: int = 44) -> None:
+    """Emits rel_train_annotated.parquet (doc_id, raw),
+    seed_relations.parquet (subj_norm, pred, obj_norm — train entity pairs
+    only), rel_test.parquet (doc_id, text) and rel_test_gold.parquet
+    (doc_id, subj_norm, pred, obj_norm). Train and test draw DISJOINT
+    entity pools, so mined patterns must generalize beyond the seed KG."""
+    rng = random.Random(seed)
+    persons, orgs = _rel_entities()
+    half_p, half_o = len(persons) // 2, len(orgs) // 2
+    p_train, p_test = persons[:half_p], persons[half_p:]
+    o_train, o_test = orgs[:half_o], orgs[half_o:]
+    os.makedirs(out_dir, exist_ok=True)
+
+    ann = {"doc_id": [], "raw": []}
+    seed_rel = set()
+    for i in range(n_train):
+        tpl = REL_TEMPLATES[rng.randrange(len(REL_TEMPLATES))]
+        raw, _clean, triples = _render_relation(
+            rng, tpl, p_train, o_train, ADVERBS)
+        ann["doc_id"].append(i)
+        ann["raw"].append(raw)
+        seed_rel.update(triples)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ann["doc_id"], pa.int64()),
+        "raw": pa.array(ann["raw"], pa.string()),
+    }), os.path.join(out_dir, "rel_train_annotated.parquet"),
+        row_group_size=128)
+    srl = sorted(seed_rel)
+    pq.write_table(pa.table({
+        "subj_norm": pa.array([s for s, _, _ in srl], pa.string()),
+        "pred": pa.array([p for _, p, _ in srl], pa.string()),
+        "obj_norm": pa.array([o for _, _, o in srl], pa.string()),
+    }), os.path.join(out_dir, "seed_relations.parquet"))
+
+    test = {"doc_id": [], "text": []}
+    gold = {"doc_id": [], "subj_norm": [], "pred": [], "obj_norm": []}
+    for i in range(n_test):
+        tpl = REL_TEMPLATES[rng.randrange(len(REL_TEMPLATES))]
+        _raw, clean, triples = _render_relation(
+            rng, tpl, p_test, o_test, ADVERBS)
+        test["doc_id"].append(i)
+        test["text"].append(clean)
+        for s, p, o in triples:
+            gold["doc_id"].append(i)
+            gold["subj_norm"].append(s)
+            gold["pred"].append(p)
+            gold["obj_norm"].append(o)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(test["doc_id"], pa.int64()),
+        "text": pa.array(test["text"], pa.string()),
+    }), os.path.join(out_dir, "rel_test.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(gold["doc_id"], pa.int64()),
+        "subj_norm": pa.array(gold["subj_norm"], pa.string()),
+        "pred": pa.array(gold["pred"], pa.string()),
+        "obj_norm": pa.array(gold["obj_norm"], pa.string()),
+    }), os.path.join(out_dir, "rel_test_gold.parquet"))
+
+
+def ensure_relations(base: str = "/tmp/mxsparkg_fixtures") -> str:
+    out = os.path.join(base, "relations")
+    if not os.path.exists(os.path.join(out, "rel_test_gold.parquet")):
+        generate_relations(out)
     return out

@@ -38,6 +38,12 @@ def main() -> None:
         default=None,
         help="mined rules.parquet from jobs/train.py (default: built-in model)",
     )
+    ap.add_argument(
+        "--pred-patterns",
+        default=None,
+        help="mined pred_patterns.parquet from jobs/train.py "
+             "--seed-relations (default: built-in hand list)",
+    )
     ap.add_argument("--no-metrics", action="store_true",
                     help="skip per-partition metrics rows (bench runs)")
     ap.add_argument("--gold", default=None,
@@ -65,6 +71,12 @@ def main() -> None:
         from mxsparkg.mining import rules_to_model
 
         rules = rules_to_model(spark.read.parquet(args.rules))
+    pred_patterns = None
+    if args.pred_patterns:
+        from mxsparkg.mining import pred_patterns_to_model
+
+        pred_patterns = pred_patterns_to_model(
+            spark.read.parquet(args.pred_patterns))
     res = run_pipeline(
         spark,
         args.pages,
@@ -72,6 +84,7 @@ def main() -> None:
         args.aliases,
         args.checkpoint,
         rules=rules,
+        pred_patterns=pred_patterns,
         with_metrics=not args.no_metrics,
         salted_repartition=args.salted,
         langs=args.langs.split(",") if args.langs else None,

@@ -28,10 +28,14 @@ def main() -> None:
     ap.add_argument("--min-support", type=int, default=3)
     ap.add_argument("--min-confidence", type=float, default=0.5)
     ap.add_argument("--topk-per-context", type=int, default=3)
+    ap.add_argument("--seed-relations", default=None,
+                    help="seed KG parquet (subj_norm, pred, obj_norm): also "
+                         "mine predicate patterns by distant supervision "
+                         "→ <out>/pred_patterns.parquet")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
-    from mxsparkg.mining import mine_rules
+    from mxsparkg.mining import mine_predicates, mine_rules
     from mxsparkg.session import get_spark
 
     spark = get_spark(master=args.master, app_name="mxsparkg-train")
@@ -50,16 +54,21 @@ def main() -> None:
     out_path = os.path.join(args.out, "rules.parquet")
     rules.write.mode("overwrite").parquet(out_path)
     n = spark.read.parquet(out_path).count()
-    print(
-        json.dumps(
-            {
-                "rules": n,
-                "corpus_lines": ann.count(),
-                "wall_sec": round(time.time() - t0, 2),
-                "out": out_path,
-            }
-        )
-    )
+    summary = {
+        "rules": n,
+        "corpus_lines": ann.count(),
+        "wall_sec": round(time.time() - t0, 2),
+        "out": out_path,
+    }
+    if args.seed_relations:
+        seed = spark.read.parquet(args.seed_relations)
+        pats = mine_predicates(ann, seed)
+        pp_path = os.path.join(args.out, "pred_patterns.parquet")
+        pats.write.mode("overwrite").parquet(pp_path)
+        summary["pred_patterns"] = spark.read.parquet(pp_path).count()
+        summary["pred_patterns_out"] = pp_path
+        summary["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -326,3 +326,316 @@ def broadcast_mined_model(
     from mxsparkg.detect import broadcast_model
 
     return broadcast_model(spark, rules_to_model(rules), pred_patterns)
+
+
+# ===========================================================================
+# M1 extended to RELATIONS: mine predicate patterns by distant supervision
+# ===========================================================================
+#
+# The hand-written PREDICATE_PATTERNS list (model.py) is the v0 relation
+# model; this miner learns an equivalent (and paraphrase-robust) set from an
+# annotated corpus + a seed KG of (subj_norm, pred, obj_norm) facts:
+#
+#   annotated lines → adjacent gold-entity pairs with generalized middles
+#     → broadcast-join the (tiny) seed KG on (subj_norm, obj_norm)  [J1]
+#     → PrefixSpan over [%pred, <stype>, middle-itemsets.., <otype>]
+#     → exact contiguous recount: support(pattern ∧ pred) vs
+#       ctx_support(pattern over ALL pairs incl. unlabeled negatives)
+#     → confidence filter + match-set-fingerprint dedup (the 4^L
+#       generalization-level combinations of one template collapse to one
+#       equivalence class; the most specific representative is kept)
+#
+# Scale: pair extraction is one Arrow pass over the (small) training
+# corpus; the seed KG broadcasts; PrefixSpan shuffles only the positive
+# pairs; the recount is a broadcast-candidates map-side-combined pass —
+# the same shapes as NER-rule mining, nothing new to operate.
+
+REL_EX_SCHEMA = (
+    "subj_norm string, obj_norm string, stype string, otype string, "
+    "seq array<array<string>>"
+)
+
+_GENERIC_ITEMS = {"xxx", "Xxx", "XXX", "NUM", "PUNCT"}
+# Mersenne prime 2^61-1: per-example hashes (60 bits) stay below it, and
+# modular sums fit comfortably in int64 on both worker and driver side
+_FP_MOD = (1 << 61) - 1
+
+
+def relation_examples(annotated: DataFrame, max_middle: int = 4) -> DataFrame:
+    """annotated(doc_id, raw) → one row per adjacent gold-entity pair
+    (placeholder-bracketed middle sequence). One Arrow pass."""
+    from mxsparkg.textcore import annotated_to_relation_pairs
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        lex = build_lexicons()
+        for batch in batches:
+            cols: dict[str, list] = {
+                "subj_norm": [], "obj_norm": [], "stype": [], "otype": [],
+                "seq": [],
+            }
+            for raw in batch.column("raw").to_pylist():
+                for sn, on, st, ot, seq in annotated_to_relation_pairs(
+                    raw or "", lex, max_middle
+                ):
+                    cols["subj_norm"].append(sn)
+                    cols["obj_norm"].append(on)
+                    cols["stype"].append(st)
+                    cols["otype"].append(ot)
+                    cols["seq"].append(seq)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "subj_norm": pa.array(cols["subj_norm"], pa.string()),
+                    "obj_norm": pa.array(cols["obj_norm"], pa.string()),
+                    "stype": pa.array(cols["stype"], pa.string()),
+                    "otype": pa.array(cols["otype"], pa.string()),
+                    "seq": pa.array(cols["seq"], pa.list_(pa.list_(pa.string()))),
+                }
+            )
+
+    return annotated.select("raw").mapInArrow(run, REL_EX_SCHEMA)
+
+
+def labeled_relation_examples(
+    annotated: DataFrame, seed_triples: DataFrame, max_middle: int = 4
+) -> DataFrame:
+    """Distant supervision: label entity-pair examples with the seed KG's
+    predicates via a broadcast join on (subj_norm, obj_norm), then collapse
+    to DISTINCT examples carrying a label SET (preds array). Pairs absent
+    from the seed get ['__none__'] — negatives that feed ctx_support and
+    kill over-general patterns. Multi-label (a pair true under two
+    relations) is inherent DS noise; keeping the full set — instead of
+    duplicating the example per label — stops ctx_support inflation.
+
+    The distinct-collapse also converts support from sentence-occurrence
+    counts to distinct-pair-context counts, so one prolific entity pair
+    can't dominate a pattern's support — the DS analogue of document
+    frequency vs term frequency."""
+    ex = relation_examples(annotated, max_middle)
+    seed = seed_triples.select(
+        "subj_norm", "pred", "obj_norm"
+    ).dropDuplicates()
+    joined = ex.join(F.broadcast(seed), ["subj_norm", "obj_norm"], "left")
+    return joined.groupBy(
+        "subj_norm", "obj_norm", "stype", "otype", "seq"
+    ).agg(
+        F.array_sort(
+            F.collect_set(F.coalesce(F.col("pred"), F.lit("__none__")))
+        ).alias("preds")
+    )
+
+
+def _candidate_patterns(
+    labeled: DataFrame, min_support_frac: float = 0.02, max_middle: int = 4
+) -> DataFrame:
+    """PrefixSpan over label-prefixed sequences → well-formed candidates
+    (pred, bracket). A candidate is [%pred, <stype>, items.., <otype>]
+    with all-singleton itemsets, exactly one label and two placeholders."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    seqs = (
+        labeled.select(
+            F.explode("preds").alias("pred"), "seq"
+        )
+        .filter(F.col("pred") != "__none__")
+        .select(
+            F.concat(
+                F.array(F.array(F.concat(F.lit("%"), F.col("pred")))),
+                F.col("seq"),
+            ).alias("sequence")
+        )
+    )
+    ps = PrefixSpan(
+        minSupport=min_support_frac,
+        maxPatternLength=max_middle + 3,
+        maxLocalProjDBSize=32000000,
+    )
+    pats = ps.findFrequentSequentialPatterns(seqs)
+    flat = pats.filter(
+        F.expr("forall(sequence, x -> size(x) = 1)")
+    ).select(F.flatten("sequence").alias("pattern"))
+    n_markers = F.size(F.expr("filter(pattern, x -> x like '<%')"))
+    n_labels = F.size(
+        F.expr("filter(pattern, x -> substring(x, 1, 1) = '%')")
+    )
+    well_formed = (
+        (F.size("pattern") >= 3)
+        & F.element_at("pattern", 1).startswith("%")
+        & F.element_at("pattern", 2).startswith("<")
+        & F.element_at("pattern", -1).startswith("<")
+        & (n_markers == 2)
+        & (n_labels == 1)
+    )
+    return flat.filter(well_formed).select(
+        F.expr("substring(element_at(pattern, 1), 2)").alias("pred"),
+        F.expr("slice(pattern, 2, size(pattern) - 1)").alias("bracket"),
+    )
+
+
+def _match_bracket(seq: list[list[str]], pat: list[str]) -> bool:
+    """Exact full-coverage match: placeholder items must equal the
+    placeholder cells, each middle item must be in its token's itemset,
+    and lengths must agree (match_predicates consumes exactly one token
+    per non-marker item)."""
+    if len(seq) != len(pat):
+        return False
+    for cell, item in zip(seq, pat):
+        if item.startswith("<"):
+            if cell != [item]:
+                return False
+        elif item not in cell:
+            return False
+    return True
+
+
+def recount_predicates(labeled: DataFrame, cands: list[tuple]) -> DataFrame:
+    """(pred, bracket) candidates × labeled pairs → support, ctx_support
+    and a match-set fingerprint (order-independent sum of per-example
+    hashes). Broadcast candidates, one Arrow pass, groupBy sum — the same
+    map-side-combined recount shape as NER mining."""
+    import hashlib
+
+    spark = labeled.sparkSession
+    bc = spark.sparkContext.broadcast(cands)
+    out_schema = "cand_id int, support bigint, ctx_support bigint, fp bigint"
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cl = bc.value
+        sup = [0] * len(cl)
+        ctx = [0] * len(cl)
+        fp = [0] * len(cl)
+        for batch in batches:
+            predss = batch.column("preds").to_pylist()
+            subjs = batch.column("subj_norm").to_pylist()
+            objs = batch.column("obj_norm").to_pylist()
+            seqs = batch.column("seq").to_pylist()
+            for preds, sn, on, seq in zip(predss, subjs, objs, seqs):
+                ex_key = None
+                for i, (cpred, bracket) in enumerate(cl):
+                    if len(seq) != len(bracket):
+                        continue
+                    if _match_bracket(seq, bracket):
+                        if ex_key is None:
+                            raw = f"{preds!r}|{sn}|{on}|{seq!r}".encode()
+                            ex_key = int(
+                                hashlib.md5(raw).hexdigest()[:15], 16
+                            )
+                        ctx[i] += 1
+                        # sum (not xor): duplicate examples must not cancel;
+                        # mod _FP_MOD keeps partials in int64 range while
+                        # staying additive across partitions
+                        fp[i] = (fp[i] + ex_key) % _FP_MOD
+                        if cpred in preds:
+                            sup[i] += 1
+        yield pa.RecordBatch.from_pydict(
+            {
+                "cand_id": pa.array(range(len(cl)), pa.int32()),
+                "support": pa.array(sup, pa.int64()),
+                "ctx_support": pa.array(ctx, pa.int64()),
+                "fp": pa.array(fp, pa.int64()),
+            }
+        )
+
+    partials = labeled.select(
+        "preds", "subj_norm", "obj_norm", "seq"
+    ).mapInArrow(run, out_schema)
+    totals = partials.groupBy("cand_id").agg(
+        F.sum("support").alias("support"),
+        F.sum("ctx_support").alias("ctx_support"),
+        # modular sum: fingerprint addition mod _FP_MOD is associative/
+        # commutative, so partial sums combine exactly like the counts do.
+        # Accumulate in decimal(38): per-partition partials are ~2^61, so a
+        # plain long sum could overflow under Spark 4 ANSI
+        (
+            F.sum(F.col("fp").cast("decimal(38,0)")) % F.lit(_FP_MOD)
+        ).cast("bigint").alias("fp"),
+    )
+    cand_df = spark.createDataFrame(
+        [(i, p, list(b)) for i, (p, b) in enumerate(cands)],
+        "cand_id int, pred string, bracket array<string>",
+    )
+    return cand_df.join(totals, "cand_id").drop("cand_id")
+
+
+def score_predicates(
+    counted: DataFrame,
+    min_support: int = 3,
+    min_confidence: float = 0.8,
+) -> DataFrame:
+    """Confidence filter + equivalence-class dedup.
+
+    confidence = P(pred | pattern matches) over ALL pairs (negatives
+    included). Candidates with identical (pred, match-set fingerprint) are
+    interchangeable at tagging time — the generalization-level lattice of
+    one template collapses here; keep the most SPECIFIC representative
+    (max surface items; deterministic tie-break) for precision headroom
+    on unseen text."""
+    from pyspark.sql.window import Window
+
+    generic = F.array(*[F.lit(x) for x in sorted(_GENERIC_ITEMS)])
+    spec = F.size(
+        F.filter(
+            "bracket",
+            lambda x: (~F.array_contains(generic, x))
+            & (x != F.upper(x)),
+        )
+    )
+    conf = F.col("support") / F.greatest(F.col("ctx_support"), F.lit(1))
+    scored = (
+        counted.filter(F.col("support") >= min_support)
+        .withColumn("confidence", F.round(conf, 6))
+        .filter(F.col("confidence") >= min_confidence)
+        .withColumn("specificity", spec)
+    )
+    w = Window.partitionBy("pred", "fp").orderBy(
+        F.desc("specificity"), F.desc("support"), F.array_join("bracket", " ")
+    )
+    deduped = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "fp")
+    )
+    w_id = Window.orderBy(
+        "pred", F.desc("support"), F.array_join("bracket", " ")
+    )
+    return deduped.withColumn(
+        "pattern_id", F.row_number().over(w_id)
+    ).select(
+        "pattern_id", "pred", F.col("bracket").alias("pattern"),
+        "support", "ctx_support", "confidence", "specificity",
+    )
+
+
+def mine_predicates(
+    annotated: DataFrame,
+    seed_triples: DataFrame,
+    min_support_frac: float = 0.02,
+    min_support: int = 3,
+    min_confidence: float = 0.8,
+    max_middle: int = 4,
+) -> DataFrame:
+    """annotated(doc_id, raw) × seed(subj_norm, pred, obj_norm) → mined
+    predicate patterns DataFrame (M1-for-relations end-to-end). The result
+    replaces the hand-written PREDICATE_PATTERNS via
+    pred_patterns_to_model()."""
+    labeled = labeled_relation_examples(annotated, seed_triples, max_middle)
+    labeled.persist()
+    try:
+        cand_rows = _candidate_patterns(
+            labeled, min_support_frac, max_middle
+        ).collect()
+        cands = [(r["pred"], tuple(r["bracket"])) for r in cand_rows]
+        counted = recount_predicates(labeled, cands)
+        return score_predicates(counted, min_support, min_confidence)
+    finally:
+        labeled.unpersist(blocking=False)
+
+
+def pred_patterns_to_model(patterns: DataFrame) -> list[dict]:
+    """Mined predicate patterns → the list[dict] consumed by
+    detect.broadcast_model / textcore.match_predicates (drop-in for
+    model.PREDICATE_PATTERNS). Driver-side: the set is small by
+    construction (confidence filter + equivalence-class dedup)."""
+    return [
+        {"pred": r["pred"], "pattern": list(r["pattern"])}
+        for r in patterns.orderBy("pattern_id").collect()
+    ]

@@ -441,6 +441,54 @@ def parse_annotated(line: str) -> tuple[str, list[tuple[int, int, str]]]:
     return " ".join(out), spans
 
 
+def annotated_to_relation_pairs(
+    line: str,
+    lexicons: dict[str, list[str]],
+    max_middle: int = 4,
+) -> list[tuple[str, str, str, str, list[list[str]]]]:
+    """Relation-mining examples from one annotated line (distant
+    supervision, SURVEY.md §2.10 M1 extended to predicates).
+
+    For each ADJACENT pair of gold entities in text order (no third entity
+    between them) with ≤ max_middle tokens in between, returns
+    (subj_norm, obj_norm, stype, otype, seq) where seq is the
+    placeholder-bracketed middle in the mXS item representation:
+
+        [["<pers>"], itemset(tok), ..., itemset(tok), ["<org>"]]
+
+    Placeholder cells are singleton marker itemsets, so a predicate
+    pattern ["<pers>", item.., "<org>"] matches a seq CONTIGUOUSLY iff it
+    covers the whole middle — exactly match_predicates' consumption
+    semantics (each non-marker item consumes one token)."""
+    clean, spans = parse_annotated(line)
+    toks = tokenize(clean)
+    ents: list[tuple[int, int, str, str]] = []  # (tok_open, tok_close, etype, norm)
+    for s, e, etype in sorted(spans):
+        t_open = next((i for i, t in enumerate(toks) if t[1] >= s), None)
+        if t_open is None:
+            continue
+        t_close = t_open
+        while t_close < len(toks) and toks[t_close][2] <= e:
+            t_close += 1
+        if t_close == t_open:
+            continue
+        ents.append((t_open, t_close, etype, normalize_surface(clean[s:e])))
+    out: list[tuple[str, str, str, str, list[list[str]]]] = []
+    for (a_open, a_close, a_type, a_norm), (b_open, _bc, b_type, b_norm) in zip(
+        ents, ents[1:]
+    ):
+        middle = toks[a_close:b_open]
+        if len(middle) > max_middle:
+            continue
+        seq: list[list[str]] = [[f"<{a_type}>"]]
+        seq.extend(
+            sorted(set(generalize(t[0], lexicons))) for t in middle
+        )
+        seq.append([f"<{b_type}>"])
+        out.append((a_norm, b_norm, a_type, b_type, seq))
+    return out
+
+
 def annotated_to_sequence(
     line: str, lexicons: dict[str, list[str]]
 ) -> list[list[str]]:

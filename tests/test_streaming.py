@@ -111,7 +111,14 @@ def test_hourly_ingest_stats(spark, tiny_fixtures):
 
 
 def test_dedup_late_fetches(spark):
+    """dropDuplicatesWithinWatermark is streaming-only (that's the point:
+    its state is evicted by the watermark, unlike dropDuplicates on
+    non-event-time keys) — so exercise it as a real micro-batch stream."""
     import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from mxsparkg.streaming import PAGES_SCHEMA
 
     base = dt.datetime(2026, 1, 1, 12, 0, 0)
     rows = [
@@ -119,10 +126,24 @@ def test_dedup_late_fetches(spark):
         ("u1", base + dt.timedelta(minutes=5)),  # duplicate fetch
         ("u2", base),
     ]
-    df = spark.createDataFrame(rows, "url string, warc_ts timestamp")
-    df = df.select("url", "warc_ts",
-                   *[__import__("pyspark.sql.functions", fromlist=["functions"]).lit(None).cast(t).alias(c)
-                     for c, t in [("html", "binary"), ("text", "string"), ("lang", "string")]])
-    out = dedup_late_fetches(df)
-    # batch execution of the streaming transform: dropDuplicates applies
-    assert out.count() == 2
+    src = f"{ROOT}/dedup_src"
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp").select(
+        "url", "warc_ts",
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    q = (
+        dedup_late_fetches(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_urls")
+        .outputMode("append")
+        .option("checkpointLocation", f"{ROOT}/dedup_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT url FROM dedup_urls").collect()
+    assert sorted(r.url for r in got) == ["u1", "u2"]
