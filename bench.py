@@ -89,6 +89,17 @@ def main() -> None:
     ensure_fixtures(_fixture_scale(sf_dir))
 
     qs = headline_queries()
+
+    # Warmup (untimed): the first query otherwise pays JVM/codegen warmup +
+    # Python daemon fork, billing ~5s of session startup to one query
+    # (BENCH_r01's agg_groupby_count anomaly). One relational pass and one
+    # Arrow pandas-UDF pass touch both execution engines.
+    t0 = time.time()
+    qs["agg_groupby_count"](spark, sf_dir).count()
+    qs["agg_pandas"](spark, sf_dir).count()
+    print(f"[bench] warmup: {time.time() - t0:.3f}s (untimed)",
+          file=sys.stderr)
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     total = 0.0

@@ -79,7 +79,10 @@ def _driver_cc(pairs: list[tuple[str, str]]) -> list[tuple[str, str]]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, driver_threshold: int = 200_000
+    edges: DataFrame,
+    max_iter: int = 50,
+    driver_threshold: int = 200_000,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges(src, dst) strings → canon_map(entity_id, canon_id).
 
@@ -89,11 +92,27 @@ def connected_components(
     Hybrid strategy (the CC analogue of a broadcast-join threshold): the
     same-as graph is usually orders of magnitude smaller than the corpus, so
     below `driver_threshold` edges one collect + union-find beats an O(log n)
-    round-trip loop of shuffles; above it, the distributed alternating
-    large-/small-star loop (Kiveris et al.) runs, with per-round
-    localCheckpoint to truncate lineage. Both paths produce identical maps
-    (property-tested in tests/test_graph.py)."""
+    round-trip loop of shuffles (driver_threshold is a DRIVER-MEMORY bound:
+    ~100 bytes/edge ⇒ the default keeps the collect ≲ 20 MB; size it to the
+    driver, not the cluster); above it, the distributed alternating
+    large-/small-star loop (Kiveris et al.) runs with per-round checkpoints
+    to truncate lineage. Both paths produce identical maps (property-tested
+    in tests/test_graph.py).
+
+    reliable_checkpoint_dir: per-round truncation uses localCheckpoint()
+    (executor-local, fastest) by default — fine at local[N], but a long CC
+    run on a real cluster loses rounds on executor death. Pass a
+    durable-storage dir to switch to reliable checkpoint() (survives
+    executor loss at the cost of one write per round)."""
     spark = edges.sparkSession
+    if reliable_checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
     cur = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -115,7 +134,7 @@ def connected_components(
     finally:
         cur.unpersist(blocking=False)
 
-    cur = cur.localCheckpoint()
+    cur = _ckpt(cur)
 
     def _sig(df):
         # order-insensitive xor-hash (xor, not sum: ANSI would overflow)
@@ -127,7 +146,7 @@ def connected_components(
 
     sig_cur = _sig(cur)
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nxt = _ckpt(_small_star(_large_star(cur)))
         sig_nxt = _sig(nxt)
         cur = nxt
         if sig_cur == sig_nxt:

@@ -91,3 +91,27 @@ def test_sameas_edges_chain_within_cluster(spark):
     )
     got = {(r["src"], r["dst"]) for r in sameas_edges(df).collect()}
     assert got == {("a", "b"), ("b", "c")}
+
+
+def test_cc_reliable_checkpoint_path(spark, tmp_path):
+    """reliable_checkpoint_dir switches per-round lineage truncation from
+    localCheckpoint() to durable checkpoint(); results must be identical
+    and checkpoint files must actually land in the configured dir."""
+    import os
+
+    edges = (
+        [(f"c{i}", f"c{i+1}") for i in range(20)]
+        + [("hub", f"s{i}") for i in range(10)]
+    )
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    local = {(r["entity_id"], r["canon_id"])
+             for r in connected_components(df, driver_threshold=0).collect()}
+    ckpt_dir = str(tmp_path / "cc_ckpt")
+    reliable = {
+        (r["entity_id"], r["canon_id"])
+        for r in connected_components(
+            df, driver_threshold=0, reliable_checkpoint_dir=ckpt_dir
+        ).collect()
+    }
+    assert reliable == local
+    assert any(os.scandir(ckpt_dir)), "no reliable checkpoint files written"
