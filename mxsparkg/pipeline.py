@@ -28,7 +28,9 @@ Scale design decisions (100 TB posture):
 
 from __future__ import annotations
 
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,12 +65,14 @@ def run_pipeline(
     checkpoint_stages: tuple[str, ...] = DEFAULT_CHECKPOINT_STAGES,
     langs: list[str] | None = None,
     incremental: bool = False,
+    overlap_stages: bool = True,
 ) -> dict[str, DataFrame]:
     ck = Checkpointer(spark, checkpoint_root)
     model_bc = broadcast_model(spark, rules, pred_patterns)
     npart = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ckset = set(checkpoint_stages)
     timings: dict[str, float] = {}
+    metrics_lock = threading.Lock()
 
     def stage(name: str, fn, *inputs: DataFrame) -> DataFrame:
         if name not in ckset:
@@ -78,8 +82,11 @@ def run_pipeline(
         out = ck.run_stage(name, fn, *inputs)
         timings[name] = round(time.time() - t0, 2)
         if with_metrics and not done_before:
-            append_metrics(spark, checkpoint_root, out, name,
-                           (time.time() - t0) * 1000.0)
+            # serialized: two concurrent append jobs into the same metrics
+            # table would race the file-commit protocol
+            with metrics_lock:
+                append_metrics(spark, checkpoint_root, out, name,
+                               (time.time() - t0) * 1000.0)
         return out
 
     pages = read_table(spark, pages_path)
@@ -107,45 +114,74 @@ def run_pipeline(
         )
         return detect(clean, model_bc, with_context=with_context)
 
-    if incremental and ck.is_done("detect"):
-        # delta ingest (J5/T2): detect ONLY urls not in the completed
-        # checkpoint, append, and invalidate the derived tables. At web
-        # scale this is how a grown crawl re-runs without re-tagging
-        # 10^12 already-processed pages.
-        prev_urls = ck.read("detect").select("url").distinct()
-        new_pages = pages.join(prev_urls, on="url", how="left_anti")
-        n_new = ck.append(s_detect(new_pages), "detect")
-        if n_new > 0:
-            ck.invalidate("triples", "edges", "nodes", "link_mentions",
-                          "link_triples")
-        detections = ck.read("detect")
-    else:
-        detections = stage("detect", s_detect, pages)
-    mentions, raw_triples = split_detections(detections)
-
-    # 3. link (J1/W1/J3) — broadcast dictionary joins, cheap: recomputed on
-    #    resume unless explicitly checkpointed
-    linked = stage("link_mentions", lambda m: L.link_mentions(m, edict), mentions)
-    triples_linked = stage(
-        "link_triples", lambda t: L.link_triples(t, edict), raw_triples
-    )
-
-    # 4. canonicalize (G1) — hybrid CC over same-as chains
+    # 4-pre. canonicalize (G1) — hybrid CC over same-as chains. The alias
+    # graph is INDEPENDENT of the page corpus, so with overlap_stages its
+    # stage runs concurrently with detect: Spark schedules both threads'
+    # jobs on one session, and canon_map's few small jobs fill task slots
+    # detect isn't using — its wall cost disappears behind the long stage.
     aliases = read_table(spark, alias_clusters_path)
 
     def s_canon(_: DataFrame) -> DataFrame:
         return G.connected_components(G.sameas_edges(aliases))
 
-    canon_map = stage("canon_map", s_canon, aliases)
+    pool = ThreadPoolExecutor(max_workers=2) if overlap_stages else None
+    canon_fut = (
+        pool.submit(stage, "canon_map", s_canon, aliases) if pool else None
+    )
 
-    # 5. rewrite + materialize graph (skew-safe two-phase rollups)
-    triples = stage(
-        "triples", lambda t: G.rewrite_canonical(t, canon_map), triples_linked
-    )
-    edges = stage("edges", G.materialize_edges, triples)
-    nodes = stage(
-        "nodes", lambda m: G.materialize_nodes(m, canon_map), linked
-    )
+    try:
+        if incremental and ck.is_done("detect"):
+            # delta ingest (J5/T2): detect ONLY urls not in the completed
+            # checkpoint, append, and invalidate the derived tables. At web
+            # scale this is how a grown crawl re-runs without re-tagging
+            # 10^12 already-processed pages.
+            prev_urls = ck.read("detect").select("url").distinct()
+            new_pages = pages.join(prev_urls, on="url", how="left_anti")
+            n_new = ck.append(s_detect(new_pages), "detect")
+            if n_new > 0:
+                ck.invalidate("triples", "edges", "nodes", "link_mentions",
+                              "link_triples")
+            detections = ck.read("detect")
+        else:
+            detections = stage("detect", s_detect, pages)
+        mentions, raw_triples = split_detections(detections)
+
+        # 3. link (J1/W1/J3) — broadcast dictionary joins, cheap: recomputed
+        #    on resume unless explicitly checkpointed
+        linked = stage(
+            "link_mentions", lambda m: L.link_mentions(m, edict), mentions
+        )
+        triples_linked = stage(
+            "link_triples", lambda t: L.link_triples(t, edict), raw_triples
+        )
+
+        canon_map = canon_fut.result() if canon_fut else stage(
+            "canon_map", s_canon, aliases
+        )
+
+        # 5. rewrite + materialize graph (skew-safe two-phase rollups).
+        # nodes depends only on (linked, canon_map) — independent of the
+        # triples→edges chain, so the two branches overlap: the wall pays
+        # max(triples+edges, nodes) instead of their sum, and each branch's
+        # disk-bound checkpoint write overlaps the other's compute.
+        nodes_fut = (
+            pool.submit(
+                stage, "nodes",
+                lambda m: G.materialize_nodes(m, canon_map), linked,
+            )
+            if pool else None
+        )
+        triples = stage(
+            "triples", lambda t: G.rewrite_canonical(t, canon_map),
+            triples_linked,
+        )
+        edges = stage("edges", G.materialize_edges, triples)
+        nodes = nodes_fut.result() if nodes_fut else stage(
+            "nodes", lambda m: G.materialize_nodes(m, canon_map), linked
+        )
+    finally:
+        if pool:
+            pool.shutdown(wait=True)
 
     return {
         "_stage_walls": timings,

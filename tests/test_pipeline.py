@@ -256,3 +256,30 @@ def test_metrics_rows_written(spark, pipeline_result):
     row = m.filter("stage = 'detect'").first()
     assert row["rows_out"] > 0 and row["wall_ms"] > 0
     assert isinstance(row["input_files"], list)
+
+
+def test_overlap_scheduling_equivalence(spark, tiny_fixtures, pipeline_result):
+    """Concurrent stage scheduling (canon_map ∥ detect, nodes ∥
+    triples→edges) must produce byte-identical results to the sequential
+    path. pipeline_result ran with overlap (the default); rerun
+    sequentially into a fresh checkpoint and compare all terminal tables."""
+    ckpt = "/tmp/mxsparkg_test_ckpt_seq"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    seq = run_pipeline(
+        spark,
+        f"{tiny_fixtures}/pages.parquet",
+        f"{tiny_fixtures}/entity_dict.parquet",
+        f"{tiny_fixtures}/gold_canon.parquet",
+        ckpt,
+        overlap_stages=False,
+    )
+    assert _triples(seq["triples"]) == _triples(pipeline_result["triples"])
+    def _rows(df):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.collect()
+        }
+
+    for tbl in ("nodes", "edges", "canon_map"):
+        assert _rows(seq[tbl]) == _rows(pipeline_result[tbl]), tbl
+    shutil.rmtree(ckpt, ignore_errors=True)
