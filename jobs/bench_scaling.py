@@ -71,6 +71,22 @@ def replicate_pages(fdir: str, factor: int) -> str:
     return out
 
 
+def prewarm_input(pages_path: str) -> None:
+    """Pull the input files into the OS page cache so no run pays the
+    single-virtio-disk cold read (a real cluster's cold reads come from
+    distributed storage whose bandwidth scales with executors; one box's
+    disk does not — prewarming removes that sandbox artifact from the
+    scaling measurement)."""
+    if os.path.isdir(pages_path):
+        files = [os.path.join(pages_path, f) for f in os.listdir(pages_path)]
+    else:
+        files = [pages_path]
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+
 def run_once(cores: int, pages_path: str, fdir: str, zpath: str) -> dict:
     ckpt = tempfile.mkdtemp(prefix=f"bench_ckpt_{cores}_")
     shutil.rmtree(ckpt)
@@ -78,6 +94,12 @@ def run_once(cores: int, pages_path: str, fdir: str, zpath: str) -> dict:
         cmd = [
             "spark-submit",
             "--master", f"local[{cores}]",
+            # NOTE deliberately NO --driver-memory: the Spark default (1g)
+            # measured FASTEST and most stable for this workload's tail
+            # aggregations on this box (controlled sweep, round 2: 1g walls
+            # 148/151s; 8g 142/168s; 24g 222/238s — large execution memory
+            # lets aggregation state balloon in-heap instead of spilling
+            # early, and 16-thread G1 GC churn dominates).
             # match a real cluster submit: shuffle partitions ≈ 2× cores;
             # input parallelism comes from the multi-file corpus layout —
             # 4MB splits + 1MB open cost keep ~2-3 of these heavily
@@ -166,6 +188,8 @@ def main() -> None:
                     help="input replication factor for the throughput corpus")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--cooldown", type=int, default=45,
+                    help="idle seconds before every run (thermal fairness)")
     args = ap.parse_args()
 
     from fixtures.generate import ensure_fixtures
@@ -182,31 +206,53 @@ def main() -> None:
     zpath = build_zip()
 
     levels = [int(x) for x in args.levels.split(",")]
-    results: dict[int, dict] = {}
-    for cores in levels:
-        walls, triples, stage_walls = [], [], []
-        for i in range(args.runs):
+    import time as _time
+
+    print("[scaling] prewarming input page cache...", file=sys.stderr)
+    prewarm_input(pages_path)
+
+    # THERMALLY FAIR protocol: interleave the levels round-by-round
+    # (alternating order each round) with an idle cooldown before every
+    # run, so neither level systematically inherits a hotter/more-throttled
+    # box from the other's sustained load.
+    acc: dict[int, dict] = {
+        c: {"walls": [], "triples": [], "stage_walls": []} for c in levels
+    }
+    for i in range(args.runs):
+        order = levels if i % 2 == 0 else list(reversed(levels))
+        for cores in order:
+            _time.sleep(args.cooldown)
             r = run_once(cores, pages_path, fdir, zpath)
-            walls.append(r["wall_sec"])
-            triples.append(r.get("triples_total", r["triples_distinct"]))
-            stage_walls.append(r.get("stage_walls", {}))
+            acc[cores]["walls"].append(r["wall_sec"])
+            acc[cores]["triples"].append(
+                r.get("triples_total", r["triples_distinct"])
+            )
+            acc[cores]["stage_walls"].append(r.get("stage_walls", {}))
             print(
-                f"[scaling] local[{cores}] run {i + 1}/{args.runs}: "
+                f"[scaling] round {i + 1}/{args.runs} local[{cores}]: "
                 f"{r['wall_sec']}s, {r.get('triples_total', 0)} triples",
                 file=sys.stderr,
             )
-        wall = statistics.median(walls)
+    results: dict[int, dict] = {}
+    for cores in levels:
+        a = acc[cores]
+        wall = statistics.median(a["walls"])
         results[cores] = {
             "wall_sec_median": wall,
-            "wall_sec_all": walls,
+            "wall_sec_min": min(a["walls"]),
+            "wall_sec_all": a["walls"],
             "docs_per_sec": round(n_pages / wall, 1),
-            "triples_per_sec": round(triples[0] / wall, 1),
-            "triples_total": triples[0],
-            "stage_walls": stage_walls,
+            "triples_per_sec": round(a["triples"][0] / wall, 1),
+            "triples_total": a["triples"][0],
+            "stage_walls": a["stage_walls"],
         }
     lo, hi = min(levels), max(levels)
     speedup = results[lo]["wall_sec_median"] / results[hi]["wall_sec_median"]
     eff = speedup / (hi / lo)
+    # min-of-N pairs: the least-interference estimate on a shared/thermal box
+    eff_min = (
+        results[lo]["wall_sec_min"] / results[hi]["wall_sec_min"]
+    ) / (hi / lo)
     print("[scaling] measuring hardware ceiling...", file=sys.stderr)
     ceiling, single_node_rate = measure_hardware_ceiling(lo, hi)
     summary = {
@@ -214,6 +260,7 @@ def main() -> None:
         "value": round(eff, 3),
         "unit": "fraction",
         "speedup": round(speedup, 2),
+        "eff_min_pair": round(eff_min, 3),
         "hardware_ceiling_eff": round(ceiling, 3),
         "normalized_eff": round(eff / ceiling, 3),
         "single_node_docs_per_sec": round(single_node_rate, 1),

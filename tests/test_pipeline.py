@@ -258,28 +258,34 @@ def test_metrics_rows_written(spark, pipeline_result):
     assert isinstance(row["input_files"], list)
 
 
-def test_overlap_scheduling_equivalence(spark, tiny_fixtures, pipeline_result):
+def test_overlap_scheduling_equivalence(spark, tiny_fixtures):
     """Concurrent stage scheduling (canon_map ∥ detect, nodes ∥
     triples→edges) must produce byte-identical results to the sequential
-    path. pipeline_result ran with overlap (the default); rerun
-    sequentially into a fresh checkpoint and compare all terminal tables."""
-    ckpt = "/tmp/mxsparkg_test_ckpt_seq"
-    shutil.rmtree(ckpt, ignore_errors=True)
-    seq = run_pipeline(
-        spark,
-        f"{tiny_fixtures}/pages.parquet",
-        f"{tiny_fixtures}/entity_dict.parquet",
-        f"{tiny_fixtures}/gold_canon.parquet",
-        ckpt,
-        overlap_stages=False,
-    )
-    assert _triples(seq["triples"]) == _triples(pipeline_result["triples"])
+    path. Self-contained (own fresh checkpoints): earlier tests mutate the
+    shared module checkpoint, so pipeline_result's lazy frames can point
+    at overwritten files."""
+
+    def _run(ckpt, overlap):
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return run_pipeline(
+            spark,
+            f"{tiny_fixtures}/pages.parquet",
+            f"{tiny_fixtures}/entity_dict.parquet",
+            f"{tiny_fixtures}/gold_canon.parquet",
+            ckpt,
+            overlap_stages=overlap,
+        )
+
     def _rows(df):
         return {
             tuple(tuple(v) if isinstance(v, list) else v for v in r)
             for r in df.collect()
         }
 
+    seq = _run("/tmp/mxsparkg_test_ckpt_seq", False)
+    ovl = _run("/tmp/mxsparkg_test_ckpt_ovl", True)
+    assert _triples(seq["triples"]) == _triples(ovl["triples"])
     for tbl in ("nodes", "edges", "canon_map"):
-        assert _rows(seq[tbl]) == _rows(pipeline_result[tbl]), tbl
-    shutil.rmtree(ckpt, ignore_errors=True)
+        assert _rows(seq[tbl]) == _rows(ovl[tbl]), tbl
+    shutil.rmtree("/tmp/mxsparkg_test_ckpt_seq", ignore_errors=True)
+    shutil.rmtree("/tmp/mxsparkg_test_ckpt_ovl", ignore_errors=True)
