@@ -94,12 +94,14 @@ def run_once(cores: int, pages_path: str, fdir: str, zpath: str) -> dict:
         cmd = [
             "spark-submit",
             "--master", f"local[{cores}]",
-            # NOTE deliberately NO --driver-memory: the Spark default (1g)
-            # measured FASTEST and most stable for this workload's tail
-            # aggregations on this box (controlled sweep, round 2: 1g walls
-            # 148/151s; 8g 142/168s; 24g 222/238s — large execution memory
-            # lets aggregation state balloon in-heap instead of spilling
-            # early, and 16-thread G1 GC churn dominates).
+            # 2g: the SMALLEST heap that never OOMed at this corpus scale.
+            # Counterintuitively, bigger is slower here (controlled sweep,
+            # round 2, local[16] repeat=32: 1g 148/151s but occasional
+            # SparkExitCode.OOM=52; 2g 148/158s stable; 8g 142/168s;
+            # 24g 222/238s) — large execution memory lets aggregation
+            # state balloon in-heap instead of spilling early, and
+            # 16-thread G1 GC churn dominates the tail stages.
+            "--driver-memory", "2g",
             # match a real cluster submit: shuffle partitions ≈ 2× cores;
             # input parallelism comes from the multi-file corpus layout —
             # 4MB splits + 1MB open cost keep ~2-3 of these heavily

@@ -746,6 +746,157 @@ def ann_ivf_topk_sql() -> str:
     """
 
 
+# ------------------------------------------------- distributed k-means IVF
+
+KMEANS_ITERS = 3
+
+
+def _assign_df(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """vectors → nearest centroid (argmin L2, cell-asc tie-break) against a
+    centroid literal list. One narrow pass — the per-iteration 'E-step'."""
+    dist_cols = []
+    for ci, c in enumerate(cents):
+        carr = F.array(*[F.lit(x) for x in c])
+        c2 = sum(x * x for x in c)
+        d2 = _dot(F.col("v"), F.col("v")) - 2.0 * _dot(F.col("v"), carr) + F.lit(c2)
+        dist_cols.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    best = F.array_min(F.array(*dist_cols))
+    return vecs.select("vec_id", "v", best.getField("cell").alias("cell"))
+
+
+def _means_df(assigned: DataFrame) -> DataFrame:
+    """'M-step': per-(cell, dim) mean. Exact decimal(38,10) sums make the
+    result independent of partitioning/summation order, so the Spark value
+    and the DuckDB oracle value are bit-identical after the same
+    cast-to-double + divide + round(6)."""
+    vals = assigned.select(
+        "cell", F.posexplode("v").alias("pos0", "val")
+    ).select("cell", (F.col("pos0") + 1).alias("pos"), "val")
+    return vals.groupBy("cell", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mv")
+    )
+
+
+def _kmeans_train(
+    spark: SparkSession, sf: str, iters: int = KMEANS_ITERS
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's k-means over the embedding table, Spark-first: assignment
+    and means are DataFrame jobs; only the k×dim centroid table crosses to
+    the driver between iterations (the textbook Spark k-means shape — the
+    model is small, the data never moves). Returns (centroids after
+    `iters` iterations, vectors DF). Empty cells keep their previous
+    centroid. Seeded start = the same literals the static IVF ops use."""
+    vecs = _vecs_with_norm(_embs(spark, sf)).select("vec_id", "v")
+    cur = _centroids()
+    for _ in range(iters):
+        means = _means_df(_assign_df(vecs, cur)).collect()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["mv"]
+        cur = [
+            [by_cell[ci][p + 1] for p in range(len(cur[ci]))]
+            if ci in by_cell else cur[ci]
+            for ci in range(len(cur))
+        ]
+    return cur, vecs
+
+
+def ann_kmeans_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed k-means IVF training (the trained coarse quantizer the
+    seeded-literal IVF ops stand in for): 3 Lloyd iterations; the LAST
+    M-step is returned as a DataFrame computation (distributed means →
+    per-cell ordered array), so the driver gate checks the distributed
+    aggregation itself, not a driver-computed copy."""
+    prev, vecs = _kmeans_train(spark, sf, KMEANS_ITERS - 1)
+    means = _means_df(_assign_df(vecs, prev))
+    arrs = means.groupBy("cell").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)"
+        ).alias("c")
+    )
+    prev_arr = F.array(*[
+        F.array(*[F.lit(x) for x in c]) for c in prev
+    ])
+    cells = spark.range(N_IVF_CELLS).select(F.col("id").cast("int").alias("cell"))
+    return (
+        cells.join(arrs, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(
+                F.col("c"), F.element_at(prev_arr, F.col("cell") + 1)
+            ).alias("c"),
+        )
+    )
+
+
+def ann_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Final cluster assignment under the trained centroids — the
+    partition key a production IVF index would persist."""
+    cents, vecs = _kmeans_train(spark, sf, KMEANS_ITERS)
+    return _assign_df(vecs, cents).select("vec_id", "cell")
+
+
+def _sql_kmeans_cte(iters: int) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs: centsN → assignN →
+    meansN+1 → centsN+1, with the identical decimal-exact mean and the
+    identical argmin expression as the Spark side."""
+    rows = ", ".join(
+        f"({ci}, {c!r}::DOUBLE[])" for ci, c in enumerate(_centroids())
+    )
+    parts = [f"cents0(cell, c) AS (VALUES {rows})"]
+
+    def assign_cte(i: int) -> str:
+        return f"""
+  a{i} AS (
+    SELECT vec_id, v, cell FROM (
+      SELECT vecs.vec_id, vecs.v, cents{i}.cell,
+             row_number() OVER (
+               PARTITION BY vecs.vec_id
+               ORDER BY list_dot_product(vecs.v, vecs.v)
+                        - 2 * list_dot_product(vecs.v, cents{i}.c)
+                        + list_dot_product(cents{i}.c, cents{i}.c),
+                        cents{i}.cell) AS rk
+      FROM vecs CROSS JOIN cents{i}) WHERE rk = 1)"""
+
+    for i in range(iters):
+        parts.append(assign_cte(i))
+        parts.append(f"""
+  m{i + 1} AS (
+    SELECT cell, i AS pos,
+           round(CAST(sum(CAST(v[i] AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(*), 6) AS mv
+    FROM a{i}, range(1, {EMB_DIM + 1}) t(i)
+    GROUP BY cell, i)""")
+        parts.append(f"""
+  cents{i + 1} AS (
+    SELECT cents{i}.cell, COALESCE(nl.c, cents{i}.c) AS c
+    FROM cents{i} LEFT JOIN (
+      SELECT cell, list(mv ORDER BY pos) AS c FROM m{i + 1} GROUP BY cell
+    ) nl ON cents{i}.cell = nl.cell)""")
+    # final assignment under the TRAINED centroids (what Spark's
+    # train-then-assign computes)
+    parts.append(assign_cte(iters))
+    return ",".join(parts)
+
+
+def ann_kmeans_centroids_sql() -> str:
+    return (
+        f"WITH {_SQL_VECS}, {_sql_kmeans_cte(KMEANS_ITERS)} "
+        f"SELECT cell, c FROM cents{KMEANS_ITERS}"
+    )
+
+
+def ann_kmeans_assign_sql() -> str:
+    return (
+        f"WITH {_SQL_VECS}, {_sql_kmeans_cte(KMEANS_ITERS)} "
+        f"SELECT vec_id, cell FROM a{KMEANS_ITERS} "
+    )
+
+
 # ================================================================ text
 
 def txt_langid(spark: SparkSession, sf: str) -> DataFrame:
@@ -1188,6 +1339,8 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_assign": ann_ivf_assign,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_kmeans_centroids": ann_kmeans_centroids,
+        "ann_kmeans_assign": ann_kmeans_assign,
         "txt_langid": txt_langid,
         "txt_quality": txt_quality,
         "txt_tokens": txt_tokens,
@@ -1210,6 +1363,8 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": ann_lsh_topk_sql(),
         "ann_ivf_assign": ann_ivf_assign_sql(),
         "ann_ivf_topk": ann_ivf_topk_sql(),
+        "ann_kmeans_centroids": ann_kmeans_centroids_sql(),
+        "ann_kmeans_assign": ann_kmeans_assign_sql(),
         "txt_langid": txt_langid_sql(),
         "txt_quality": txt_quality_sql(),
         "txt_tokens": txt_tokens_sql(),

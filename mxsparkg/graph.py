@@ -182,47 +182,6 @@ def rewrite_canonical(triples: DataFrame, canon_map: DataFrame) -> DataFrame:
     )
 
 
-def _provenance_sampled(
-    df: DataFrame,
-    keys: list[str],
-    value_col: str,
-    max_vals: int,
-    oversample: int = 4,
-):
-    """Deterministic adaptive pre-sampling for capped provenance
-    collection: before any collect_set, thin the value rows of each key
-    group to ~oversample×max_vals via a hash test whose threshold adapts
-    to the group's support. Bounds per-group aggregation state no matter
-    how hot the key — a celebrity edge with 10^7 supporting urls would
-    otherwise build (and sort) a 10^7-element set per reducer before the
-    cap slices it. The extra support-count pass is a map-side-combined
-    count (tiny output) and rides the same grouping key.
-
-    Returns (df', keep_col): df' = df joined with per-key distinct-value
-    estimates, and a boolean column marking rows whose value survives the
-    sample. The thinning rate derives from the DISTINCT value count
-    (approx_count_distinct — a sketch, exactness not needed for a sampling
-    rate), not row support: a key with 10^6 rows but 3 distinct values
-    must keep all 3. Hash-based (xxhash64 on the value), so the kept set
-    is deterministic and parallelism-invariant; the final cap then takes
-    the lexicographically-first max_vals of the sample (≈oversample×
-    max_vals values when the domain is large, everything when it's not)."""
-    support = df.groupBy(*keys).agg(
-        F.approx_count_distinct(value_col).alias("_grp_nd")
-    )
-    joined = df.join(support, keys)
-    denom = 1_000_000
-    # python-side product, long literal: denom*oversample*max_vals exceeds
-    # int32 and Spark 4 ANSI makes that an error, not a wrap
-    budget = F.lit(int(denom) * int(oversample) * int(max_vals)).cast("long")
-    thresh = F.least(
-        F.lit(denom).cast("long"),
-        (budget / F.col("_grp_nd")).cast("long"),
-    )
-    keep = F.pmod(F.xxhash64(value_col), F.lit(denom)) < thresh
-    return joined, keep
-
-
 def materialize_edges(
     canon_triples: DataFrame, n_salts: int = 8, max_urls: int = 1000
 ) -> DataFrame:
@@ -232,20 +191,14 @@ def materialize_edges(
     edge at web scale has 10^6+ supporting urls — one reducer building that
     collect_set is the skew bottleneck. Phase 1 groups by (key, salt) so the
     hot key spreads over n_salts reducers; phase 2 merges the partial sets.
-    Provenance urls are pre-thinned by the adaptive deterministic sample
-    (_provenance_sampled) so per-group set state stays O(max_urls) at any
-    support, then capped at the lexicographically-first max_urls of the
-    sample. True support is always in n_support."""
-    keys = ["subj", "pred", "obj"]
-    sampled, keep = _provenance_sampled(canon_triples, keys, "url", max_urls)
-    salted = sampled.withColumn(
+    Provenance is capped at the lexicographically-first `max_urls`
+    (deterministic), with the true support in n_support."""
+    salted = canon_triples.withColumn(
         "_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts))
-    ).withColumn("_keep_url", F.when(keep, F.col("url")))
+    )
     partial = salted.groupBy("subj", "pred", "obj", "_salt").agg(
         F.count("*").alias("_n"),
-        F.slice(
-            F.array_sort(F.collect_set("_keep_url")), 1, max_urls
-        ).alias("_urls"),
+        F.slice(F.array_sort(F.collect_set("url")), 1, max_urls).alias("_urls"),
     )
     return partial.groupBy("subj", "pred", "obj").agg(
         F.sum("_n").alias("n_support"),
@@ -278,16 +231,10 @@ def materialize_nodes(
         "etype",
         F.pmod(F.xxhash64("url", "m_start"), F.lit(n_salts)).alias("_salt"),
     )
-    sampled, keep = _provenance_sampled(
-        withc, ["canon_id", "etype"], "surface_norm", max_surfaces
-    )
-    withk = sampled.withColumn(
-        "_keep_surf", F.when(keep, F.col("surface_norm"))
-    )
-    partial = withk.groupBy("canon_id", "etype", "_salt").agg(
+    partial = withc.groupBy("canon_id", "etype", "_salt").agg(
         F.count("*").alias("_n"),
         F.slice(
-            F.array_sort(F.collect_set("_keep_surf")), 1, max_surfaces
+            F.array_sort(F.collect_set("surface_norm")), 1, max_surfaces
         ).alias("_surf"),
     )
     by_type = partial.groupBy("canon_id", "etype").agg(
