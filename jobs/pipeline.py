@@ -62,6 +62,10 @@ def main() -> None:
     ap.add_argument("--salted", action="store_true",
                     help="salted (host, salt) repartition before detect "
                          "(for host-clustered input layouts)")
+    ap.add_argument("--reliable-checkpoint", default=None, metavar="DIR",
+                    help="durable-storage dir for connected-components "
+                         "per-round checkpoints (cluster-safe mode: survives "
+                         "executor loss; default localCheckpoint)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("mxsparkg-pipeline").getOrCreate()
@@ -89,6 +93,7 @@ def main() -> None:
         salted_repartition=args.salted,
         langs=args.langs.split(",") if args.langs else None,
         incremental=args.incremental,
+        reliable_checkpoint_dir=args.reliable_checkpoint,
     )
     if args.light_summary:
         import json as _json

@@ -234,14 +234,15 @@ def minhash_candidate_pairs(
 
     max_bucket_size bounds the worst bucket: a degenerate band hash (empty
     docs, boilerplate) would otherwise contribute |bucket|² join rows. The
-    bucket-size count rides on the same shuffle key as the self-join
-    (window over (band_id, band_hash)), so the cap costs no extra exchange.
-    Pairs inside an over-cap bucket are dropped, not sampled — a true
-    near-dup pair colliding in 4 independent bands loses at most the
-    degenerate band. Property-tested: fixture results identical with the
-    cap on/off."""
-    from pyspark.sql.window import Window
-
+    over-cap key set is found with a map-side-combinable groupBy().count()
+    and removed with a broadcast anti-join — NOT a count-over-partition
+    window, which would buffer the whole degenerate bucket on one reducer
+    (exactly the group the cap exists to defuse). The over-cap set is tiny
+    by definition (each member covers > cap rows), so the broadcast is
+    bounded by corpus_size / cap keys. Pairs inside an over-cap bucket are
+    dropped, not sampled — a true near-dup pair colliding in 4 independent
+    bands loses at most the degenerate band. Property-tested: fixture
+    results identical with the cap on/off."""
     bands = F.array(
         *[
             _md5s(
@@ -261,10 +262,15 @@ def minhash_candidate_pairs(
         F.posexplode(bands).alias("band_id", "band_hash"),
     )
     if max_bucket_size is not None:
-        bw = Window.partitionBy("band_id", "band_hash")
-        buckets = buckets.withColumn(
-            "_bsz", F.count(F.lit(1)).over(bw)
-        ).filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+        over_cap = (
+            buckets.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        buckets = buckets.join(
+            F.broadcast(over_cap), ["band_id", "band_hash"], "left_anti"
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
@@ -288,6 +294,73 @@ def minhash_candidate_pairs(
         pairs.select("a_id", "b_id", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
     )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-gate key for the LSH candidate-pair JOIN (the one
+    quadratic-risk dedup step): bucket self-join + signature-agreement
+    Jaccard estimate. The driver corpus has no near-dups by construction,
+    so the query plants them deterministically INSIDE the query — for each
+    doc_id < 50, a copy at doc_id+1_000_000 with the last word dropped
+    (expressible identically in Spark and the SQL oracle; no external
+    data). A ~98% shingle-Jaccard copy collides in essentially every band,
+    so the pair join, the bucket-size cap and the estimate all do real
+    work under the oracle's value-hash gate."""
+    docs = _docs(spark, sf).select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    planted = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))), " "
+        ).alias("text"),
+    )
+    sig = minhash_signatures(docs.unionByName(planted))
+    return minhash_candidate_pairs(sig, min_est_jaccard=0.5)
+
+
+def dedup_minhash_pairs_sql() -> str:
+    sigs = ", ".join(
+        f"min(md5('{i}|' || sh)) AS s{i}" for i in range(N_MINHASH)
+    )
+    sig_cols = ", ".join(f"s{i}" for i in range(N_MINHASH))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {sig_cols}, {b} AS band_id, "
+        f"md5(s{b * MINHASH_BAND_ROWS} || s{b * MINHASH_BAND_ROWS + 1}) "
+        f"AS band_hash FROM sig"
+        for b in range(N_MINHASH // MINHASH_BAND_ROWS)
+    )
+    matches = " + ".join(
+        f"CAST(a.s{i} = b.s{i} AS INT)" for i in range(N_MINHASH)
+    )
+    return f"""
+      WITH docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(
+                 list_slice(w, 1, greatest(len(w) - 1, 1)), ' ') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id < 50)),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+      shingles AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+          FROM toks)),
+      sig AS (SELECT doc_id, {sigs} FROM shingles GROUP BY doc_id),
+      buckets AS ({bands}),
+      ok AS (SELECT band_id, band_hash FROM buckets
+             GROUP BY 1, 2 HAVING count(*) <= {MAX_LSH_BUCKET_SIZE}),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               ({matches}) / {float(N_MINHASH)} AS est_jaccard
+        FROM buckets a
+        JOIN ok ON ok.band_id = a.band_id AND ok.band_hash = a.band_hash
+        JOIN buckets b ON a.band_id = b.band_id
+             AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
+    """
 
 
 def dedup_simhash(
@@ -357,20 +430,25 @@ def dedup_ngram_jaccard(
     max_doc_freq caps the worst posting list: a boilerplate shingle in D
     docs costs D² join rows, so shingles with df > cap are excluded from
     the intersection count (denominators keep the TRUE per-doc shingle
-    counts, so capped Jaccard is a lower bound, never inflated). The df
-    count shares the shuffle key with the self-join (window over sh). The
-    identical cap is applied in the DuckDB oracle — both engines compute
-    the same capped semantics bit-for-bit."""
-    from pyspark.sql.window import Window
-
+    counts, so capped Jaccard is a lower bound, never inflated). The
+    over-cap shingles are found with a map-side-combinable
+    groupBy().count() and removed by broadcast anti-join — not a window,
+    which would buffer the exact degenerate posting list the cap guards
+    against on one reducer. The over-cap set is ≤ total_postings / cap
+    keys, so the broadcast stays small at any corpus size. The identical
+    cap is applied in the DuckDB oracle — both engines compute the same
+    capped semantics bit-for-bit."""
     sh = _shingles(_docs(spark, sf))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     capped = sh
     if max_doc_freq is not None:
-        dfw = Window.partitionBy("sh")
-        capped = sh.withColumn("_df", F.count(F.lit(1)).over(dfw)).filter(
-            F.col("_df") <= max_doc_freq
-        ).drop("_df")
+        over_cap = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("sh")
+        )
+        capped = sh.join(F.broadcast(over_cap), "sh", "left_anti")
     a, b = capped.alias("a"), capped.alias("b")
     inter = (
         a.join(
@@ -605,11 +683,13 @@ N_IVF_CELLS = 16
 IVF_NPROBE = 4
 
 
-def _centroids() -> list[list[float]]:
+def _centroids(k: int = N_IVF_CELLS) -> list[list[float]]:
     """Seeded coarse-quantizer centroids (the trained-kmeans stand-in),
-    rounded to 3dp so identical literals embed in Spark and the oracle."""
+    rounded to 3dp so identical literals embed in Spark and the oracle.
+    Row-major RNG fill ⇒ the first 16 rows are identical for any k ≥ 16,
+    so widening k never perturbs the oracle defaults."""
     rng = np.random.RandomState(7)
-    c = rng.standard_normal((N_IVF_CELLS, EMB_DIM)) * 0.1
+    c = rng.standard_normal((k, EMB_DIM)) * 0.1
     return [[round(float(x), 3) for x in row] for row in c]
 
 
@@ -753,7 +833,8 @@ KMEANS_ITERS = 3
 
 def _assign_df(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
     """vectors → nearest centroid (argmin L2, cell-asc tie-break) against a
-    centroid literal list. One narrow pass — the per-iteration 'E-step'."""
+    centroid literal list. One narrow pass — the per-iteration 'E-step'.
+    Keeps every input column (norm etc.) and appends `cell`."""
     dist_cols = []
     for ci, c in enumerate(cents):
         carr = F.array(*[F.lit(x) for x in c])
@@ -761,7 +842,7 @@ def _assign_df(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
         d2 = _dot(F.col("v"), F.col("v")) - 2.0 * _dot(F.col("v"), carr) + F.lit(c2)
         dist_cols.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
     best = F.array_min(F.array(*dist_cols))
-    return vecs.select("vec_id", "v", best.getField("cell").alias("cell"))
+    return vecs.withColumn("cell", best.getField("cell"))
 
 
 def _means_df(assigned: DataFrame) -> DataFrame:
@@ -781,17 +862,72 @@ def _means_df(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _kmeanspp_init(vecs: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic k-means++-style seeding (farthest-first traversal,
+    Gonzalez 1985 — the argmax variant of the k-means++ D² sampling):
+    start from the min-vec_id vector, then repeatedly take the vector
+    maximizing its distance to the nearest chosen centroid (tie-break
+    min vec_id). k cheap full-scan argmax jobs — each is one narrow pass
+    + a 1-row limit, the standard distributed seeding shape (the data
+    never moves; only one vector crosses to the driver per step)."""
+    first = vecs.orderBy("vec_id").limit(1).collect()[0]
+    chosen: list[list[float]] = [[float(x) for x in first["v"]]]
+    while len(chosen) < k:
+        dists = []
+        for c in chosen:
+            carr = F.array(*[F.lit(x) for x in c])
+            c2 = sum(x * x for x in c)
+            dists.append(
+                _dot(F.col("v"), F.col("v"))
+                - 2.0 * _dot(F.col("v"), carr)
+                + F.lit(c2)
+            )
+        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        nxt = (
+            vecs.select("vec_id", "v", mind.alias("d"))
+            .orderBy(F.desc("d"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append([float(x) for x in nxt["v"]])
+    return chosen
+
+
+# Memo for trained centroids: ann_kmeans_centroids / _assign / _topk share
+# one training run per (sf, iters, k, init) instead of re-running Lloyd's
+# from scratch per contract key. Deterministic, so caching is sound.
+_KMEANS_MEMO: dict[tuple, list[list[float]]] = {}
+
+
 def _kmeans_train(
-    spark: SparkSession, sf: str, iters: int = KMEANS_ITERS
+    spark: SparkSession,
+    sf: str,
+    iters: int = KMEANS_ITERS,
+    k: int = N_IVF_CELLS,
+    init: str = "seeded",
 ) -> tuple[list[list[float]], DataFrame]:
     """Lloyd's k-means over the embedding table, Spark-first: assignment
     and means are DataFrame jobs; only the k×dim centroid table crosses to
     the driver between iterations (the textbook Spark k-means shape — the
     model is small, the data never moves). Returns (centroids after
     `iters` iterations, vectors DF). Empty cells keep their previous
-    centroid. Seeded start = the same literals the static IVF ops use."""
+    centroid.
+
+    k / iters / init are the production knobs (defaults = oracle widths):
+    init='seeded' starts from the same literals the static IVF ops use;
+    init='kmeanspp' runs the deterministic farthest-first seeding
+    (_kmeanspp_init) — better-spread cells on clustered data at the cost
+    of k extra scan jobs."""
     vecs = _vecs_with_norm(_embs(spark, sf)).select("vec_id", "v")
-    cur = _centroids()
+    memo_key = (sf, iters, k, init)
+    if memo_key in _KMEANS_MEMO:
+        return _KMEANS_MEMO[memo_key], vecs
+    if init == "kmeanspp":
+        cur = _kmeanspp_init(vecs, k)
+    elif init == "seeded":
+        cur = _centroids(k)
+    else:
+        raise ValueError(f"unknown k-means init {init!r}")
     for _ in range(iters):
         means = _means_df(_assign_df(vecs, cur)).collect()
         by_cell: dict[int, dict[int, float]] = {}
@@ -802,6 +938,7 @@ def _kmeans_train(
             if ci in by_cell else cur[ci]
             for ci in range(len(cur))
         ]
+    _KMEANS_MEMO[memo_key] = cur
     return cur, vecs
 
 
@@ -895,6 +1032,94 @@ def ann_kmeans_assign_sql() -> str:
         f"WITH {_SQL_VECS}, {_sql_kmeans_cte(KMEANS_ITERS)} "
         f"SELECT vec_id, cell FROM a{KMEANS_ITERS} "
     )
+
+
+def ann_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end trained-IVF ANN: the A3' probe search run against the
+    TRAINED k-means centroids from A4' (not the seeded stand-ins) — train
+    → assign → probe → top-k as one operator, the full production IVF
+    lifecycle. Per query: rank the trained cells by L2, search the
+    IVF_NPROBE nearest cells for cosine top-k. The corpus side never
+    shuffles (assignment is a narrow pass; the tiny probe table
+    broadcasts)."""
+    from pyspark.sql.window import Window
+
+    cents, vecs = _kmeans_train(spark, sf, KMEANS_ITERS)
+    assigned = _assign_df(
+        _vecs_with_norm(_embs(spark, sf)).select("vec_id", "v", "norm"), cents
+    )
+    q = assigned.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    probe_cols = []
+    for ci, c in enumerate(cents):
+        carr = F.array(*[F.lit(x) for x in c])
+        c2 = sum(x * x for x in c)
+        # identical-expression rule (see _ivf_assign_df): dot(qv,qv), not
+        # qnorm², so probe ranking matches the oracle bit-for-bit
+        d2 = (
+            _dot(F.col("qv"), F.col("qv"))
+            - 2.0 * _dot(F.col("qv"), carr)
+            + F.lit(c2)
+        )
+        probe_cols.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    probes = q.select(
+        "q_id", "qv", "qnorm",
+        F.explode(
+            F.slice(F.array_sort(F.array(*probe_cols)), 1, IVF_NPROBE)
+        ).alias("p"),
+    ).select("q_id", "qv", "qnorm", F.col("p.cell").alias("cell"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("q_id", "rank", "vec_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def ann_kmeans_topk_sql() -> str:
+    """Oracle: the unrolled Lloyd CTEs (identical decimal arithmetic) +
+    the probe/search CTEs against the trained cents{K} — certifying
+    training AND search together under the driver's value-hash gate."""
+    it = KMEANS_ITERS
+    return f"""
+      WITH {_SQL_VECS}, {_sql_kmeans_cte(it)},
+      q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM vecs
+            WHERE vec_id < {ANN_N_QUERIES}),
+      probes AS (
+        SELECT q_id, qv, qnorm, cell FROM (
+          SELECT q.q_id, q.qv, q.qnorm, cents{it}.cell,
+                 row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY list_dot_product(q.qv, q.qv)
+                            - 2 * list_dot_product(q.qv, cents{it}.c)
+                            + list_dot_product(cents{it}.c, cents{it}.c),
+                            cents{it}.cell) AS rk
+          FROM q CROSS JOIN cents{it}) WHERE rk <= {IVF_NPROBE}),
+      assigned AS (
+        SELECT a.vec_id, a.v, vecs.norm, a.cell
+        FROM a{it} a JOIN vecs ON vecs.vec_id = a.vec_id),
+      scored AS (
+        SELECT p.q_id, a.vec_id,
+               list_dot_product(p.qv, a.v) / (p.qnorm * a.norm) AS cos_raw
+        FROM assigned a JOIN probes p ON a.cell = p.cell
+        WHERE a.vec_id != p.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cos_raw,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_raw DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id, round(cos_raw, 6) AS cosine
+      FROM ranked WHERE rank <= {ANN_K}
+    """
 
 
 # ================================================================ text
@@ -1331,6 +1556,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embed_cosine": dedup_embed_cosine,
@@ -1341,6 +1567,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_kmeans_centroids": ann_kmeans_centroids,
         "ann_kmeans_assign": ann_kmeans_assign,
+        "ann_kmeans_topk": ann_kmeans_topk,
         "txt_langid": txt_langid,
         "txt_quality": txt_quality,
         "txt_tokens": txt_tokens,
@@ -1355,6 +1582,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": dedup_exact_sql(),
         "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
+        "dedup_minhash_pairs": dedup_minhash_pairs_sql(),
         "dedup_simhash": dedup_simhash_sql(),
         "dedup_ngram_jaccard": dedup_ngram_jaccard_sql(),
         "dedup_embed_cosine": dedup_embed_cosine_sql(),
@@ -1365,6 +1593,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": ann_ivf_topk_sql(),
         "ann_kmeans_centroids": ann_kmeans_centroids_sql(),
         "ann_kmeans_assign": ann_kmeans_assign_sql(),
+        "ann_kmeans_topk": ann_kmeans_topk_sql(),
         "txt_langid": txt_langid_sql(),
         "txt_quality": txt_quality_sql(),
         "txt_tokens": txt_tokens_sql(),

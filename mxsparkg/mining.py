@@ -34,6 +34,25 @@ from mxsparkg.textcore import annotated_to_sequence, is_marker
 
 SEQ_SCHEMA = "doc_id bigint, sequence array<array<string>>"
 
+# Driver-OOM guard for model-sized collects: every collect() in this module
+# pulls a MODEL (rule/pattern/candidate set), small by construction
+# (support thresholds + top-k prune) — but a pathological min_support could
+# make the candidate set corpus-sized. Probe with limit(N+1) (one extra row,
+# not a full count) and fail fast instead of discovering the OOM mid-collect.
+MAX_MODEL_ROWS = 500_000
+
+
+def guarded_collect(df: DataFrame, what: str, max_rows: int = MAX_MODEL_ROWS):
+    """collect() with an explicit row bound and an actionable error."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: more than {max_rows} rows would be collected to the "
+            "driver — raise min_support/min_confidence (or max_rows if this "
+            "model size is intended)"
+        )
+    return df.collect()
+
 
 # ------------------------------------------------------------- sequences
 
@@ -177,7 +196,10 @@ def recount_contiguous(
     a map-side-combined aggregation, no pair shuffle."""
     spark = seq.sparkSession
     cands = [
-        (r["pattern"], r["etype"]) for r in candidates.select("pattern", "etype").collect()
+        (r["pattern"], r["etype"])
+        for r in guarded_collect(
+            candidates.select("pattern", "etype"), "recount_contiguous candidates"
+        )
     ]
     bc = spark.sparkContext.broadcast(cands)
 
@@ -316,7 +338,7 @@ def rules_to_model(rules: DataFrame) -> list[dict]:
             "score": float(r["score"]),
             "rule_id": int(r["rule_id"]),
         }
-        for r in rules.collect()
+        for r in guarded_collect(rules, "rules_to_model")
     ]
 
 
@@ -620,9 +642,10 @@ def mine_predicates(
     labeled = labeled_relation_examples(annotated, seed_triples, max_middle)
     labeled.persist()
     try:
-        cand_rows = _candidate_patterns(
-            labeled, min_support_frac, max_middle
-        ).collect()
+        cand_rows = guarded_collect(
+            _candidate_patterns(labeled, min_support_frac, max_middle),
+            "mine_predicates candidates",
+        )
         cands = [(r["pred"], tuple(r["bracket"])) for r in cand_rows]
         counted = recount_predicates(labeled, cands)
         return score_predicates(counted, min_support, min_confidence)
@@ -637,5 +660,7 @@ def pred_patterns_to_model(patterns: DataFrame) -> list[dict]:
     construction (confidence filter + equivalence-class dedup)."""
     return [
         {"pred": r["pred"], "pattern": list(r["pattern"])}
-        for r in patterns.orderBy("pattern_id").collect()
+        for r in guarded_collect(
+            patterns.orderBy("pattern_id"), "pred_patterns_to_model"
+        )
     ]

@@ -66,6 +66,7 @@ def run_pipeline(
     langs: list[str] | None = None,
     incremental: bool = False,
     overlap_stages: bool = True,
+    reliable_checkpoint_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     ck = Checkpointer(spark, checkpoint_root)
     model_bc = broadcast_model(spark, rules, pred_patterns)
@@ -122,7 +123,13 @@ def run_pipeline(
     aliases = read_table(spark, alias_clusters_path)
 
     def s_canon(_: DataFrame) -> DataFrame:
-        return G.connected_components(G.sameas_edges(aliases))
+        # reliable_checkpoint_dir switches CC's per-round truncation from
+        # localCheckpoint to durable checkpoint() — the cluster-safe mode
+        # (survives executor loss on a real 1000-executor run)
+        return G.connected_components(
+            G.sameas_edges(aliases),
+            reliable_checkpoint_dir=reliable_checkpoint_dir,
+        )
 
     pool = ThreadPoolExecutor(max_workers=2) if overlap_stages else None
     canon_fut = (

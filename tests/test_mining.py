@@ -108,3 +108,18 @@ def test_mined_model_tagger_parity(mined_model, fixture_dir):
     precision, recall = tp / len(pred), tp / len(gold)
     assert precision >= 0.95
     assert recall >= 0.95
+
+
+def test_guarded_collect_caps_model_size(spark):
+    """Driver-OOM guard: model-sized collects probe the row count first and
+    fail fast with an actionable error instead of collecting an unbounded
+    candidate set (a pathological min_support would otherwise OOM the
+    driver mid-collect)."""
+    import pytest
+
+    from mxsparkg.mining import guarded_collect
+
+    df = spark.range(100).toDF("id")
+    assert len(guarded_collect(df, "small model", max_rows=100)) == 100
+    with pytest.raises(ValueError, match="small model"):
+        guarded_collect(df, "small model", max_rows=99)

@@ -289,3 +289,33 @@ def test_overlap_scheduling_equivalence(spark, tiny_fixtures):
         assert _rows(seq[tbl]) == _rows(ovl[tbl]), tbl
     shutil.rmtree("/tmp/mxsparkg_test_ckpt_seq", ignore_errors=True)
     shutil.rmtree("/tmp/mxsparkg_test_ckpt_ovl", ignore_errors=True)
+
+
+def test_pipeline_propagates_reliable_checkpoint(
+    spark, tiny_fixtures, tmp_path, monkeypatch
+):
+    """--reliable-checkpoint reaches connected_components: the cluster-safe
+    CC mode (durable per-round checkpoint()) must be drivable from the
+    spark-submit surface, not only the API."""
+    import mxsparkg.pipeline as P
+
+    captured = {}
+    orig = P.G.connected_components
+
+    def spy(edges, **kw):
+        captured.update(kw)
+        return orig(edges, **kw)
+
+    monkeypatch.setattr(P.G, "connected_components", spy)
+    rck = str(tmp_path / "reliable_ck")
+    P.run_pipeline(
+        spark,
+        f"{tiny_fixtures}/pages.parquet",
+        f"{tiny_fixtures}/entity_dict.parquet",
+        f"{tiny_fixtures}/gold_canon.parquet",
+        str(tmp_path / "ck"),
+        with_metrics=False,
+        overlap_stages=False,
+        reliable_checkpoint_dir=rck,
+    )
+    assert captured.get("reliable_checkpoint_dir") == rck

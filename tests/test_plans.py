@@ -72,3 +72,24 @@ def test_filter_pushdown_reaches_scan(spark, tiny_fixtures):
     plan = _plan(pages)
     assert "PushedFilters" in plan
     assert "lang" in plan
+
+
+def test_dedup_caps_have_no_window_buffering(spark):
+    """The hot-key caps (shingle df / LSH bucket size) must be computed as
+    map-side-combinable groupBy counts + broadcast anti-joins of the tiny
+    over-cap key set — NOT count-over-partition windows, which buffer the
+    whole degenerate group on one reducer (the exact skew the cap defuses)."""
+    from mxsparkg.datapipe import (
+        _docs,
+        dedup_ngram_jaccard,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    p1 = _plan(dedup_ngram_jaccard(spark, sf))
+    assert "Window" not in p1
+    assert "LeftAnti" in p1 and "BroadcastHashJoin" in p1
+    p2 = _plan(minhash_candidate_pairs(minhash_signatures(_docs(spark, sf))))
+    assert "Window" not in p2
+    assert "LeftAnti" in p2 and "BroadcastHashJoin" in p2
