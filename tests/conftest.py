@@ -24,3 +24,9 @@ def tiny_fixtures():
 @pytest.fixture(scope="session")
 def sf001():
     return "/root/testdata/sf0.001"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running full-gate checks (still run by default)"
+    )
