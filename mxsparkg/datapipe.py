@@ -1385,22 +1385,25 @@ def mm_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _decode_real(blob):  # pragma: no cover - no media libs in sandbox
-    """Slot for lib-backed decode of compressed formats (JPEG/MP3/MP4 need
-    PIL/ffmpeg — not in this container). Uncompressed BMP/WAV are decoded
-    for real by _parse_media below; route compressed magics here."""
+    """Slot for lib-backed decode of formats needing external codecs
+    (JPEG/MP3/MP4 need PIL/ffmpeg — not in this container). BMP/WAV and
+    zlib-compressed PNG are decoded for real by _parse_media below; route
+    other magics here."""
     raise NotImplementedError(
-        "compressed image/audio decode needs PIL/ffmpeg; wire them in here"
+        "JPEG/MP3/MP4 decode needs PIL/ffmpeg; wire them in here"
     )
 
 
-# ---- real pure-Python codecs (uncompressed BMP + PCM WAV) ----------------
+# ---- real pure-Python codecs (BMP + PCM WAV + compressed PNG) ------------
 #
 # These are not stubs: _encode_* emit spec-conformant files (BITMAPINFOHEADER
-# BMP with BI_RGB 24bpp + 4-byte row padding; RIFF/WAVE with PCM fmt chunk)
-# and _parse_media reads ONLY the binary headers back with struct.unpack.
-# The mm_decode oracle recomputes every field arithmetically from doc_id, so
-# an encoder/parser that disagreed with the spec-derived sizes would fail
-# the driver's value-hash gate.
+# BMP with BI_RGB 24bpp + 4-byte row padding; RIFF/WAVE with PCM fmt chunk;
+# PNG with CRC-checked IHDR/IDAT/IEND chunks and zlib-compressed filtered
+# scanlines) and the parsers read ONLY the binary stream back (struct.unpack
+# headers; zlib.decompress for PNG pixel data). The mm_decode/mm_decode_png
+# oracles recompute every field arithmetically from doc_id, so an
+# encoder/parser that disagreed with the spec-derived sizes would fail the
+# driver's value-hash gate.
 
 def _encode_bmp(width: int, height: int, seed: int) -> bytes:
     import struct
@@ -1430,11 +1433,101 @@ def _encode_wav(sample_rate: int, n_samples: int, seed: int) -> bytes:
     return hdr + body
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _encode_png(width: int, height: int, seed: int) -> bytes:
+    """Minimal spec-conformant PNG: 8-bit grayscale, filter type 0 per
+    scanline, one zlib-compressed IDAT, CRC32 on every chunk. Pure stdlib
+    (struct + zlib) — a REAL compressed format with no external deps."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((seed + y * width + x) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(blob: bytes) -> dict:
+    """Real PNG decode: walk the chunk stream (verifying each CRC), parse
+    IHDR, zlib-DECOMPRESS the concatenated IDAT data and check it against
+    the exact filtered-scanline size the IHDR implies — so a wrong
+    compressor, a corrupt stream or a lying header all fail loudly.
+    Returns grayscale-8 metadata incl. n_pixels from the decompressed
+    bytes (not from the header)."""
+    import struct
+    import zlib
+
+    if blob[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    width = height = bit_depth = color_type = None
+    idat = b""
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack_from(
+                ">IIBB", data, 0
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG stream has no IHDR")
+    raw = zlib.decompress(idat)
+    if bit_depth == 8 and color_type == 0:  # grayscale: 1 byte/px + filter
+        expected = height * (1 + width)
+        if len(raw) != expected:
+            raise ValueError(
+                f"PNG pixel data {len(raw)}B != expected {expected}B"
+            )
+    return {
+        "media_type": "image",
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "n_pixels": (len(raw) - height) if color_type == 0 else width * height,
+    }
+
+
 def _parse_media(blob: bytes) -> dict:
     """Sniff magic bytes, parse the real header. Returns media_type plus
     typed metadata; unknown magics fall through to the lib slot."""
     import struct
 
+    if blob[:8] == PNG_MAGIC:
+        p = _parse_png(blob)
+        return {
+            "media_type": "image",
+            "n_bytes": len(blob),
+            "width": p["width"],
+            "height": p["height"],
+            "sample_rate": 0,
+            "n_samples": 0,
+            "bit_depth": p["bit_depth"],
+        }
     if blob[:2] == b"BM":
         file_size, = struct.unpack_from("<I", blob, 2)
         width, height = struct.unpack_from("<ii", blob, 18)
@@ -1479,14 +1572,40 @@ MM_REAL_SCHEMA = StructType(
 )
 
 
-def mm_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """Real multimodal decode over an opaque binary media column: even
-    doc_ids carry a BMP image, odd a PCM WAV, generated deterministically
-    from doc_id (the sandbox stand-in for reading a real media column —
-    same Arrow batch shape either way), then DECODED by parsing the actual
-    binary headers. The oracle recomputes every field from doc_id
-    arithmetic (incl. the BMP 4-byte row-stride padding), so this key
-    certifies the codec round-trip, not just plumbing.
+def _media_column_df(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, media: binary) — deterministic BMP/WAV blobs as a REAL
+    binary column (the sandbox stand-in for a stored media column; the
+    driver's tables carry no binaries, so the column is materialized by a
+    dedicated encode pass and the decoder downstream sees only bytes)."""
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    blobs.append(_encode_bmp(4 + d % 29, 3 + d % 17, seed=d))
+                else:
+                    blobs.append(
+                        _encode_wav(8000 + (d % 3) * 4000, 50 + d % 100, seed=d)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    return (
+        _docs(spark, sf)
+        .select("doc_id")
+        .mapInPandas(encode, "doc_id long, media binary")
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """The production decode operator: (doc_id, media: binary) → typed
+    metadata by parsing the actual bytes (BMP/WAV headers, PNG chunk
+    stream). Reusable over ANY DataFrame with a binary media column —
+    the fixture corpus ships one (media.parquet) and tests drive this
+    straight off parquet.
 
     Scale posture: mapInPandas over Arrow batches, one narrow Python pass,
     no shuffle; fat blobs stay inside the partition that read them."""
@@ -1496,26 +1615,93 @@ def mm_decode(spark: SparkSession, sf: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                if d % 2 == 0:
-                    blob = _encode_bmp(4 + d % 29, 3 + d % 17, seed=d)
-                else:
-                    blob = _encode_wav(
-                        8000 + (d % 3) * 4000, 50 + d % 100, seed=d
-                    )
-                meta = _parse_media(blob)
-                rows.append({"doc_id": d, **meta})
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                meta = _parse_media(bytes(blob))
+                rows.append({"doc_id": int(doc_id), **meta})
             yield pd.DataFrame(
                 rows,
                 columns=[f.name for f in MM_REAL_SCHEMA.fields],
             )
 
-    return (
+    return media.mapInPandas(decode, MM_REAL_SCHEMA)
+
+
+def mm_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Real multimodal decode END-TO-END over an opaque binary column:
+    encode pass materializes (doc_id, media: binary) — even doc_ids a BMP,
+    odd a PCM WAV — then decode_media() parses the actual bytes back. The
+    decoder consumes only the binary column (never doc_id arithmetic), and
+    the oracle recomputes every field from doc_id (incl. the BMP 4-byte
+    row-stride padding), so this key certifies the encode→column→parse
+    round-trip, not just plumbing."""
+    return decode_media(_media_column_df(spark, sf))
+
+
+MM_PNG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bit_depth", LongType()),
+        StructField("color_type", LongType()),
+        StructField("n_pixels", LongType()),
+    ]
+)
+
+
+def mm_decode_png(spark: SparkSession, sf: str) -> DataFrame:
+    """Compressed-format decode, pure stdlib: encode pass writes a REAL
+    zlib-compressed PNG per doc into a binary column; decode pass walks
+    the chunk stream (CRC-verified), parses IHDR and DECOMPRESSES the
+    IDAT pixel data, deriving n_pixels from the decompressed byte count —
+    not the header. The oracle recomputes width/height/n_pixels from
+    doc_id arithmetic, so a broken compressor, chunk writer or parser
+    fails the value-hash gate. This is the declared-slot upgrade for
+    compressed media: same mapInPandas shape a JPEG/PIL decoder drops
+    into."""
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = [
+                _encode_png(4 + int(d) % 13, 3 + int(d) % 11, seed=int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                meta = _parse_png(bytes(blob))
+                rows.append({"doc_id": int(doc_id), **meta})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MM_PNG_SCHEMA.fields]
+            )
+
+    media = (
         _docs(spark, sf)
         .select("doc_id")
-        .mapInPandas(decode, MM_REAL_SCHEMA)
+        .mapInPandas(encode, "doc_id long, media binary")
     )
+    return media.mapInPandas(decode, MM_PNG_SCHEMA)
+
+
+def mm_decode_png_sql() -> str:
+    return """
+      SELECT doc_id,
+        'image' AS media_type,
+        4 + doc_id % 13 AS width,
+        3 + doc_id % 11 AS height,
+        8 AS bit_depth,
+        0 AS color_type,
+        (4 + doc_id % 13) * (3 + doc_id % 11) AS n_pixels
+      FROM documents
+    """
 
 
 def mm_decode_sql() -> str:
@@ -1574,6 +1760,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint": txt_fingerprint,
         "mm_decode_stub": mm_decode_stub,
         "mm_decode": mm_decode,
+        "mm_decode_png": mm_decode_png,
         "grp_apply_pandas": grp_apply_pandas,
     }
 
@@ -1600,5 +1787,6 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_fingerprint": txt_fingerprint_sql(),
         "mm_decode_stub": mm_decode_stub_sql(),
         "mm_decode": mm_decode_sql(),
+        "mm_decode_png": mm_decode_png_sql(),
         "grp_apply_pandas": grp_apply_pandas_sql(),
     }

@@ -215,3 +215,48 @@ def test_mm_decode_stub_schema_and_determinism(spark):
         assert r.media_type == {0: "image", 1: "audio", 2: "video"}[r.doc_id % 3]
         assert r.width == 160 + (r.n_bytes % 8) * 80
         assert (r.n_frames == 1) == (r.media_type != "video") or r.n_bytes % 24 == 0
+
+
+def test_png_codec_roundtrip_and_integrity():
+    """Pure-python PNG codec: spec round-trip, CRC verification, and the
+    decompressed-size check all bind (a corrupt stream must not decode)."""
+    import pytest
+
+    from mxsparkg.datapipe import _encode_png, _parse_png
+
+    blob = _encode_png(7, 5, seed=42)
+    meta = _parse_png(blob)
+    assert meta == {
+        "media_type": "image", "width": 7, "height": 5,
+        "bit_depth": 8, "color_type": 0, "n_pixels": 35,
+    }
+    # flip one pixel byte inside IDAT → chunk CRC must catch it
+    corrupt = bytearray(blob)
+    corrupt[len(blob) // 2] ^= 0xFF
+    with pytest.raises(Exception):
+        _parse_png(bytes(corrupt))
+    # non-PNG bytes rejected
+    with pytest.raises(ValueError):
+        _parse_png(b"BM" + b"\x00" * 50)
+
+
+def test_decode_media_reads_binary_column_from_parquet(spark, tiny_fixtures):
+    """The multimodal decoder consumes a REAL stored binary column: read
+    fixtures' media.parquet (BMP/WAV/PNG blobs) and check every parsed
+    field against the generator's arithmetic."""
+    from mxsparkg.datapipe import decode_media
+
+    media = spark.read.parquet(f"{tiny_fixtures}/media.parquet")
+    assert dict(media.dtypes)["media"] == "binary"
+    rows = {int(r.doc_id): r for r in decode_media(media).collect()}
+    assert len(rows) == 200
+    for i, r in rows.items():
+        if i % 3 == 0:      # BMP
+            assert (r.media_type, r.width, r.height, r.bit_depth) == (
+                "image", 4 + i % 29, 3 + i % 17, 24)
+        elif i % 3 == 1:    # PCM WAV
+            assert (r.media_type, r.sample_rate, r.n_samples, r.bit_depth) == (
+                "audio", 8000 + (i % 3) * 4000, 50 + i % 100, 16)
+        else:               # compressed PNG
+            assert (r.media_type, r.width, r.height, r.bit_depth) == (
+                "image", 4 + i % 13, 3 + i % 11, 8)
