@@ -260,3 +260,23 @@ def test_decode_media_reads_binary_column_from_parquet(spark, tiny_fixtures):
         else:               # compressed PNG
             assert (r.media_type, r.width, r.height, r.bit_depth) == (
                 "image", 4 + i % 13, 3 + i % 11, 8)
+
+
+def test_kmeans_parameterized_invariance_and_kmeanspp(spark):
+    """(k, iters, init) knobs: defaults reproduce the oracle-checked
+    training exactly (the gate pins values; here we pin the path), wider k
+    keeps the seeded prefix stable, and the deterministic farthest-first
+    (k-means++-style) init yields k distinct centroids and trains."""
+    import pytest
+
+    from mxsparkg.datapipe import _centroids, _kmeans_train
+
+    a, _ = _kmeans_train(spark, SF)
+    b, _ = _kmeans_train(spark, SF, iters=3, k=16, init="seeded")
+    assert a == b  # explicit defaults == implicit defaults (and memo hit)
+    assert _centroids(20)[:16] == _centroids()
+    pp, _ = _kmeans_train(spark, SF, iters=1, k=4, init="kmeanspp")
+    assert len(pp) == 4
+    assert len({tuple(c) for c in pp}) == 4
+    with pytest.raises(ValueError, match="init"):
+        _kmeans_train(spark, SF, init="bogus")
