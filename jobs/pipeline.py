@@ -62,11 +62,24 @@ def main() -> None:
     ap.add_argument("--salted", action="store_true",
                     help="salted (host, salt) repartition before detect "
                          "(for host-clustered input layouts)")
+    ap.add_argument("--fold-triples", action="store_true",
+                    help="don't materialize the canonical-triples table: "
+                         "the edges rollup consumes the detect checkpoint "
+                         "through one fused job (link+rewrite+rollup), "
+                         "cutting a full write+read of the largest "
+                         "intermediate; resume granularity falls back to "
+                         "the detect checkpoint")
     ap.add_argument("--reliable-checkpoint", default=None, metavar="DIR",
                     help="durable-storage dir for connected-components "
                          "per-round checkpoints (cluster-safe mode: survives "
                          "executor loss; default localCheckpoint)")
     args = ap.parse_args()
+
+    from mxsparkg.pipeline import DEFAULT_CHECKPOINT_STAGES
+
+    ck_stages = DEFAULT_CHECKPOINT_STAGES
+    if args.fold_triples:
+        ck_stages = tuple(s for s in ck_stages if s != "triples")
 
     spark = SparkSession.builder.appName("mxsparkg-pipeline").getOrCreate()
     t0 = time.time()
@@ -94,6 +107,7 @@ def main() -> None:
         langs=args.langs.split(",") if args.langs else None,
         incremental=args.incremental,
         reliable_checkpoint_dir=args.reliable_checkpoint,
+        checkpoint_stages=ck_stages,
     )
     if args.light_summary:
         import json as _json
@@ -103,7 +117,20 @@ def main() -> None:
                     args.checkpoint, f"{stage}._manifest.json")) as f:
                 return _json.load(f)["rows"]
 
-        n_total = _rows("triples")
+        if args.fold_triples:
+            # no triples checkpoint — but the edges rollup counts every
+            # canonical triple exactly once in n_support, so its sum IS
+            # the triples row count (tiny pyarrow read, no Spark job)
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pds
+
+            n_total = pc.sum(
+                pds.dataset(
+                    os.path.join(args.checkpoint, "edges"), format="parquet"
+                ).to_table(columns=["n_support"]).column("n_support")
+            ).as_py()
+        else:
+            n_total = _rows("triples")
         n_triples = -1  # distinct scan skipped in light mode
         n_nodes = _rows("nodes")
         n_edges = _rows("edges")

@@ -319,3 +319,30 @@ def test_pipeline_propagates_reliable_checkpoint(
         reliable_checkpoint_dir=rck,
     )
     assert captured.get("reliable_checkpoint_dir") == rck
+
+
+def test_fold_triples_equivalence(spark, tiny_fixtures, pipeline_result, tmp_path):
+    """Folding the triples materialization into the edges job (the bench
+    configuration) must not change any result: edges/nodes identical, and
+    sum(n_support) over edges reproduces the triples row count exactly."""
+    folded = run_pipeline(
+        spark,
+        f"{tiny_fixtures}/pages.parquet",
+        f"{tiny_fixtures}/entity_dict.parquet",
+        f"{tiny_fixtures}/gold_canon.parquet",
+        str(tmp_path / "fold_ck"),
+        with_metrics=False,
+        checkpoint_stages=("detect", "canon_map", "edges", "nodes"),
+    )
+    base_edges = {
+        (r.subj, r.pred, r.obj, r.n_support)
+        for r in pipeline_result["edges"].collect()
+    }
+    fold_edges = {
+        (r.subj, r.pred, r.obj, r.n_support)
+        for r in folded["edges"].collect()
+    }
+    assert base_edges == fold_edges
+    assert folded["nodes"].count() == pipeline_result["nodes"].count()
+    n_support_sum = sum(n for _, _, _, n in fold_edges)
+    assert n_support_sum == pipeline_result["triples"].count()
