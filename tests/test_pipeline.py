@@ -223,6 +223,35 @@ def test_lang_filter_pushed_to_scan(spark, tiny_fixtures):
     assert langs == {"fr"}
 
 
+def test_fold_triples_equivalence(spark, tiny_fixtures, pipeline_result, tmp_path):
+    """Folding the triples materialization into the edges job (the bench
+    configuration) must not change any result: edges/nodes identical, and
+    sum(n_support) over edges reproduces the triples row count exactly.
+    Must run BEFORE test_zz_* (which rewrites the shared checkpoint dir
+    that pipeline_result's lazy DataFrames read from)."""
+    folded = run_pipeline(
+        spark,
+        f"{tiny_fixtures}/pages.parquet",
+        f"{tiny_fixtures}/entity_dict.parquet",
+        f"{tiny_fixtures}/gold_canon.parquet",
+        str(tmp_path / "fold_ck"),
+        with_metrics=False,
+        checkpoint_stages=("detect", "canon_map", "edges", "nodes"),
+    )
+    base_edges = {
+        (r.subj, r.pred, r.obj, r.n_support)
+        for r in pipeline_result["edges"].collect()
+    }
+    fold_edges = {
+        (r.subj, r.pred, r.obj, r.n_support)
+        for r in folded["edges"].collect()
+    }
+    assert base_edges == fold_edges
+    assert folded["nodes"].count() == pipeline_result["nodes"].count()
+    n_support_sum = sum(n for _, _, _, n in fold_edges)
+    assert n_support_sum == pipeline_result["triples"].count()
+
+
 def test_zz_resume_after_midpipeline_death(spark, tiny_fixtures, pipeline_result):
     """SURVEY §5.5b: simulate dying between stages — drop the manifests of
     every stage after detect (as if the job was killed mid-canonicalize);
@@ -321,28 +350,3 @@ def test_pipeline_propagates_reliable_checkpoint(
     assert captured.get("reliable_checkpoint_dir") == rck
 
 
-def test_fold_triples_equivalence(spark, tiny_fixtures, pipeline_result, tmp_path):
-    """Folding the triples materialization into the edges job (the bench
-    configuration) must not change any result: edges/nodes identical, and
-    sum(n_support) over edges reproduces the triples row count exactly."""
-    folded = run_pipeline(
-        spark,
-        f"{tiny_fixtures}/pages.parquet",
-        f"{tiny_fixtures}/entity_dict.parquet",
-        f"{tiny_fixtures}/gold_canon.parquet",
-        str(tmp_path / "fold_ck"),
-        with_metrics=False,
-        checkpoint_stages=("detect", "canon_map", "edges", "nodes"),
-    )
-    base_edges = {
-        (r.subj, r.pred, r.obj, r.n_support)
-        for r in pipeline_result["edges"].collect()
-    }
-    fold_edges = {
-        (r.subj, r.pred, r.obj, r.n_support)
-        for r in folded["edges"].collect()
-    }
-    assert base_edges == fold_edges
-    assert folded["nodes"].count() == pipeline_result["nodes"].count()
-    n_support_sum = sum(n for _, _, _, n in fold_edges)
-    assert n_support_sum == pipeline_result["triples"].count()
