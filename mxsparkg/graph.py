@@ -83,6 +83,7 @@ def connected_components(
     max_iter: int = 50,
     driver_threshold: int = 200_000,
     reliable_checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) strings → canon_map(entity_id, canon_id).
 
@@ -103,7 +104,10 @@ def connected_components(
     (executor-local, fastest) by default — fine at local[N], but a long CC
     run on a real cluster loses rounds on executor death. Pass a
     durable-storage dir to switch to reliable checkpoint() (survives
-    executor loss at the cost of one write per round)."""
+    executor loss at the cost of one write per round).
+
+    stats: optional dict the call fills with {'path': 'driver'|'distributed',
+    'rounds': k} — observability for bench/ops, no behavior change."""
     spark = edges.sparkSession
     if reliable_checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
@@ -122,6 +126,8 @@ def connected_components(
     try:
         n_edges = cur.limit(driver_threshold + 1).count()
         if n_edges <= driver_threshold:
+            if stats is not None:
+                stats.update(path="driver", rounds=0)
             pairs = [(r["src"], r["dst"]) for r in cur.collect()]
             out = _driver_cc(pairs)
             if not out:
@@ -145,13 +151,17 @@ def connected_components(
         return (r["n"], r["h"])
 
     sig_cur = _sig(cur)
+    rounds = 0
     for _ in range(max_iter):
         nxt = _ckpt(_small_star(_large_star(cur)))
         sig_nxt = _sig(nxt)
         cur = nxt
+        rounds += 1
         if sig_cur == sig_nxt:
             break
         sig_cur = sig_nxt
+    if stats is not None:
+        stats.update(path="distributed", rounds=rounds)
     # after convergence every edge is (node, root) with root = component min
     members = cur.select(F.col("src").alias("entity_id"), F.col("dst").alias("canon_id"))
     roots = cur.select(F.col("dst").alias("entity_id")).distinct().withColumn(
