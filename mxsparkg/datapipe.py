@@ -1286,6 +1286,204 @@ def txt_fingerprint_sql() -> str:
     """
 
 
+WINNOW_K = 4   # token k-gram size
+WINNOW_W = 4   # winnowing window (guarantee: any match >= w+k-1 tokens shares a fingerprint)
+
+
+def txt_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash token k-grams, keep the minimum hash of every
+    w-window — any shared run of >= w+k-1 tokens between two documents is
+    guaranteed to share a fingerprint, which makes this the standard
+    partial-overlap/near-dup prefilter (robust where whole-doc MinHash is
+    not: plagiarized paragraphs inside otherwise-different pages). Pure
+    higher-order array functions — whole-stage codegen, zero Python, zero
+    shuffle; at 100 TB this is a narrow map over the corpus."""
+    grams = (
+        "transform(sequence(0, size(w) - {k}), i -> "
+        "md5(concat_ws(' ', slice(w, i + 1, {k}))))"
+    ).format(k=WINNOW_K)
+    minima = (
+        f"transform(sequence(0, size(h) - {WINNOW_W}), "
+        f"i -> array_min(slice(h, i + 1, {WINNOW_W})))"
+    )
+    return (
+        _docs(spark, sf)
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .withColumn(
+            "h",
+            F.when(F.size("w") >= WINNOW_K, F.expr(grams))
+            .otherwise(F.array().cast("array<string>")),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.size("h") >= WINNOW_W,
+                F.expr(f"array_sort(array_distinct({minima}))"),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("fps"),
+        )
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fingerprints"),
+            F.md5(F.array_join("fps", "|").cast("binary")).alias("fp_digest"),
+        )
+    )
+
+
+def txt_winnow_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      hashed AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= {k} THEN
+                 list_transform(range(1, len(w) - {k} + 2),
+                                i -> md5(array_to_string(w[i:i+{k}-1], ' ')))
+               ELSE [] END AS h
+        FROM toks),
+      winnowed AS (
+        SELECT doc_id,
+               CASE WHEN len(h) >= {w} THEN
+                 list_sort(list_distinct(
+                   list_transform(range(1, len(h) - {w} + 2),
+                                  i -> list_min(h[i:i+{w}-1]))))
+               ELSE [] END AS fps
+        FROM hashed)
+      SELECT doc_id, len(fps) AS n_fingerprints,
+             md5(array_to_string(fps, '|')) AS fp_digest
+      FROM winnowed
+    """
+
+
+def txt_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 repetition
+    filters, adapted to the word level): duplicate-token fraction and
+    top-bigram fraction — the standard 'is this page degenerate/boilerplate'
+    screens. Relational shape: explode + two-level groupBy, map-side
+    combined; the per-doc reduce keys are (doc_id, bigram) so no reducer
+    ever sees more than one document's postings."""
+    toks = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    base = toks.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.expr(
+            "transform(sequence(0, size(w) - 2), i -> "
+            "concat(w[i], ' ', w[i+1]))"
+        ).alias("bi"),
+    )
+    bi_counts = (
+        base.select("doc_id", F.explode("bi").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    dup_ratio = F.round(
+        (F.col("n_tokens") - F.col("n_distinct"))
+        / F.greatest(F.col("n_tokens"), F.lit(1)),
+        6,
+    )
+    top_bi = F.round(
+        F.col("top_bigram_n") / F.greatest(F.col("n_bigrams"), F.lit(1)), 6
+    )
+    return (
+        base.select("doc_id", "n_tokens", "n_distinct")
+        .join(bi_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_ratio.alias("dup_token_ratio"),
+            F.coalesce(top_bi, F.lit(0.0)).alias("top_bigram_ratio"),
+        )
+    )
+
+
+def txt_repetition_sql() -> str:
+    return """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      base AS (
+        SELECT doc_id, len(w) AS n_tokens,
+               len(list_distinct(w)) AS n_distinct,
+               list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1]) AS bi
+        FROM toks),
+      bic AS (
+        SELECT doc_id, bg, count(*) AS c
+        FROM (SELECT doc_id, unnest(bi) AS bg FROM base) GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+        FROM bic GROUP BY 1)
+      SELECT b.doc_id, b.n_tokens,
+             round((b.n_tokens - b.n_distinct)
+                   / greatest(b.n_tokens, 1), 6) AS dup_token_ratio,
+             coalesce(round(a.top_bigram_n
+                            / greatest(a.n_bigrams, 1), 6), 0.0)
+               AS top_bigram_ratio
+      FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+    """
+
+
+# PII-ish patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+_RE_EMAIL = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+"
+_RE_PHONE = "[0-9]{3}-[0-9]{4}"
+
+
+def txt_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (the standard pre-training redaction pass): count and
+    redact email/phone patterns. The driver corpus is clean word salad, so
+    the query PLANTS deterministic PII in-query (doc_id % 5 == 0 gets an
+    email + phone derived from the first token — same expression in the
+    oracle), making the redaction measurably non-vacuous under the
+    value-hash gate. Built-in regex fns only — codegen, no shuffle."""
+    docs = _docs(spark, sf).select("doc_id", "text")
+    planted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.element_at(F.split("text", " "), 1),
+            F.lit("@example.com call 555-0199"),
+        ),
+    ).otherwise(F.col("text"))
+    with_pii = docs.select("doc_id", planted.alias("t"))
+    n_email = F.size(F.expr(f"regexp_extract_all(t, '{_RE_EMAIL}', 0)"))
+    n_phone = F.size(F.expr(f"regexp_extract_all(t, '{_RE_PHONE}', 0)"))
+    clean = F.regexp_replace(
+        F.regexp_replace("t", _RE_EMAIL, "<EMAIL>"),
+        _RE_PHONE,
+        "<PHONE>",
+    )
+    return with_pii.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        F.md5(clean.cast("binary")).alias("clean_digest"),
+    )
+
+
+def txt_redact_sql() -> str:
+    return f"""
+      WITH pii AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN
+                 text || ' contact ' || string_split(text, ' ')[1]
+                      || '@example.com call 555-0199'
+               ELSE text END AS t
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(t, '{_RE_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(t, '{_RE_PHONE}')) AS n_phones,
+             md5(regexp_replace(
+                   regexp_replace(t, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                   '{_RE_PHONE}', '<PHONE>', 'g')) AS clean_digest
+      FROM pii
+    """
+
+
 # ====================================================== per-group pandas
 
 GRP_SCHEMA = StructType(
@@ -1758,6 +1956,9 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": txt_quality,
         "txt_tokens": txt_tokens,
         "txt_fingerprint": txt_fingerprint,
+        "txt_winnow": txt_winnow,
+        "txt_repetition": txt_repetition,
+        "txt_redact": txt_redact,
         "mm_decode_stub": mm_decode_stub,
         "mm_decode": mm_decode,
         "mm_decode_png": mm_decode_png,
@@ -1785,6 +1986,9 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_quality": txt_quality_sql(),
         "txt_tokens": txt_tokens_sql(),
         "txt_fingerprint": txt_fingerprint_sql(),
+        "txt_winnow": txt_winnow_sql(),
+        "txt_repetition": txt_repetition_sql(),
+        "txt_redact": txt_redact_sql(),
         "mm_decode_stub": mm_decode_stub_sql(),
         "mm_decode": mm_decode_sql(),
         "mm_decode_png": mm_decode_png_sql(),

@@ -280,3 +280,69 @@ def test_kmeans_parameterized_invariance_and_kmeanspp(spark):
     assert len({tuple(c) for c in pp}) == 4
     with pytest.raises(ValueError, match="init"):
         _kmeans_train(spark, SF, init="bogus")
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing property: two documents sharing a run of >= w+k-1 tokens
+    are GUARANTEED to share a fingerprint; disjoint docs don't collide."""
+    import mxsparkg.datapipe as dp
+    from mxsparkg.datapipe import txt_winnow
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= w+k-1=7
+    docs = spark.createDataFrame(
+        [
+            (0, f"one two {shared} three four"),
+            (1, f"five six seven {shared} eight"),
+            (2, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+        ],
+        "doc_id long, text string",
+    )
+    orig = dp._docs
+    try:
+        dp._docs = lambda s, sf: docs
+        # recompute raw fingerprint sets (the key only exposes the digest)
+        rows = {r.doc_id: r for r in txt_winnow(spark, "").collect()}
+    finally:
+        dp._docs = orig
+    assert rows[0].n_fingerprints > 0
+    # digest equality would be too strong (different docs); the guarantee
+    # is on the underlying sets — check via a direct HOF recomputation
+    from pyspark.sql import functions as F
+
+    def fps(text):
+        k, w = dp.WINNOW_K, dp.WINNOW_W
+        one = spark.createDataFrame([(text,)], "text string").select(
+            F.split("text", " ").alias("w")
+        ).withColumn(
+            "h",
+            F.expr(
+                f"transform(sequence(0, size(w) - {k}), i -> "
+                f"md5(concat_ws(' ', slice(w, i + 1, {k}))))"
+            ),
+        ).select(
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(h) - {w}), "
+                f"i -> array_min(slice(h, i + 1, {w}))))"
+            ).alias("fps")
+        )
+        return set(one.collect()[0]["fps"])
+
+    a, b, c = (fps(r) for r in (
+        f"one two {shared} three four",
+        f"five six seven {shared} eight",
+        "nine ten eleven twelve thirteen fourteen fifteen sixteen",
+    ))
+    assert a & b, "docs sharing an 8-token run must share a fingerprint"
+    assert not (a & c) and not (b & c)
+
+
+def test_redact_plants_and_scrubs(spark):
+    """txt_redact non-vacuity: planted docs (doc_id %% 5 == 0) count >= 1
+    email and phone; clean docs count 0."""
+    from mxsparkg.datapipe import txt_redact
+
+    rows = {r.doc_id: r for r in txt_redact(spark, SF).collect()}
+    planted = [r for d, r in rows.items() if d % 5 == 0]
+    clean = [r for d, r in rows.items() if d % 5 != 0]
+    assert planted and all(r.n_emails >= 1 and r.n_phones >= 1 for r in planted)
+    assert all(r.n_emails == 0 and r.n_phones == 0 for r in clean)
