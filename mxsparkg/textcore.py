@@ -281,6 +281,31 @@ def resolve_matches(
 # First placeholder binds subj, second binds obj.
 
 
+# Per-process compile cache for the (broadcast-stable) predicate pattern
+# list: strips the per-sentence is_marker string tests and placeholder
+# slicing out of the hot loop. Keyed by object identity with a strong ref
+# kept (no id-reuse hazard); one model per worker process in practice.
+_PRED_COMPILED_SRC: list[dict] | None = None
+_PRED_COMPILED: list[tuple] = []
+
+
+def _compile_predicates(patterns: list[dict]) -> list[tuple]:
+    """[(pred, first_etype_or_None, ((etype_or_None, item), ...)), ...] —
+    etype_or_None precomputes is_marker(item) and the '<etype>' strip."""
+    global _PRED_COMPILED_SRC, _PRED_COMPILED
+    if patterns is _PRED_COMPILED_SRC:
+        return _PRED_COMPILED
+    compiled = []
+    for pat in patterns:
+        items = tuple(
+            (item[1:-1] if is_marker(item) else None, item)
+            for item in pat["pattern"]
+        )
+        compiled.append((pat["pred"], items[0][0], items))
+    _PRED_COMPILED_SRC, _PRED_COMPILED = patterns, compiled
+    return compiled
+
+
 def match_predicates(
     patterns: list[dict],
     mentions: list[tuple[int, int, str, float, int]],
@@ -290,28 +315,31 @@ def match_predicates(
 
     Patterns whose first item is an entity placeholder (the common case)
     are anchored at mention-open positions only — O(patterns × mentions)
-    instead of O(patterns × tokens)."""
+    instead of O(patterns × tokens). Mentions are bucketed by etype once
+    per sentence; marker tests are precompiled per pattern list."""
     if not mentions:
         return []
     n = len(gen_sets)
     open_at = {m[0]: i for i, m in enumerate(mentions)}
+    by_etype: dict[str, list[int]] = {}
+    for m in mentions:
+        by_etype.setdefault(m[2], []).append(m[0])
     out: list[tuple[int, int, str]] = []
-    for pat in patterns:
-        items = pat["pattern"]
-        if is_marker(items[0]):
-            starts: list[int] = [
-                m[0] for m in mentions if m[2] == items[0][1:-1]
-            ]
+    for pred, first_et, items in _compile_predicates(patterns):
+        if first_et is not None:
+            starts = by_etype.get(first_et)
+            if starts is None:
+                continue
         else:
-            starts = list(range(n))
+            starts = range(n)
         for start in starts:
             ti = start
             bound: list[int] = []
             ok = True
-            for item in items:
-                if is_marker(item):
+            for et, item in items:
+                if et is not None:
                     mi = open_at.get(ti)
-                    if mi is None or mentions[mi][2] != item[1:-1]:
+                    if mi is None or mentions[mi][2] != et:
                         ok = False
                         break
                     bound.append(mi)
@@ -322,7 +350,7 @@ def match_predicates(
                         break
                     ti += 1
             if ok and len(bound) == 2:
-                out.append((bound[0], bound[1], pat["pred"]))
+                out.append((bound[0], bound[1], pred))
     return out
 
 
@@ -334,6 +362,25 @@ def match_predicates(
 
 def normalize_surface(s: str) -> str:
     return " ".join(s.lower().split())
+
+
+# Per-process token → generalization-frozenset memo. Web-text token
+# frequency is Zipfian, so the hit rate is high and the per-token
+# lower+lexicon-lookup+shape+frozenset work collapses to one dict get on
+# the hot path. Keyed by lexicons object identity (strong ref kept — no
+# id-reuse hazard); bounded so an adversarial vocabulary can't grow a
+# worker's memory without limit.
+_GEN_CACHE_LEX: dict | None = None
+_GEN_CACHE: dict[str, frozenset] = {}
+_GEN_CACHE_MAX = 500_000
+
+
+def _gen_cache_for(lexicons: dict) -> dict[str, frozenset]:
+    global _GEN_CACHE_LEX, _GEN_CACHE
+    if lexicons is not _GEN_CACHE_LEX or len(_GEN_CACHE) > _GEN_CACHE_MAX:
+        _GEN_CACHE_LEX = lexicons
+        _GEN_CACHE = {}
+    return _GEN_CACHE
 
 
 def tag_text(
@@ -352,12 +399,18 @@ def tag_text(
     mentions_out: list[dict] = []
     triples_out: list[dict] = []
     sent_id = 0
+    gen_cache = _gen_cache_for(lexicons)
     for line_start, line in _iter_lines(text):
         toks = tokenize(line)
         for sent in split_sentences(toks):
-            gen_sets = [
-                frozenset(generalize(t[0], lexicons)) for t in sent
-            ]
+            gen_sets = []
+            for t in sent:
+                tok = t[0]
+                fs = gen_cache.get(tok)
+                if fs is None:
+                    fs = frozenset(generalize(tok, lexicons))
+                    gen_cache[tok] = fs
+                gen_sets.append(fs)
             picked = resolve_matches(match_sentence(trie, gen_sets))
             for op, cl, etype, score, rule_id in picked:
                 m_start = line_start + sent[op][1]
