@@ -11,7 +11,15 @@ ops:
   dedup_simhash        16-bit fingerprints
   txt_quality          quality-score table (filtering input)
   txt_langid           language-ID table
-  mm_decode            multimodal decode-stub features
+  txt_winnow           MOSS winnowing fingerprints (partial-overlap dedup)
+  txt_repetition       Gopher-style repetition screens
+  txt_redact           PII counts + redacted-content digest
+  txt_tokens           token-budget cost model
+  txt_fingerprint      content + bag-of-words fingerprints
+  mm_decode_stub       multimodal decode-stub features
+  decode_media         REAL media decode: --input must be a
+                       (doc_id, media binary) parquet (e.g. the fixture
+                       media.parquet); parses BMP/WAV/PNG bytes
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -32,9 +40,12 @@ def main() -> None:
     ap.add_argument("--op", required=True,
                     choices=["dedup_exact", "dedup_minhash_pairs",
                              "dedup_simhash", "txt_quality", "txt_langid",
-                             "mm_decode"])
+                             "txt_winnow", "txt_repetition", "txt_redact",
+                             "txt_tokens", "txt_fingerprint",
+                             "mm_decode_stub", "decode_media"])
     ap.add_argument("--input", required=True,
-                    help="documents-shaped parquet (doc_id, text, ...)")
+                    help="documents-shaped parquet (doc_id, text, ...); "
+                         "for decode_media a (doc_id, media binary) parquet")
     ap.add_argument("--out", required=True)
     ap.add_argument("--min-est-jaccard", type=float, default=0.5)
     ap.add_argument("--master", default=None)
@@ -56,13 +67,20 @@ def main() -> None:
         if args.op == "dedup_minhash_pairs":
             sig = dp.minhash_signatures(docs)
             out_df = dp.minhash_candidate_pairs(sig, args.min_est_jaccard)
+        elif args.op == "decode_media":
+            out_df = dp.decode_media(docs)
         else:
             fn = {
                 "dedup_exact": dp.dedup_exact,
                 "dedup_simhash": dp.dedup_simhash,
                 "txt_quality": dp.txt_quality,
                 "txt_langid": dp.txt_langid,
-                "mm_decode": dp.mm_decode_stub,
+                "txt_winnow": dp.txt_winnow,
+                "txt_repetition": dp.txt_repetition,
+                "txt_redact": dp.txt_redact,
+                "txt_tokens": dp.txt_tokens,
+                "txt_fingerprint": dp.txt_fingerprint,
+                "mm_decode_stub": dp.mm_decode_stub,
             }[args.op]
             out_df = fn(spark, "")
         out_df.write.mode("overwrite").parquet(args.out)
