@@ -16,6 +16,9 @@ ops:
   txt_redact           PII counts + redacted-content digest
   txt_tokens           token-budget cost model
   txt_fingerprint      content + bag-of-words fingerprints
+  txt_decontam         benchmark k-gram decontamination flags
+  txt_tfidf            per-doc TF-IDF top terms
+  txt_vocab            corpus vocabulary (cf/df, top terms)
   mm_decode_stub       multimodal decode-stub features
   decode_media         REAL media decode: --input must be a
                        (doc_id, media binary) parquet (e.g. the fixture
@@ -42,6 +45,7 @@ def main() -> None:
                              "dedup_simhash", "txt_quality", "txt_langid",
                              "txt_winnow", "txt_repetition", "txt_redact",
                              "txt_tokens", "txt_fingerprint",
+                             "txt_decontam", "txt_tfidf", "txt_vocab",
                              "mm_decode_stub", "decode_media"])
     ap.add_argument("--input", required=True,
                     help="documents-shaped parquet (doc_id, text, ...); "
@@ -80,6 +84,9 @@ def main() -> None:
                 "txt_redact": dp.txt_redact,
                 "txt_tokens": dp.txt_tokens,
                 "txt_fingerprint": dp.txt_fingerprint,
+                "txt_decontam": dp.txt_decontam,
+                "txt_tfidf": dp.txt_tfidf,
+                "txt_vocab": dp.txt_vocab,
                 "mm_decode_stub": dp.mm_decode_stub,
             }[args.op]
             out_df = fn(spark, "")

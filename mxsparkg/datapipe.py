@@ -1484,6 +1484,209 @@ def txt_redact_sql() -> str:
     """
 
 
+# Decontamination: token k-gram size (production: 13-gram, the GPT-3/PaLM
+# convention; 5 keeps fixture docs long enough to carry grams) and the
+# deterministic in-query roles — doc_id % BENCH_MOD == 0 plays the "eval
+# benchmark" set, and doc_id % LEAK_MOD == LEAK_REM train docs get the
+# leak phrase appended (same expressions in the oracle), so the overlap
+# join is measurably non-vacuous on the word-salad corpus.
+DECONTAM_K = 5
+DECONTAM_BENCH_MOD = 29
+DECONTAM_LEAK_MOD = 7
+DECONTAM_LEAK_REM = 3
+_LEAK_PHRASE = "the quick brown fox jumps over the lazy dog"
+
+TFIDF_TOP = 3     # top terms kept per document
+VOCAB_TOP = 100   # corpus vocabulary rows kept
+
+
+def _gram_expr(k: int) -> str:
+    """SQL expr: token array column `w` → array of md5'd k-grams."""
+    return (
+        f"transform(sequence(0, size(w) - {k}), i -> "
+        f"md5(concat_ws(' ', slice(w, i + 1, {k}))))"
+    )
+
+
+def txt_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination — the train/eval overlap check every
+    serious pre-training pipeline runs: flag training documents sharing
+    any token k-gram with the held-out benchmark set (GPT-3 appendix C /
+    PaLM style, 13-grams in production).
+
+    Scale posture: the benchmark side is tiny relative to a 100 TB corpus
+    (eval suites are ~10^6 grams vs ~10^12 corpus grams), so its distinct
+    gram set is BROADCAST and the corpus side is one narrow scan + explode
+    + broadcast-hash semi-side join — no corpus shuffle at all; the only
+    exchange is the per-doc hit count groupBy, map-side combined, keyed by
+    doc_id (no skew: one doc's grams are bounded by its length)."""
+    docs = _docs(spark, sf).select("doc_id", "text")
+    is_bench = F.col("doc_id") % DECONTAM_BENCH_MOD == 0
+    is_leaky = (F.col("doc_id") % DECONTAM_LEAK_MOD == DECONTAM_LEAK_REM) & ~is_bench
+    planted = F.when(
+        is_bench | is_leaky, F.concat("text", F.lit(" " + _LEAK_PHRASE))
+    ).otherwise(F.col("text"))
+    toks = docs.select(
+        "doc_id", is_bench.alias("bench"), F.split(planted, " ").alias("w")
+    )
+    grams = toks.select(
+        "doc_id",
+        "bench",
+        F.when(
+            F.size("w") >= DECONTAM_K, F.expr(_gram_expr(DECONTAM_K))
+        ).otherwise(F.array().cast("array<string>")).alias("g"),
+    )
+    per_doc = grams.select(
+        "doc_id", "bench", F.explode("g").alias("g")
+    ).dropDuplicates(["doc_id", "g"])
+    bench_grams = per_doc.filter("bench").select("g").distinct()
+    train = per_doc.filter(~F.col("bench"))
+    hits = (
+        train.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def txt_decontam_sql() -> str:
+    k, bm, lm, lr = (
+        DECONTAM_K, DECONTAM_BENCH_MOD, DECONTAM_LEAK_MOD, DECONTAM_LEAK_REM
+    )
+    return f"""
+      WITH planted AS (
+        SELECT doc_id, doc_id % {bm} = 0 AS bench,
+               CASE WHEN doc_id % {bm} = 0
+                      OR (doc_id % {lm} = {lr} AND doc_id % {bm} <> 0)
+                    THEN text || ' {_LEAK_PHRASE}' ELSE text END AS t
+        FROM documents),
+      toks AS (SELECT doc_id, bench, string_split(t, ' ') AS w FROM planted),
+      grams AS (
+        SELECT DISTINCT doc_id, bench, g
+        FROM (SELECT doc_id, bench,
+                     unnest(CASE WHEN len(w) >= {k} THEN
+                       list_transform(range(1, len(w) - {k} + 2),
+                                      i -> md5(array_to_string(w[i:i+{k}-1], ' ')))
+                     ELSE [] END) AS g
+              FROM toks)),
+      bench_grams AS (SELECT DISTINCT g FROM grams WHERE bench),
+      train AS (SELECT doc_id, g FROM grams WHERE NOT bench),
+      hits AS (
+        SELECT t.doc_id, count(*) AS n_contaminated
+        FROM train t JOIN bench_grams b ON t.g = b.g GROUP BY 1),
+      totals AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY 1)
+      SELECT t.doc_id, t.n_grams,
+             coalesce(h.n_contaminated, 0) AS n_contaminated,
+             coalesce(h.n_contaminated, 0) > 0 AS contaminated
+      FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """
+
+
+def txt_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document TF-IDF top terms (smooth idf: ln((N+1)/(df+1)) + 1) —
+    the classic relevance/keyword-extraction scorer. Ranking is by the
+    EXACT integer tuple (tf desc, df asc, term asc) so cross-engine float
+    ulp drift in ln() can never flip the selected rows; the float score is
+    display-only (round 6).
+
+    Scale posture: tf is a (doc_id, term) groupBy (map-side combined,
+    keys bounded per doc); df is a term groupBy over distinct (doc, term);
+    the df side joins back BROADCAST when the vocabulary is small, and the
+    corpus-size scalar N rides a one-row broadcast join — no corpus-wide
+    sort; the per-doc top-k is a row_number window partitioned by doc_id."""
+    from pyspark.sql import Window
+
+    toks = (
+        _docs(spark, sf)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = (
+        tf.groupBy("term").agg(F.count("*").alias("df"))
+    )
+    n_docs = (
+        _docs(spark, sf).agg(F.count("*").alias("n_docs"))
+        .withColumn("_k", F.lit(1))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    scored = (
+        tf.join(df, "term")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_docs), "_k")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP)
+    )
+    score = F.round(
+        F.col("tf")
+        * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 6
+    )
+    return scored.select(
+        "doc_id", "term", "tf", "df", score.alias("tfidf"), "rn"
+    )
+
+
+def txt_tfidf_sql() -> str:
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, df.df ASC,
+                                           tf.term ASC) AS rn
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+      SELECT doc_id, term, tf, df,
+             round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 6) AS tfidf,
+             rn
+      FROM ranked WHERE rn <= {TFIDF_TOP}
+    """
+
+
+def txt_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary table: collection frequency + document frequency
+    per term, top-{VOCAB_TOP} by cf — the tokenizer-training / stopword-
+    derivation primitive. One explode + one groupBy (two partial aggs,
+    map-side combined); the top-k is TakeOrderedAndProject, never a full
+    sort shuffle — at 100 TB the reduce side only ever sees the per-
+    partition top-k candidates."""
+    toks = (
+        _docs(spark, sf)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").alias("cf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("cf").desc(), F.col("term").asc())
+        .limit(VOCAB_TOP)
+    )
+
+
+def txt_vocab_sql() -> str:
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+      SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+      FROM toks GROUP BY term
+      ORDER BY cf DESC, term ASC LIMIT {VOCAB_TOP}
+    """
+
+
 # ====================================================== per-group pandas
 
 GRP_SCHEMA = StructType(
@@ -1959,6 +2162,9 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_winnow": txt_winnow,
         "txt_repetition": txt_repetition,
         "txt_redact": txt_redact,
+        "txt_decontam": txt_decontam,
+        "txt_tfidf": txt_tfidf,
+        "txt_vocab": txt_vocab,
         "mm_decode_stub": mm_decode_stub,
         "mm_decode": mm_decode,
         "mm_decode_png": mm_decode_png,
@@ -1989,6 +2195,9 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_winnow": txt_winnow_sql(),
         "txt_repetition": txt_repetition_sql(),
         "txt_redact": txt_redact_sql(),
+        "txt_decontam": txt_decontam_sql(),
+        "txt_tfidf": txt_tfidf_sql(),
+        "txt_vocab": txt_vocab_sql(),
         "mm_decode_stub": mm_decode_stub_sql(),
         "mm_decode": mm_decode_sql(),
         "mm_decode_png": mm_decode_png_sql(),

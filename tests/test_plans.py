@@ -93,3 +93,24 @@ def test_dedup_caps_have_no_window_buffering(spark):
     p2 = _plan(minhash_candidate_pairs(minhash_signatures(_docs(spark, sf))))
     assert "Window" not in p2
     assert "LeftAnti" in p2 and "BroadcastHashJoin" in p2
+
+
+def test_decontam_broadcasts_benchmark_grams(spark):
+    """txt_decontam's scale contract: the (tiny) benchmark gram set is the
+    broadcast side, so the 100-TB corpus side joins without a shuffle on
+    the gram key — no SortMergeJoin anywhere in the overlap join."""
+    from mxsparkg.datapipe import txt_decontam
+
+    plan = _plan(txt_decontam(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """txt_vocab's top-k must compile to TakeOrderedAndProject (per-
+    partition top-k candidates only cross the shuffle), not a global
+    Sort + Limit over the whole vocabulary."""
+    from mxsparkg.datapipe import txt_vocab
+
+    plan = _plan(txt_vocab(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
