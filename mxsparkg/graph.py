@@ -6,7 +6,13 @@ MapReduce and Beyond", SoCC 2014) as a pure DataFrame loop.
 Scale notes: converges in O(log n) rounds on any graph; each round is two
 shuffles (groupBy min + join). `localCheckpoint` per round truncates the
 otherwise-exponential lineage. High-degree roots are exactly what
-large-star is designed to flatten, so no extra salting is needed here.
+large-star is designed to flatten — and both star steps are formulated
+RELATIONALLY (per-node min via map-side-combinable groupBy + an equi-join
+of the edge list against that min table), never as per-node adjacency
+arrays: a collect_set/explode formulation buffers a celebrity hub's whole
+neighborhood (10^6-10^8 edges at web scale) on one reducer, while the
+min+join shape streams it — the hub key's rows flow through a sort-merge
+join task without materializing, and AQE's skew-join split applies.
 """
 
 from __future__ import annotations
@@ -22,18 +28,25 @@ def _sym(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to the min of
-    the closed neighborhood."""
-    nbrs = _sym(edges).groupBy("src").agg(
-        F.collect_set("dst").alias("nbrs")
+    u's closed neighborhood.
+
+    Relational (skew-safe) form: m(u) = least(u, min over neighbors) is a
+    map-side-combinable min agg — a 10^7-degree hub reduces to partial
+    minima on the map side, nothing buffers. The emit step joins the
+    symmetric edge list back against the one-row-per-node m table on u, so
+    the hub's rows STREAM through the join instead of materializing as one
+    collect_set array (the OOM shape this repo measured on rollup windows)."""
+    sym = _sym(edges)
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.col("src")).alias("m")
     )
-    m = F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("src"))))
-    out = nbrs.select(
-        F.col("src").alias("u"),
-        m.alias("m"),
-        F.filter(F.col("nbrs"), lambda v: v > F.col("src")).alias("bigger"),
-    )
+    # shuffle-hash, not sort-merge: the build side is one row per node
+    # (bounded per partition), and skipping the probe-side sort saves two
+    # O(E log E) sorts per round × O(log n) rounds
     return (
-        out.select(F.explode("bigger").alias("src"), F.col("m").alias("dst"))
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins.hint("shuffle_hash"), "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -41,19 +54,21 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient each edge (max→min); connect all smaller neighbors (and the
-    center) to the minimum."""
+    center) to the minimum. Same relational min+join shape as _large_star
+    (min over oriented out-neighbors is ≤ center, so no least() needed on
+    the emit side; the center→m self edge rides in via a union of the tiny
+    per-node min table)."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
-    grouped = oriented.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
-    m = F.array_min(F.col("nbrs"))
-    out = grouped.select(
-        F.col("src").alias("center"),
-        m.alias("m"),
-        F.array_union(F.col("nbrs"), F.array(F.col("src"))).alias("members"),
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr_edges = (
+        oriented.join(mins.hint("shuffle_hash"), "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
+    center_edges = mins.select("src", F.col("m").alias("dst"))
     return (
-        out.select(F.explode("members").alias("src"), F.col("m").alias("dst"))
+        nbr_edges.unionByName(center_edges)
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
