@@ -149,7 +149,7 @@ def new_node() -> list:
     return [{}, [], [], []]
 
 
-def build_trie(rules: list[dict]) -> list:
+def _build_trie_raw(rules: list[dict]) -> list:
     root = new_node()
     for r in rules:
         node = root
@@ -187,15 +187,158 @@ def is_marker(item: str) -> bool:
     return item.startswith("<")
 
 
+# Compiled-trie node layout. The raw trie's open/close marker children are
+# EPSILON moves (they consume no token): the DFS used to push each marker
+# child as its own stack entry, pop it, and only then try an item — 37% of
+# all stack traffic on the mined 1680-rule model (measured). Compilation
+# folds the one-marker-deep epsilon closure into per-state transition maps,
+# so every pop does exactly one item lookup round:
+#   _A: op unset             item -> ((child, opened_here), ...)
+#   _B: op set, cl unset     item -> ((child, closed_here), ...)
+#       _BR: rules that fire when a close marker is crossed HERE (cl=ti)
+#   _C: op+cl set            item -> child        _CR: terminal rules
+# Closure depth is exactly 1: after crossing <x> at ti, </x> needs ti > op
+# (impossible at the same ti), and second opens/closes are blocked by the
+# op/cl-already-set guards — so no deeper chains exist to fold.
+_A, _B, _BR, _C, _CR = 0, 1, 2, 3, 4
+
+# Compiled trie: (root_node, first frozenset, vocab frozenset, prune_cache).
+# vocab = every item consumable anywhere in the trie (93 items on the mined
+# model vs ~10^5 distinct surface tokens): intersecting each token's gen set
+# with it ONCE (memoized by gen-frozenset — Zipfian, so hits dominate) lets
+# the match loop iterate 0-3 relevant items instead of ~6.
+_PRUNE_CACHE_MAX = 500_000
+
+
+def _compile_node(raw: list, memo: dict, vocab: set) -> tuple:
+    done = memo.get(id(raw))
+    if done is not None:
+        return done
+    node = [None, None, None, None, None]
+    memo[id(raw)] = node  # placeholder: safe under child sharing
+    c_map = {}
+    a_map: dict[str, list] = {}
+    b_map: dict[str, list] = {}
+    for it, ch in raw[_ITEMS].items():
+        vocab.add(it)
+        cch = _compile_node(ch, memo, vocab)
+        c_map[it] = cch
+        a_map.setdefault(it, []).append((cch, False))
+        b_map.setdefault(it, []).append((cch, False))
+    for _tag, och in raw[_OPENS]:
+        for it, ch in och[_ITEMS].items():
+            vocab.add(it)
+            a_map.setdefault(it, []).append(
+                (_compile_node(ch, memo, vocab), True)
+            )
+    b_rules: list = []
+    for _tag, cch in raw[_CLOSES]:
+        b_rules.extend(cch[_RULES])
+        for it, ch in cch[_ITEMS].items():
+            vocab.add(it)
+            b_map.setdefault(it, []).append(
+                (_compile_node(ch, memo, vocab), True)
+            )
+    node[_A] = {k: tuple(v) for k, v in a_map.items()}
+    node[_B] = {k: tuple(v) for k, v in b_map.items()}
+    node[_BR] = tuple(b_rules)
+    node[_C] = c_map
+    node[_CR] = tuple(raw[_RULES])
+    compiled = tuple(node)
+    memo[id(raw)] = compiled
+    return compiled
+
+
+def build_trie(rules: list[dict]) -> tuple:
+    """rules → compiled matcher trie (see _compile_node layout)."""
+    raw = _build_trie_raw(rules)
+    vocab: set = set()
+    memo: dict = {}
+    root = _compile_node(raw, memo, vocab)
+    return (root, frozenset(root[_A]), frozenset(vocab), {})
+
+
 def match_sentence(
-    trie: list, gen_sets: list[frozenset], max_matches: int = 64
+    ctrie: tuple, gen_sets: list[frozenset], max_matches: int = 64
 ) -> list[tuple[int, int, str, float, int]]:
     """All rule matches in one sentence.
 
     gen_sets[i] = frozenset of generalization items of token i.
     Returns (tok_open, tok_close, etype, score, rule_id): mention spans
-    tokens [tok_open, tok_close).
+    tokens [tok_open, tok_close). Semantics are identical to the reference
+    DFS (_match_sentence_ref) — property-tested equivalent on randomized
+    models/sentences.
     """
+    root, first, vocab, prune_cache = ctrie
+    if len(prune_cache) > _PRUNE_CACHE_MAX:
+        prune_cache.clear()
+    n = len(gen_sets)
+    pruned: list[tuple] = []
+    for gs in gen_sets:
+        pg = prune_cache.get(gs)
+        if pg is None:
+            pg = tuple(vocab.intersection(gs))
+            prune_cache[gs] = pg
+        pruned.append(pg)
+    best: dict[tuple[int, int, str], tuple[float, int]] = {}
+    for start in range(n):
+        sp = pruned[start]
+        if not sp or first.isdisjoint(sp):
+            continue
+        # stack of (node, tok_idx, open_pos, close_pos); markers are
+        # pre-folded, so every entry consumes exactly one item on pop
+        stack = [(root, start, -1, -1)]
+        while stack:
+            node, ti, op, cl = stack.pop()
+            if op < 0:
+                if ti < n:
+                    amap = node[_A]
+                    for it in pruned[ti]:
+                        for child, opened in amap.get(it, ()):
+                            stack.append(
+                                (child, ti + 1, ti if opened else -1, -1)
+                            )
+            elif cl < 0:
+                for score, rule_id, etype in node[_BR]:
+                    key = (op, ti, etype)
+                    cur = best.get(key)
+                    if cur is None or (-score, rule_id) < (-cur[0], cur[1]):
+                        best[key] = (score, rule_id)
+                if ti < n:
+                    bmap = node[_B]
+                    for it in pruned[ti]:
+                        for child, closed in bmap.get(it, ()):
+                            stack.append(
+                                (child, ti + 1, op, ti if closed else -1)
+                            )
+            else:
+                for score, rule_id, etype in node[_CR]:
+                    key = (op, cl, etype)
+                    cur = best.get(key)
+                    if cur is None or (-score, rule_id) < (-cur[0], cur[1]):
+                        best[key] = (score, rule_id)
+                if ti < n:
+                    cmap = node[_C]
+                    for it in pruned[ti]:
+                        child = cmap.get(it)
+                        if child is not None:
+                            stack.append((child, ti + 1, op, cl))
+    out = [
+        (op, cl, etype, score, rule_id)
+        for (op, cl, etype), (score, rule_id) in best.items()
+    ]
+    if len(out) > max_matches * 4:
+        out.sort(key=lambda m: (-m[3], m[0]))
+        del out[max_matches * 4:]
+    return out
+
+
+def _match_sentence_ref(
+    trie: list, gen_sets: list[frozenset], max_matches: int = 64
+) -> list[tuple[int, int, str, float, int]]:
+    """Reference DFS over the RAW trie (_build_trie_raw output) — the
+    pre-compilation matcher, kept as the equivalence oracle for
+    match_sentence (tests/test_textcore.py property test)."""
     n = len(gen_sets)
     # best match per (span, etype): a large mined rule set fires many rules
     # on the same span; only the best can ever survive conflict resolution

@@ -125,3 +125,44 @@ def test_tokenize_pages_offsets_byte_exact(spark, tiny_fixtures):
             assert t["gen"][0] == t["tok"].lower()
             n_checked += 1
     assert n_checked > 100
+
+
+def test_compiled_matcher_equals_reference_dfs():
+    """Property: the compiled epsilon-closure matcher (build_trie +
+    match_sentence) returns exactly the reference DFS's match set on
+    randomized rule sets and sentences — markers folded, semantics
+    unchanged."""
+    import random
+
+    from mxsparkg.textcore import (
+        _build_trie_raw,
+        _match_sentence_ref,
+        build_trie,
+        match_sentence,
+    )
+
+    rng = random.Random(4242)
+    items = ["a", "b", "c", "d", "e", "NUM", "Xxx"]
+    for trial in range(60):
+        rules = []
+        for rid in range(rng.randint(1, 25)):
+            ety = rng.choice(["pers", "loc", "org"])
+            pre = [rng.choice(items) for _ in range(rng.randint(0, 2))]
+            body = [rng.choice(items) for _ in range(rng.randint(1, 3))]
+            post = [rng.choice(items) for _ in range(rng.randint(0, 2))]
+            rules.append({
+                "pattern": pre + [f"<{ety}>"] + body + [f"</{ety}>"] + post,
+                "etype": ety,
+                "score": round(rng.uniform(0.1, 1.0), 3),
+                "rule_id": rid,
+            })
+        raw = _build_trie_raw(rules)
+        compiled = build_trie(rules)
+        for _ in range(20):
+            sent = [
+                frozenset(rng.sample(items, rng.randint(1, 3)))
+                for _ in range(rng.randint(1, 12))
+            ]
+            got = set(match_sentence(compiled, sent))
+            want = set(_match_sentence_ref(raw, sent))
+            assert got == want, (trial, sent, got ^ want)
