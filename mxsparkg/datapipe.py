@@ -1290,15 +1290,10 @@ WINNOW_K = 4   # token k-gram size
 WINNOW_W = 4   # winnowing window (guarantee: any match >= w+k-1 tokens shares a fingerprint)
 
 
-def txt_winnow(spark: SparkSession, sf: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
-    algorithm): hash token k-grams, keep the minimum hash of every
-    w-window — any shared run of >= w+k-1 tokens between two documents is
-    guaranteed to share a fingerprint, which makes this the standard
-    partial-overlap/near-dup prefilter (robust where whole-doc MinHash is
-    not: plagiarized paragraphs inside otherwise-different pages). Pure
-    higher-order array functions — whole-stage codegen, zero Python, zero
-    shuffle; at 100 TB this is a narrow map over the corpus."""
+def _winnow_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, fps sorted-distinct array of winnowing
+    fingerprints). Shared by txt_winnow (per-doc digest) and
+    dedup_winnow_pairs (the overlap join)."""
     grams = (
         "transform(sequence(0, size(w) - {k}), i -> "
         "md5(concat_ws(' ', slice(w, i + 1, {k}))))"
@@ -1308,7 +1303,7 @@ def txt_winnow(spark: SparkSession, sf: str) -> DataFrame:
         f"i -> array_min(slice(h, i + 1, {WINNOW_W})))"
     )
     return (
-        _docs(spark, sf)
+        docs
         .select("doc_id", F.split("text", " ").alias("w"))
         .withColumn(
             "h",
@@ -1324,11 +1319,22 @@ def txt_winnow(spark: SparkSession, sf: str) -> DataFrame:
             .otherwise(F.array().cast("array<string>"))
             .alias("fps"),
         )
-        .select(
-            "doc_id",
-            F.size("fps").alias("n_fingerprints"),
-            F.md5(F.array_join("fps", "|").cast("binary")).alias("fp_digest"),
-        )
+    )
+
+
+def txt_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash token k-grams, keep the minimum hash of every
+    w-window — any shared run of >= w+k-1 tokens between two documents is
+    guaranteed to share a fingerprint, which makes this the standard
+    partial-overlap/near-dup prefilter (robust where whole-doc MinHash is
+    not: plagiarized paragraphs inside otherwise-different pages). Pure
+    higher-order array functions — whole-stage codegen, zero Python, zero
+    shuffle; at 100 TB this is a narrow map over the corpus."""
+    return _winnow_fps(_docs(spark, sf)).select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.md5(F.array_join("fps", "|").cast("binary")).alias("fp_digest"),
     )
 
 
@@ -1354,6 +1360,139 @@ def txt_winnow_sql() -> str:
       SELECT doc_id, len(fps) AS n_fingerprints,
              md5(array_to_string(fps, '|')) AS fp_digest
       FROM winnowed
+    """
+
+
+# Partial-overlap planting for dedup_winnow_pairs: docs with
+# doc_id % PLANT_MOD == 1 get the same 12-token paragraph appended, so
+# winnowing's guarantee (any shared run of >= w+k-1 = 7 tokens shares a
+# fingerprint) makes them provable candidate pairs on the word-salad corpus.
+WINNOW_PLANT_MOD = 17
+_WINNOW_PLANT = (
+    "terms of service all rights reserved by the site operator "
+    "unauthorized copying prohibited"
+)
+MAX_WINNOW_FP_DF = 100  # boilerplate-fingerprint cap (same rationale as MAX_SHINGLE_DF)
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Partial-overlap candidate pairs via shared winnowing fingerprints —
+    the join that makes MOSS fingerprints a dedup operator: documents
+    sharing any >= w+k-1-token run meet on a fingerprint key (inverted
+    index), never all-pairs. Overlap is scored by containment
+    n_shared / min(|fps_a|, |fps_b|) (the near-dup-of-a-fragment metric;
+    Jaccard under-counts when one doc is much longer).
+
+    Scale posture: same shape as the n-gram Jaccard join — distinct
+    (doc_id, fp) postings, boilerplate fingerprints above a df cap removed
+    by a map-side-combined groupBy count + broadcast anti-join (never a
+    window), then a fp equi-join with doc_id< ordering; Σ postings² is
+    bounded by the cap. Top-50 pairs via TakeOrderedAndProject.
+
+    The fps array MUST be materialized (persist) before the explode:
+    Generate's codegen inlines the generator child, so exploding a
+    computed array re-evaluates the whole HOF chain once per EMITTED
+    element — an O(n) expression emitted n times is O(n²) per doc
+    (measured 19.4s vs 0.9s for the explode alone at sf0.01; a rand()
+    barrier does not help, only a materialization boundary does). The
+    postings also feed four consumers (df-cap count, anti-join, per-doc
+    sizes, both sides of the pair join), which the same persist serves.
+    At 100 TB the equivalent is checkpointing the postings table to
+    storage before the self-join — standard for inverted-index dedup."""
+    planted = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % WINNOW_PLANT_MOD == 1,
+            F.concat("text", F.lit(" " + _WINNOW_PLANT)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    posts = (
+        _winnow_fps(planted)
+        .persist()  # materialization barrier BEFORE explode — see docstring
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .dropDuplicates(["doc_id", "fp"])
+        .persist()  # postings feed 4 consumers below
+    )
+    hot = (
+        posts.groupBy("fp").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > MAX_WINNOW_FP_DF)
+        .select("fp")
+    )
+    posts = posts.join(F.broadcast(hot), "fp", "left_anti")
+    sizes = posts.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = posts.select(F.col("doc_id").alias("a_id"), "fp")
+    b = posts.select(F.col("doc_id").alias("b_id"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs
+        .join(sizes.withColumnRenamed("doc_id", "a_id")
+              .withColumnRenamed("n_fp", "n_fp_a"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id")
+              .withColumnRenamed("n_fp", "n_fp_b"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / F.greatest(F.least("n_fp_a", "n_fp_b"), F.lit(1)),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy(F.col("n_shared").desc(), "a_id", "b_id")
+        .limit(50)
+    )
+
+
+def dedup_winnow_pairs_sql() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+      WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {WINNOW_PLANT_MOD} = 1
+                    THEN text || ' {_WINNOW_PLANT}' ELSE text END AS t
+        FROM documents),
+      toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM planted),
+      hashed AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= {k} THEN
+                 list_transform(range(1, len(w) - {k} + 2),
+                                i -> md5(array_to_string(w[i:i+{k}-1], ' ')))
+               ELSE [] END AS h
+        FROM toks),
+      winnowed AS (
+        SELECT doc_id,
+               CASE WHEN len(h) >= {w} THEN
+                 list_sort(list_distinct(
+                   list_transform(range(1, len(h) - {w} + 2),
+                                  i -> list_min(h[i:i+{w}-1]))))
+               ELSE [] END AS fps
+        FROM hashed),
+      posts0 AS (
+        SELECT DISTINCT doc_id, unnest(fps) AS fp FROM winnowed),
+      hot AS (
+        SELECT fp FROM posts0 GROUP BY fp
+        HAVING count(*) > {MAX_WINNOW_FP_DF}),
+      posts AS (
+        SELECT p.doc_id, p.fp FROM posts0 p
+        WHERE p.fp NOT IN (SELECT fp FROM hot)),
+      sizes AS (SELECT doc_id, count(*) AS n_fp FROM posts GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        FROM posts a JOIN posts b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT p.a_id, p.b_id, p.n_shared,
+             round(p.n_shared / greatest(least(sa.n_fp, sb.n_fp), 1), 6)
+               AS containment
+      FROM pairs p
+      JOIN sizes sa ON p.a_id = sa.doc_id
+      JOIN sizes sb ON p.b_id = sb.doc_id
+      ORDER BY p.n_shared DESC, p.a_id, p.b_id LIMIT 50
     """
 
 
@@ -2146,6 +2285,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_winnow_pairs": dedup_winnow_pairs,
         "dedup_embed_cosine": dedup_embed_cosine,
         "ann_topk_cosine": ann_topk_cosine,
         "ann_lsh_bucket": ann_lsh_bucket,
@@ -2179,6 +2319,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": dedup_minhash_pairs_sql(),
         "dedup_simhash": dedup_simhash_sql(),
         "dedup_ngram_jaccard": dedup_ngram_jaccard_sql(),
+        "dedup_winnow_pairs": dedup_winnow_pairs_sql(),
         "dedup_embed_cosine": dedup_embed_cosine_sql(),
         "ann_topk_cosine": ann_topk_cosine_sql(),
         "ann_lsh_bucket": ann_lsh_bucket_sql(),

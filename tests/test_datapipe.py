@@ -346,3 +346,26 @@ def test_redact_plants_and_scrubs(spark):
     clean = [r for d, r in rows.items() if d % 5 != 0]
     assert planted and all(r.n_emails >= 1 and r.n_phones >= 1 for r in planted)
     assert all(r.n_emails == 0 and r.n_phones == 0 for r in clean)
+
+
+def test_winnow_pairs_find_planted_overlaps(spark):
+    """dedup_winnow_pairs non-vacuity: every doc with doc_id %% 17 == 1
+    gets the same 12-token boilerplate paragraph appended in-query, so any
+    two planted docs share a >= w+k-1-token run and MUST surface as a
+    candidate pair (winnowing guarantee). The fixture ALSO contains its own
+    genuine near-dup docs (whole-doc copies); those must surface at
+    containment 1.0 — the operator finds both full and partial overlaps."""
+    from mxsparkg.datapipe import WINNOW_PLANT_MOD, dedup_winnow_pairs
+
+    rows = dedup_winnow_pairs(spark, SF).collect()
+    assert rows, "planted partial overlaps must produce candidate pairs"
+    planted = [
+        r for r in rows
+        if r.a_id % WINNOW_PLANT_MOD == 1 and r.b_id % WINNOW_PLANT_MOD == 1
+    ]
+    assert planted, "planted partial-overlap pairs must reach the top-50"
+    full = [r for r in rows if r.containment == 1.0]
+    assert full, "fixture whole-doc near-dups must surface at containment 1.0"
+    # partial overlaps share the paragraph but not the whole doc
+    assert any(r.containment < 1.0 for r in planted)
+    assert all(0 < r.containment <= 1 for r in rows)
