@@ -49,6 +49,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(datapipe_queries())
     except ImportError:
         pass
+    try:
+        from mxsparkg.graphquery import graphquery_queries
+
+        out.update(graphquery_queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -59,6 +65,12 @@ def oracle_sql() -> dict[str, str]:
         from mxsparkg.datapipe import datapipe_oracle_sql
 
         out.update(datapipe_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from mxsparkg.graphquery import graphquery_oracle_sql
+
+        out.update(graphquery_oracle_sql())
     except ImportError:
         pass
     return out

@@ -1,0 +1,385 @@
+"""Graph analytics over the materialized knowledge graph (SURVEY.md §2.10
+extension): entity-salience PageRank, triangle/clustering statistics, and
+bounded min-label propagation. The KG pipeline (graph.py) materializes
+nodes/edges tables; these operators are the queries a KG consumer runs on
+them — ranking entities, measuring community structure, sketching
+components.
+
+Design decisions, all scale-driven:
+
+- **Integer mass arithmetic.** PageRank is usually done in doubles, but
+  floating-point addition is not associative, so a double-summed rank
+  depends on partition count and task order — the same job at local[4] vs
+  a 1000-executor cluster produces different low-order bits, which breaks
+  reproducible lineage AND the cross-engine oracle. We scale total rank
+  mass to an integer (10^12 "mass units") and use only integer ops
+  (floor-div, bigint sums): exact, partition-order-independent, identical
+  in Spark and DuckDB. Same rationale as the decimal(38,10) k-means oracle
+  (datapipe.py) — determinism is a feature at 100 TB, not a test trick.
+
+- **Relational iteration, never adjacency arrays.** Each PageRank /
+  label-propagation round is groupBy(min|sum) + equi-join — the same
+  skew-safe shape as graph.py's CC star steps: a celebrity hub's 10^8
+  edges stream through a shuffle-hash join against the one-row-per-node
+  rank table instead of materializing as one collect_set array.
+
+- **Bounded-iteration contract keys.** Convergent CC (graph.py) cannot be
+  oracle-checked (unbounded loop). PageRank and min-label propagation with
+  a FIXED iteration count unroll into pure SQL, so the driver's DuckDB
+  gate certifies the per-round relational core bit-for-bit — evidence that
+  also covers the loop body CC reuses.
+
+Contract keys build deterministic graphs from the driver's TPC-H tables:
+`kg_pagerank` uses the supplier↔part bipartite graph (lineitem distinct
+pairs, symmetrized — 100 suppliers × 2000 parts at sf0.01 gives genuine
+hub skew: supplier degree ~500 vs part degree ~25), `graph_triangles` and
+`graph_minlabel` use the part co-purchase graph (parts sharing an order;
+per-order fanout is bounded by order size, so the pair explosion is
+O(orders × max_items²), never quadratic in parts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# total rank mass in integer units; 10^12 over ≤10^9 nodes still leaves
+# ≥10^3 units per node of resolution
+PR_TOTAL_MASS = 10**12
+PR_DAMPING_PCT = 85  # damping as integer percent (0.85)
+PR_ITERS = 3         # contract-key iteration count (unrolled in the oracle)
+MINLABEL_ITERS = 3
+MINLABEL_ORDER_MOD = 50  # sparsify the propagation graph (see _copurchase_edges)
+
+
+# ------------------------------------------------------------ production --
+
+def pagerank_exact(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damping_pct: int = PR_DAMPING_PCT,
+    total_mass: int = PR_TOTAL_MASS,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Integer-mass PageRank over a directed edge list (src, dst).
+
+    Every node must appear as a src (symmetrize first for undirected
+    salience — that also removes dangling nodes, whose mass would
+    otherwise leak). Per iteration: one equi-join of the edge list against
+    the one-row-per-node (rank, outdeg) table + one map-side-combinable
+    bigint sum — two shuffles, hub-skew streams through the join (AQE
+    skew-split applies). Lineage is truncated every `checkpoint_every`
+    rounds via localCheckpoint, same policy as graph.py's CC loop.
+
+    Returns (src, pr) with pr in integer mass units; sum(pr) ≈ total_mass
+    (floor-division rounding loses at most n_nodes + n_edges units per
+    round — deterministic, identical across engines and partitionings)."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = deg.count()  # one scalar to the driver, like k-means' centroids
+    if n == 0:
+        return deg.select("src", F.lit(0).cast("long").alias("pr"))
+    base = ((100 - damping_pct) * total_mass) // (100 * n)
+    pr = deg.select("src", F.lit(total_mass // n).cast("long").alias("pr"))
+    for i in range(iters):
+        incoming = (
+            edges.join(pr.join(deg, "src").hint("shuffle_hash"), "src")
+            .select(
+                F.col("dst").alias("src"),
+                F.expr("pr div outdeg").alias("c"),
+            )
+            .groupBy("src")
+            .agg(F.sum("c").alias("inc"))
+        )
+        pr = (
+            deg.join(incoming, "src", "left")
+            .select(
+                "src",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inc, 0L)) div 100"
+                    )
+                ).cast("long").alias("pr"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            pr = pr.localCheckpoint(eager=True)
+    return pr
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected simple graph given as
+    oriented edges (u < v, distinct): edge count, wedge count (paths of
+    length 2), triangle count, and global clustering coefficient in parts
+    per million (integer — see module docstring on why no doubles).
+
+    The triangle join is the standard oriented formulation: each triangle
+    u<v<w is counted exactly once as e(u,v) ⋈ e(v,w) ⋈ e(u,w). Cost is
+    Σ_v deg⁺(v)² on the oriented graph — the textbook bound; at web scale
+    you additionally orient by (degree, id) instead of raw id to flatten
+    hubs, which this formulation permits without changing the count."""
+    e = edges.select("u", "v")
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionByName(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).alias("n_wedges")
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    k = F.lit(1).alias("_k")
+    out = (
+        counts.select(k, "n_edges")
+        .join(wedges.select(k, "n_wedges"), "_k")
+        .join(tri.select(k, "n_triangles"), "_k")
+    )
+    return out.select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN n_wedges > 0 THEN (3 * n_triangles * 1000000)"
+            " div n_wedges ELSE 0 END"
+        ).alias("clustering_ppm"),
+    )
+
+
+def minlabel_propagate(
+    edges: DataFrame, iters: int = MINLABEL_ITERS, checkpoint_every: int = 8
+) -> DataFrame:
+    """Bounded hash-min label propagation over symmetric edges (src, dst):
+    every node starts labeled with itself; each round takes the min of its
+    own label and its neighbors' labels. After enough rounds this IS
+    connected components (graph.py's CC accelerates it with star
+    contractions); truncated at `iters` it is the oracle-checkable
+    per-round core. Returns (src, label)."""
+    nodes = edges.select("src").distinct()
+    lab = nodes.select("src", F.col("src").alias("label"))
+    for i in range(iters):
+        nbr_min = (
+            edges.join(
+                lab.withColumnRenamed("src", "_s").hint("shuffle_hash"),
+                F.col("src") == F.col("_s"),
+            )
+            .groupBy("dst")
+            .agg(F.min("label").alias("nl"))
+            .withColumnRenamed("dst", "src")
+        )
+        lab = (
+            lab.join(nbr_min, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    "label", F.coalesce("nl", "label")
+                ).alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            lab = lab.localCheckpoint(eager=True)
+    return lab
+
+
+# ---------------------------------------------------------- contract keys --
+
+def _lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/lineitem.parquet")
+
+
+def _bipartite_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric supplier↔part edges from distinct lineitem pairs; string
+    node ids 's<k>' / 'p<k>' keep the two key spaces disjoint."""
+    pairs = (
+        _lineitem(spark, sf)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+
+
+def _copurchase_edges(
+    spark: SparkSession, sf: str, order_mod: int = 1
+) -> DataFrame:
+    """Oriented part–part edges (u < v, distinct): two parts are linked if
+    some order contains both. Per-order fanout is bounded by order size.
+    `order_mod` keeps every `order_mod`-th order — the full graph is a
+    dense expander on which min-label floods to one cluster in 2 rounds,
+    so the propagation key uses a 1-in-50 sparsification that leaves a
+    real component structure (92 clusters at sf0.01) to discriminate on."""
+    li = (
+        _lineitem(spark, sf)
+        .filter(F.col("l_orderkey") % order_mod == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select("o", F.col("p").alias("v"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def kg_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity salience: 3-iteration integer PageRank on the supplier↔part
+    graph; top-25. Hub skew is real here (supplier degree ~20× part
+    degree), exercising the join shape the production KG ranking uses."""
+    pr = pagerank_exact(_bipartite_edges(spark, sf), iters=PR_ITERS)
+    return (
+        pr.select(F.col("src").alias("node"), "pr")
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(25)
+    )
+
+
+def kg_pagerank_sql() -> str:
+    total, dpct, n_it = PR_TOTAL_MASS, PR_DAMPING_PCT, PR_ITERS
+    iters = []
+    prev = "pr0"
+    for i in range(1, n_it + 1):
+        iters.append(
+            f"""inc{i} AS (
+        SELECT e.dst AS src, sum(p.pr // d.outdeg) AS inc
+        FROM edges e JOIN {prev} p ON p.src = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      pr{i} AS (
+        SELECT d.src,
+               CAST(({100 - dpct} * {total}) // (100 * (SELECT n FROM nn))
+                    + ({dpct} * coalesce(i.inc, 0)) // 100 AS BIGINT) AS pr
+        FROM deg d LEFT JOIN inc{i} i ON i.src = d.src)"""
+        )
+        prev = f"pr{i}"
+    chain = ",\n      ".join(iters)
+    return f"""
+      WITH pairs AS (
+        SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS p
+        FROM lineitem),
+      edges AS (
+        SELECT s AS src, p AS dst FROM pairs
+        UNION ALL SELECT p AS src, s AS dst FROM pairs),
+      deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM deg),
+      pr0 AS (
+        SELECT src, CAST({total} // (SELECT n FROM nn) AS BIGINT) AS pr
+        FROM deg),
+      {chain}
+      SELECT src AS node, pr FROM {prev}
+      ORDER BY pr DESC, node LIMIT 25
+    """
+
+
+def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph: one row of exact
+    integer statistics (edges, wedges, triangles, clustering in ppm)."""
+    return triangle_stats(_copurchase_edges(spark, sf))
+
+
+def graph_triangles_sql() -> str:
+    return """
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      deg AS (
+        SELECT x, count(*) AS d FROM (
+          SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        GROUP BY x),
+      w AS (SELECT sum((d * (d - 1)) // 2) AS n_wedges FROM deg),
+      t AS (
+        SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        WHERE EXISTS (
+          SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v)),
+      c AS (SELECT count(*) AS n_edges FROM e)
+      SELECT c.n_edges, w.n_wedges, t.n_triangles,
+             CAST(CASE WHEN w.n_wedges > 0
+                  THEN (3 * t.n_triangles * 1000000) // w.n_wedges
+                  ELSE 0 END AS BIGINT) AS clustering_ppm
+      FROM c, w, t
+    """
+
+
+def graph_minlabel(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded min-label propagation on the (symmetrized) co-purchase
+    graph (1-in-50 order sparsification — see _copurchase_edges):
+    label-cluster sizes after 3 rounds, top-20 by size. The convergent
+    version of this loop is G1 connected components — this key puts its
+    per-round relational core under the cross-engine gate."""
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    lab = minlabel_propagate(sym, iters=MINLABEL_ITERS)
+    return (
+        lab.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "label")
+        .limit(20)
+    )
+
+
+def graph_minlabel_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, MINLABEL_ITERS + 1):
+        rounds.append(
+            f"""nm{i} AS (
+        SELECT e.dst AS src, min(p.label) AS nl
+        FROM sym e JOIN {prev} p ON p.src = e.src GROUP BY e.dst),
+      l{i} AS (
+        SELECT p.src, least(p.label, coalesce(m.nl, p.label)) AS label
+        FROM {prev} p LEFT JOIN nm{i} m ON m.src = p.src)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n      ".join(rounds)
+    return f"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey % 50 = 0),
+      e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      sym AS (
+        SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v AS src, u AS dst FROM e),
+      nodes AS (SELECT DISTINCT src FROM sym),
+      l0 AS (SELECT src, src AS label FROM nodes),
+      {chain}
+      SELECT label, count(*) AS n_members FROM {prev}
+      GROUP BY label ORDER BY n_members DESC, label LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------- registry --
+
+def graphquery_queries() -> dict:
+    return {
+        "kg_pagerank": kg_pagerank,
+        "graph_triangles": graph_triangles,
+        "graph_minlabel": graph_minlabel,
+    }
+
+
+def graphquery_oracle_sql() -> dict[str, str]:
+    return {
+        "kg_pagerank": kg_pagerank_sql(),
+        "graph_triangles": graph_triangles_sql(),
+        "graph_minlabel": graph_minlabel_sql(),
+    }
