@@ -1826,6 +1826,163 @@ def txt_vocab_sql() -> str:
     """
 
 
+def txt_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram language-model surprisal scoring — the CCNet/Gopher-class
+    perplexity filter: train add-one-smoothed bigram counts on the corpus
+    itself, then score every document by its per-bigram surprisal
+    -log P(w2 | w1) with P = (c(w1 w2) + 1) / (c(w1·) + V).
+
+    Surprisal is quantized to WHOLE BITS via exact integer log2
+    (floor(log2 n) = length(bin(n)) - 1, identical in Spark and DuckDB):
+    a float sum over grouped rows is partition-order-dependent (float
+    addition is not associative), so a double-summed log-prob would differ
+    between local[4] and a 1000-executor cluster — the same
+    determinism-as-a-feature call as the integer-mass PageRank
+    (graphquery.py) and the decimal k-means oracle. Whole-bit quantization
+    keeps the ranking signal (low-quality docs score several bits/bigram
+    above clean text) while making the score bit-identical everywhere.
+
+    Scale posture: bigram counts and history counts are map-side-combined
+    groupBys; the count tables join back on their own keys (hot bigrams →
+    AQE skew split applies); the vocabulary size V is one scalar riding a
+    one-row broadcast join. No corpus-wide sort, no window."""
+    # project the token array FIRST — inlining split() into the transform
+    # lambda re-evaluates it per element (quadratic in doc length)
+    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS w1,"
+                " concat(element_at(w, i), ' ', element_at(w, i + 1)) AS bg))"
+                " ELSE array() END"
+            )
+        ).alias("o"),
+    ).select("doc_id", "o.w1", "o.bg")
+    bgc = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    hist = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        d.select(F.explode("w").alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+        .withColumn("_k", F.lit(1))
+    )
+    scored = (
+        occ.join(bgc, "bg")
+        .join(hist, "w1")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(vocab), "_k")
+        .select(
+            "doc_id",
+            F.expr("length(bin(c1 + v)) - length(bin(c12 + 1))").alias("bits"),
+            F.when(F.col("c12") == 1, 1).otherwise(0).alias("unseen"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").alias("bits_total"),
+        F.expr("(sum(bits) * 1000) div count(1)").alias("bits_milli_per_bigram"),
+        F.sum("unseen").alias("n_unseen"),
+    )
+
+
+def txt_lm_score_sql() -> str:
+    return """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      occ AS (
+        SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS bg
+        FROM d, unnest(range(1, len(w))) AS t(i)),
+      bgc AS (SELECT bg, count(*) AS c12 FROM occ GROUP BY bg),
+      hist AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1),
+      vocab AS (
+        SELECT count(DISTINCT t) AS v
+        FROM (SELECT unnest(w) AS t FROM d))
+      SELECT o.doc_id,
+        count(*) AS n_bigrams,
+        CAST(sum(length(bin(h.c1 + vocab.v)) - length(bin(b.c12 + 1)))
+          AS BIGINT) AS bits_total,
+        CAST((sum(length(bin(h.c1 + vocab.v)) - length(bin(b.c12 + 1))) * 1000)
+          // count(*) AS BIGINT) AS bits_milli_per_bigram,
+        CAST(sum(CASE WHEN b.c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+      FROM occ o JOIN bgc b ON b.bg = o.bg
+      JOIN hist h ON h.w1 = o.w1 CROSS JOIN vocab
+      GROUP BY o.doc_id
+    """
+
+
+# per-stratum sampling rates in percent; strata are the documents table's
+# lang column, DEFAULT covers unseen languages
+SAMPLE_RATE_PCT = {"en": 60, "fr": 40, "es": 40, "de": 25}
+SAMPLE_RATE_DEFAULT_PCT = 10
+
+
+def txt_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-data mix primitive
+    (per-language quotas). `df.sample()` / F.rand are partition-order-
+    dependent (reruns and resumes would pick different documents), so the
+    sample key is md5(doc_id): uniform over docs, stable across reruns,
+    engines, and partitionings. Each stratum keeps its exact quota
+    ceil(n * rate%) of documents, chosen as the lowest hash values.
+
+    Scale posture: the per-stratum quota needs the stratum count — a tiny
+    groupBy-count broadcast back (NOT a count-over-window, which buffers
+    the whole stratum on one reducer — the round-2 OOM lesson); the exact-k
+    selection is a rank window per stratum, the one genuinely ordered step.
+    At 10^12 docs you'd replace the window with a hash-threshold
+    (approx-quantile of md5 per stratum → filter), trading exact-k for a
+    shuffle-free plan; rank keeps the oracle exact here."""
+    from pyspark.sql import Window
+
+    rate = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in SAMPLE_RATE_PCT.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(SAMPLE_RATE_DEFAULT_PCT),
+    )
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        "lang",
+        _md5s(F.col("doc_id").cast("string")).alias("skey"),
+        rate.alias("rate_pct"),
+    )
+    quota = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_stratum"))
+    w = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    # ceil(n * rate / 100) as (x + 99) div 100: positive operands only —
+    # Spark's `div` truncates toward zero while DuckDB's `//` floors, so
+    # the -(-x div d) ceil idiom would silently disagree across engines
+    return (
+        docs.join(F.broadcast(quota), "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "k_target", F.expr("(n_stratum * rate_pct + 99) div 100")
+        )
+        .filter(F.col("rn") <= F.col("k_target"))
+        .select("doc_id", "lang", "n_stratum", "k_target", "rn")
+    )
+
+
+def txt_sample_stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in SAMPLE_RATE_PCT.items()
+    )
+    return f"""
+      WITH docs AS (
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS skey,
+               CASE lang {cases} ELSE {SAMPLE_RATE_DEFAULT_PCT} END AS rate_pct
+        FROM documents),
+      quota AS (SELECT lang, count(*) AS n_stratum FROM docs GROUP BY lang),
+      ranked AS (
+        SELECT d.doc_id, d.lang, q.n_stratum,
+               (q.n_stratum * d.rate_pct + 99) // 100 AS k_target,
+               row_number() OVER (PARTITION BY d.lang
+                                  ORDER BY d.skey, d.doc_id) AS rn
+        FROM docs d JOIN quota q ON q.lang = d.lang)
+      SELECT doc_id, lang, n_stratum, k_target, rn
+      FROM ranked WHERE rn <= k_target
+    """
+
+
 # ====================================================== per-group pandas
 
 GRP_SCHEMA = StructType(
@@ -2305,6 +2462,8 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_decontam": txt_decontam,
         "txt_tfidf": txt_tfidf,
         "txt_vocab": txt_vocab,
+        "txt_lm_score": txt_lm_score,
+        "txt_sample_stratified": txt_sample_stratified,
         "mm_decode_stub": mm_decode_stub,
         "mm_decode": mm_decode,
         "mm_decode_png": mm_decode_png,
@@ -2339,6 +2498,8 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_decontam": txt_decontam_sql(),
         "txt_tfidf": txt_tfidf_sql(),
         "txt_vocab": txt_vocab_sql(),
+        "txt_lm_score": txt_lm_score_sql(),
+        "txt_sample_stratified": txt_sample_stratified_sql(),
         "mm_decode_stub": mm_decode_stub_sql(),
         "mm_decode": mm_decode_sql(),
         "mm_decode_png": mm_decode_png_sql(),

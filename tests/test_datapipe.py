@@ -369,3 +369,68 @@ def test_winnow_pairs_find_planted_overlaps(spark):
     # partial overlaps share the paragraph but not the whole doc
     assert any(r.containment < 1.0 for r in planted)
     assert all(0 < r.containment <= 1 for r in rows)
+
+
+def test_lm_score_separates_gibberish_and_is_partition_invariant(spark):
+    """txt_lm_score semantics: documents made of corpus-frequent bigrams
+    score few bits/bigram; a gibberish doc whose bigrams appear nowhere
+    else scores strictly higher and has every bigram unseen. The score must
+    also be partition-order-independent (the whole point of whole-bit
+    integer surprisal vs a float log-prob sum)."""
+    import mxsparkg.datapipe as dp
+    from mxsparkg.datapipe import txt_lm_score
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows_in = [(i, common) for i in range(9)]
+    rows_in.append((9, "zxq wvu tsr qpo nml kji hgf edc ba9 876"))
+    docs = spark.createDataFrame(rows_in, "doc_id long, text string")
+    orig = dp._docs
+    try:
+        dp._docs = lambda s, sf: docs
+        r1 = {r.doc_id: r for r in txt_lm_score(spark, "").collect()}
+        dp._docs = lambda s, sf: docs.repartition(7)
+        r2 = {r.doc_id: r for r in txt_lm_score(spark, "").collect()}
+    finally:
+        dp._docs = orig
+    assert r1 == r2, "score must not depend on input partitioning"
+    gib, com = r1[9], r1[0]
+    assert gib.n_unseen == gib.n_bigrams, "gibberish bigrams all unseen"
+    assert com.n_unseen == 0, "repeated-doc bigrams are corpus-frequent"
+    assert gib.bits_milli_per_bigram > com.bits_milli_per_bigram
+    assert all(r.bits_total >= 0 for r in r1.values())
+
+
+def test_sample_stratified_exact_quota_and_determinism(spark):
+    """txt_sample_stratified: each stratum keeps exactly
+    ceil(n_stratum * rate%) docs; the selection is a pure function of
+    doc_id (stable across reruns and partitionings); unknown languages get
+    the default rate."""
+    import mxsparkg.datapipe as dp
+    from mxsparkg.datapipe import (
+        SAMPLE_RATE_DEFAULT_PCT,
+        SAMPLE_RATE_PCT,
+        txt_sample_stratified,
+    )
+
+    rows_in = [(i, f"doc {i}", ["en", "de", "xx"][i % 3]) for i in range(90)]
+    docs = spark.createDataFrame(rows_in, "doc_id long, text string, lang string")
+    orig = dp._docs
+    try:
+        dp._docs = lambda s, sf: docs
+        out1 = txt_sample_stratified(spark, "").collect()
+        dp._docs = lambda s, sf: docs.repartition(11)
+        out2 = txt_sample_stratified(spark, "").collect()
+    finally:
+        dp._docs = orig
+    assert {(r.doc_id, r.lang) for r in out1} == {
+        (r.doc_id, r.lang) for r in out2
+    }
+    by_lang = {}
+    for r in out1:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, got in by_lang.items():
+        rate = SAMPLE_RATE_PCT.get(lang, SAMPLE_RATE_DEFAULT_PCT)
+        expect = -(-30 * rate // 100)  # ceil, 30 docs per stratum
+        assert len(got) == expect, (lang, len(got), expect)
+        assert all(r.k_target == expect and r.n_stratum == 30 for r in got)
+    assert set(by_lang) == {"en", "de", "xx"}
