@@ -19,6 +19,8 @@ ops:
   txt_decontam         benchmark k-gram decontamination flags
   txt_tfidf            per-doc TF-IDF top terms
   txt_vocab            corpus vocabulary (cf/df, top terms)
+  txt_lm_score         bigram LM surprisal quality scores (whole-bit exact)
+  txt_sample_stratified  deterministic per-language quota sample
   mm_decode_stub       multimodal decode-stub features
   decode_media         REAL media decode: --input must be a
                        (doc_id, media binary) parquet (e.g. the fixture
@@ -46,6 +48,7 @@ def main() -> None:
                              "txt_winnow", "txt_repetition", "txt_redact",
                              "txt_tokens", "txt_fingerprint",
                              "txt_decontam", "txt_tfidf", "txt_vocab",
+                             "txt_lm_score", "txt_sample_stratified",
                              "mm_decode_stub", "decode_media"])
     ap.add_argument("--input", required=True,
                     help="documents-shaped parquet (doc_id, text, ...); "
@@ -87,6 +90,8 @@ def main() -> None:
                 "txt_decontam": dp.txt_decontam,
                 "txt_tfidf": dp.txt_tfidf,
                 "txt_vocab": dp.txt_vocab,
+                "txt_lm_score": dp.txt_lm_score,
+                "txt_sample_stratified": dp.txt_sample_stratified,
                 "mm_decode_stub": dp.mm_decode_stub,
             }[args.op]
             out_df = fn(spark, "")

@@ -1,0 +1,80 @@
+"""spark-submit surface for KG consumer analytics (graphquery.py) over the
+pipeline's materialized output:
+
+  spark-submit --py-files mxsparkg.zip jobs/graph_analytics.py \
+      --op salience --edges <out>/edges [--nodes <out>/nodes] \
+      --out <dir> [--iters 10] [--top-k 100]
+
+ops:
+  salience    support-weighted integer-mass PageRank over the subj/obj
+              graph, top-k entities (+ type/surface forms when --nodes)
+  triangles   triangle census + global clustering coefficient (ppm)
+  components  convergent CC component-size census (canonicalization QA)
+
+Prints one JSON line {op, rows, wall_sec, out}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--op", required=True,
+                    choices=["salience", "triangles", "components"])
+    ap.add_argument("--edges", required=True,
+                    help="pipeline edges parquet (subj, pred, obj, n_support)")
+    ap.add_argument("--nodes", default=None,
+                    help="pipeline nodes parquet (canon_id, etype, ...)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--top-k", type=int, default=100)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from mxsparkg import graphquery as gq
+    from mxsparkg.session import get_spark
+
+    spark = get_spark(master=args.master, app_name=f"graph-{args.op}")
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.time()
+
+    edges = spark.read.parquet(args.edges)
+    if args.op == "salience":
+        nodes = spark.read.parquet(args.nodes) if args.nodes else None
+        out_df = gq.kg_salience(
+            edges, nodes, iters=args.iters, top_k=args.top_k
+        )
+    elif args.op == "triangles":
+        # orient the subj/obj graph as u < v for the census
+        out_df = gq.triangle_stats(
+            edges.select(
+                F.least("subj", "obj").alias("u"),
+                F.greatest("subj", "obj").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+    else:
+        out_df = gq.kg_components(edges)
+    out_df.write.mode("overwrite").parquet(args.out)
+
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({
+        "op": args.op, "rows": n,
+        "wall_sec": round(time.time() - t0, 2), "out": args.out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

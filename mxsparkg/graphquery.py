@@ -60,6 +60,7 @@ def pagerank_exact(
     damping_pct: int = PR_DAMPING_PCT,
     total_mass: int = PR_TOTAL_MASS,
     checkpoint_every: int = 8,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Integer-mass PageRank over a directed edge list (src, dst).
 
@@ -71,10 +72,19 @@ def pagerank_exact(
     skew-split applies). Lineage is truncated every `checkpoint_every`
     rounds via localCheckpoint, same policy as graph.py's CC loop.
 
+    `weight_col` names an integer edge-weight column (e.g. the KG's
+    n_support): a node's mass splits proportionally to edge weight
+    instead of evenly. pr*w stays within int64 for total_mass=10^12 and
+    weights up to ~10^6 (the KG's support counts); unweighted is the
+    weight≡1 special case and produces bit-identical results to the
+    unweighted formula.
+
     Returns (src, pr) with pr in integer mass units; sum(pr) ≈ total_mass
     (floor-division rounding loses at most n_nodes + n_edges units per
     round — deterministic, identical across engines and partitionings)."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    edges = edges.select("src", "dst", w.cast("long").alias("_w"))
+    deg = edges.groupBy("src").agg(F.sum("_w").alias("outdeg"))
     n = deg.count()  # one scalar to the driver, like k-means' centroids
     if n == 0:
         return deg.select("src", F.lit(0).cast("long").alias("pr"))
@@ -85,7 +95,7 @@ def pagerank_exact(
             edges.join(pr.join(deg, "src").hint("shuffle_hash"), "src")
             .select(
                 F.col("dst").alias("src"),
-                F.expr("pr div outdeg").alias("c"),
+                F.expr("(pr * _w) div outdeg").alias("c"),
             )
             .groupBy("src")
             .agg(F.sum("c").alias("inc"))
@@ -187,6 +197,60 @@ def minlabel_propagate(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             lab = lab.localCheckpoint(eager=True)
     return lab
+
+
+def kg_salience(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    iters: int = 10,
+    top_k: int = 100,
+) -> DataFrame:
+    """Entity salience over the pipeline's materialized KG: support-weighted
+    integer PageRank on the symmetrized (subj, obj, n_support) edge list,
+    top-k entities, enriched with the nodes table's type and surface forms
+    when provided (broadcast when small, else shuffle join on canon_id).
+
+    This is the consumer query the KG exists for — 'which entities matter' —
+    run as a post-pass on the pipeline's parquet output."""
+    sym = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst"), "n_support"
+    ).unionByName(
+        edges.select(
+            F.col("obj").alias("src"), F.col("subj").alias("dst"), "n_support"
+        )
+    )
+    pr = pagerank_exact(sym, iters=iters, weight_col="n_support")
+    top = (
+        pr.select(F.col("src").alias("canon_id"), "pr")
+        .orderBy(F.col("pr").desc(), "canon_id")
+        .limit(top_k)
+    )
+    if nodes is not None:
+        top = top.join(
+            nodes.select("canon_id", "etype", "n_mentions", "surface_forms"),
+            "canon_id",
+            "left",
+        ).orderBy(F.col("pr").desc(), "canon_id")
+    return top
+
+
+def kg_components(edges: DataFrame) -> DataFrame:
+    """Component census of the KG: convergent connected components
+    (graph.py's star-contraction CC) over the symmetrized subj/obj graph,
+    returning component sizes (top-100) — the canonicalization sanity
+    query ('did CC over-merge?')."""
+    from mxsparkg.graph import connected_components
+
+    und = edges.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).distinct()
+    cc = connected_components(und)  # (entity_id, canon_id)
+    return (
+        cc.groupBy("canon_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "canon_id")
+        .limit(100)
+    )
 
 
 # ---------------------------------------------------------- contract keys --

@@ -88,3 +88,65 @@ def test_minlabel_converges_to_components(spark):
         r.src: r.label for r in minlabel_propagate(e, iters=1).collect()
     }
     assert lab1[5] == 4
+
+
+def test_pagerank_weighted_vs_unweighted(spark):
+    """weight_col semantics: weight≡1 is bit-identical to the unweighted
+    formula; skewing all of a node's out-weight onto one edge routes that
+    node's full damped mass there."""
+    pairs = [(1, 2), (1, 3), (2, 1), (3, 1)]
+    e1 = spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], "src long, dst long, w long"
+    )
+    base = {
+        r.src: r.pr
+        for r in pagerank_exact(
+            spark.createDataFrame(pairs, "src long, dst long"), iters=4
+        ).collect()
+    }
+    w1 = {
+        r.src: r.pr
+        for r in pagerank_exact(e1, iters=4, weight_col="w").collect()
+    }
+    assert base == w1, "weight=1 must reproduce the unweighted ranks"
+    # node 1 sends (almost) everything to 2: 2 must outrank 3 strictly
+    skew = spark.createDataFrame(
+        [(1, 2, 999), (1, 3, 1), (2, 1, 1), (3, 1, 1)],
+        "src long, dst long, w long",
+    )
+    ws = {r.src: r.pr for r in pagerank_exact(skew, iters=4, weight_col="w").collect()}
+    assert ws[2] > ws[3] and ws[2] > w1[2]
+
+
+def test_kg_salience_and_components_over_pipeline_shapes(spark):
+    """kg_salience / kg_components consume the pipeline's edges/nodes
+    schemas: a hub entity with the most supported edges ranks first; the
+    two planted KG islands come back as two components of the right size."""
+    from mxsparkg.graphquery import kg_components, kg_salience
+
+    edges = spark.createDataFrame(
+        [
+            ("e:hub", "works_for", "e:a", 5, ["u1"]),
+            ("e:hub", "works_for", "e:b", 5, ["u2"]),
+            ("e:hub", "born_in", "e:c", 5, ["u3"]),
+            ("e:a", "knows", "e:b", 1, ["u4"]),
+            ("e:x", "knows", "e:y", 2, ["u5"]),
+        ],
+        "subj string, pred string, obj string, n_support long, urls array<string>",
+    )
+    nodes = spark.createDataFrame(
+        [
+            ("e:hub", 15, ["Hub Corp"], "ORG"),
+            ("e:a", 3, ["Alice"], "PER"),
+            ("e:b", 3, ["Bob"], "PER"),
+            ("e:c", 1, ["Cityville"], "LOC"),
+            ("e:x", 2, ["X"], "PER"),
+            ("e:y", 2, ["Y"], "PER"),
+        ],
+        "canon_id string, n_mentions long, surface_forms array<string>, etype string",
+    )
+    top = kg_salience(edges, nodes, iters=6, top_k=3).collect()
+    assert top[0].canon_id == "e:hub" and top[0].etype == "ORG"
+    assert top[0].surface_forms == ["Hub Corp"]
+    comps = kg_components(edges).collect()
+    assert sorted(r.n_members for r in comps) == [2, 4]
