@@ -1,0 +1,76 @@
+"""Data-layout primitives for shuffle elimination at scale: bucketed table
+writes and bucket-co-located joins.
+
+At 100 TB the single biggest avoidable cost is re-shuffling the same fact
+table on the same key for every join: a 10^12-row pages/triples table
+joined repeatedly on url/canon_id pays a full network shuffle per query.
+Bucketing amortizes that shuffle into the WRITE: `bucketBy(n, key)` +
+`sortBy(key)` hashes rows into n files per partition at write time, and
+Spark's scan reports the resulting HashPartitioning to the planner, so a
+join of two tables bucketed on the same key with the same bucket count
+plans as a SortMergeJoin with NO Exchange on either side (asserted in
+tests/test_layout.py). Repeat consumers read pre-partitioned, pre-sorted
+data — the 'co-located join' every warehouse doc recommends for star joins
+against big fact tables.
+
+Sandbox note: bucketed tables require a session catalog (saveAsTable, not
+path writes). The in-memory Derby catalog used here is single-session; on
+a real cluster the same calls target the shared metastore / Iceberg
+catalog (Iceberg buckets via hidden partition transforms instead —
+`bucket(n, key)` in the PARTITIONED BY clause; no jar in this sandbox
+[ENV], documented in catalog.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write df as a bucketed (and bucket-sorted) managed parquet table.
+
+    Pick n_buckets so one bucket of the LARGER table fits an executor's
+    memory at target scale (10^12 rows / 10^4 buckets ≈ 10^8 rows per
+    bucket is too big; production tables this size use 2^12-2^14 buckets).
+    Both sides of a co-located join must use the same key and count."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | list[str],
+    merge_hint: bool = False,
+) -> DataFrame:
+    """Join two same-key/same-count bucketed tables. The plan this produces
+    (and the test asserts): FileScan reports the bucket spec → planner sees
+    matching HashPartitioning on both sides → SortMergeJoin with zero
+    Exchange operators. A per-partition Sort remains (Spark ≥3 does not
+    trust bucket-file sort order unless the legacy
+    bucketedTableScan.outputOrdering flag is on and each bucket is one
+    file) — that sort is local and spill-safe; the eliminated NETWORK
+    shuffle is the scale win. On 1000 executors this is the difference
+    between a cluster-wide shuffle of the fact table per query and a
+    purely local merge per bucket.
+
+    `merge_hint` forces the SortMergeJoin path: at production scale two
+    fact tables exceed the broadcast threshold and SMJ is what the planner
+    picks anyway; at test scale everything fits a broadcast, so the hint is
+    how the test exercises the big-big plan ('Bucketed: false (disabled by
+    query planner)' appears whenever a broadcast made bucketing moot)."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    if merge_hint:
+        left, right = left.hint("merge"), right.hint("merge")
+    return left.join(right, on)
