@@ -66,8 +66,10 @@ def headline_queries() -> dict:
         "agg_pandas",          # Arrow grouped pandas agg
     ]
     out = {k: q[k] for k in picks if k in q}
-    # training-data ops land here too once datapipe ships
-    for k in ("dedup_minhash_lsh", "txt_quality", "ann_topk_cosine"):
+    # training-data + graph-analytics ops land here too once their
+    # modules ship
+    for k in ("dedup_minhash_lsh", "txt_quality", "ann_topk_cosine",
+              "txt_lm_score", "kg_pagerank"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect
