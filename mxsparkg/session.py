@@ -34,6 +34,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default-false kills AQE partition coalescing under any persisted
+        # subtree — iterative graph jobs (PageRank/CC) persist their
+        # loop-invariant edge tables and were paying full-width shuffles
+        # per round (measured 2-4x wall on the graph contract keys)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
