@@ -605,6 +605,90 @@ def agg_time_window(spark, sf):
     )
 
 
+# ------------------------------------------------ sessionization -----------
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30-minute inactivity gap
+
+
+@reg("evt_sessionize",
+     f"""WITH o AS (
+       SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS ns
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+     s AS (
+       SELECT user_id, event_id, ts, value,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_no
+       FROM o)
+     SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(epoch_us(ts)) AS t_start_us, max(epoch_us(ts)) AS t_end_us,
+       round(sum(value), 2) AS total_value
+     FROM s GROUP BY user_id, session_no""")
+def evt_sessionize(spark, sf):
+    """Gap-based sessionization — the classic clickstream operator Spark
+    has no built-in for, expressed as lag + conditional flag + running sum
+    (two passes over ONE user-partitioned sort; Catalyst plans a single
+    Window exchange for both). Gap arithmetic is in exact integer
+    MICROSECONDS (unix_micros / epoch_us in DuckDB): second-truncated
+    timestamps would mis-split sessions whose gap straddles the threshold
+    by < 1s, and float epochs reintroduce engine-dependent rounding. At
+    10^12 events this is one shuffle on user_id; a hot user (bot) bounds
+    the window buffer at their event count — salt by (user_id, day) first
+    if that's unbounded."""
+    e = _t(spark, sf, "events")
+    # ts is TIMESTAMP_NTZ: unix_micros() rejects it, and timestampdiff
+    # coerces NTZ→TIMESTAMP through the SESSION ZONE — under a DST zone the
+    # 1970-epoch offset differs from the timestamp's offset and the epoch
+    # shifts by an hour. Assembling microseconds from zone-free wall-clock
+    # fields (unix_date + hour/minute + decimal SECOND) is exact in any
+    # session timezone and equals DuckDB's epoch_us on naive timestamps
+    # (verified bit-equal on the full events table under
+    # America/New_York). Literals are bigint-cast: minute(ts)*60000000
+    # overflows INT for minute ≥ 36. Computed once; the gap lags the
+    # integer, not the timestamp.
+    us = F.expr(
+        "unix_date(cast(ts as date))*86400000000"
+        " + cast(hour(ts) as bigint)*3600000000"
+        " + cast(minute(ts) as bigint)*60000000"
+        " + cast(extract(SECOND from ts)*1000000 as bigint)"
+    )
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
+    gap = F.col("_us") - F.lag("_us").over(w)
+    flagged = e.select(
+        "user_id", "event_id", "ts", "value", us.alias("_us")
+    ).select(
+        "user_id",
+        "event_id",
+        "_us",
+        "value",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1)
+        .otherwise(0)
+        .alias("ns"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "_us",
+        "value",
+        F.sum("ns")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_no"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("_us").alias("t_start_us"),
+        F.max("_us").alias("t_end_us"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 # ------------------------------------------- U1 / S2 text-core keys --------
 
 @reg("udf_extract_identity",

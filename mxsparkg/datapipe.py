@@ -2435,9 +2435,96 @@ def mm_decode_stub_sql() -> str:
 
 # ================================================================ registry
 
+# URL canonicalization + dedup: the first screen a Common-Crawl-style
+# corpus runs (the same page is crawled under utm-tagged / fragment /
+# mixed-case-host variants; ~10-20% of raw crawl URLs collapse). Patterns
+# are restricted to the Java-regex ∩ RE2 portable subset: (?i) flags and
+# regexp_extract groups are fine, but NO capture-group backrefs in
+# replacements ($1 vs \\1 diverge) and NO lookarounds (RE2 lacks them).
+_RE_SCHEME_HOST = "(?i)^https?://([^/]+)"
+_RE_AFTER_HOST = "(?i)^https?://[^/]*"
+_RE_FRAGMENT = "#.*"
+_RE_UTM = "utm_[a-z]+=[^&]*&?"
+_RE_DANGLING = "[?&]$"
+_RE_PORT = ":[0-9]+$"
+_RE_WWW = "^www\\."
+
+
+def url_canon_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonicalize deterministic planted crawl URLs (mixed-case scheme+
+    host, www prefix, default port, utm_* tracking params, fragments) and
+    dedup on the canonical form. Planting derives the URL from doc_id
+    (same expressions in the oracle): every 3 consecutive doc_ids share a
+    page, crawled once clean-ish, once with a real query param + utm junk,
+    once with a fragment — so canonical groups are genuinely non-trivial
+    (the id=1 variant must NOT merge; the utm/fragment variants must).
+    One groupBy on the canonical string — the exact-dedup shuffle shape,
+    scale-safe at 10^12 URLs."""
+    d = _docs(spark, sf).select("doc_id")
+    raw = F.expr(
+        "concat('HTTP://WWW.Site', cast((doc_id div 3) % 7 as string),"
+        " '.Example.COM:80/Path/', cast(doc_id div 3 as string),"
+        " CASE cast(doc_id % 3 as int)"
+        "   WHEN 0 THEN '?utm_source=feed&utm_campaign=x'"
+        "   WHEN 1 THEN '?id=1&utm_medium=email#frag'"
+        "   ELSE '#sec' END)"
+    )
+    urls = d.select("doc_id", raw.alias("raw_url"))
+    host = F.lower(F.regexp_extract("raw_url", _RE_SCHEME_HOST, 1))
+    host = F.regexp_replace(host, _RE_PORT, "")
+    host = F.regexp_replace(host, _RE_WWW, "")
+    rest = F.regexp_replace("raw_url", _RE_AFTER_HOST, "")
+    rest = F.regexp_replace(rest, _RE_FRAGMENT, "")
+    rest = F.regexp_replace(rest, _RE_UTM, "")
+    rest = F.regexp_replace(rest, _RE_DANGLING, "")
+    canon = F.concat(F.lit("http://"), host, rest)
+    return (
+        urls.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+def url_canon_dedup_sql() -> str:
+    return f"""
+      WITH raw AS (
+        SELECT doc_id,
+          'HTTP://WWW.Site' || CAST((doc_id // 3) % 7 AS VARCHAR)
+          || '.Example.COM:80/Path/' || CAST(doc_id // 3 AS VARCHAR)
+          || CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN '?utm_source=feed&utm_campaign=x'
+               WHEN 1 THEN '?id=1&utm_medium=email#frag'
+               ELSE '#sec' END AS raw_url
+        FROM documents),
+      canon AS (
+        SELECT doc_id,
+          'http://'
+          || regexp_replace(
+               regexp_replace(
+                 lower(regexp_extract(raw_url, '{_RE_SCHEME_HOST}', 1)),
+                 '{_RE_PORT}', ''),
+               '{_RE_WWW}', '')
+          || regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(raw_url, '{_RE_AFTER_HOST}', ''),
+                   '{_RE_FRAGMENT}', ''),
+                 '{_RE_UTM}', '', 'g'),
+               '{_RE_DANGLING}', '') AS canon_url
+        FROM raw)
+      SELECT canon_url, CAST(count(*) AS BIGINT) AS n_dups,
+             min(doc_id) AS keeper_id
+      FROM canon GROUP BY canon_url
+    """
+
+
 def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": dedup_exact,
+        "url_canon_dedup": url_canon_dedup,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash": dedup_simhash,
@@ -2474,6 +2561,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def datapipe_oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": dedup_exact_sql(),
+        "url_canon_dedup": url_canon_dedup_sql(),
         "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
         "dedup_minhash_pairs": dedup_minhash_pairs_sql(),
         "dedup_simhash": dedup_simhash_sql(),

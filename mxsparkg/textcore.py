@@ -429,24 +429,33 @@ def resolve_matches(
 # slicing out of the hot loop. Keyed by object identity with a strong ref
 # kept (no id-reuse hazard); one model per worker process in practice.
 _PRED_COMPILED_SRC: list[dict] | None = None
-_PRED_COMPILED: list[tuple] = []
+_PRED_COMPILED: tuple[dict, list] = ({}, [])
 
 
-def _compile_predicates(patterns: list[dict]) -> list[tuple]:
-    """[(pred, first_etype_or_None, ((etype_or_None, item), ...)), ...] —
-    etype_or_None precomputes is_marker(item) and the '<etype>' strip."""
+def _compile_predicates(patterns: list[dict]) -> tuple[dict, list]:
+    """(by_first_etype, unanchored) where each compiled pattern is
+    (pred, first_etype_or_None, ((etype_or_None, item), ...)) —
+    etype_or_None precomputes is_marker(item) and the '<etype>' strip.
+    Anchored patterns (first item is an entity placeholder — the common
+    case after mining) are bucketed by that etype so a sentence only pays
+    for the patterns its mention types can possibly start."""
     global _PRED_COMPILED_SRC, _PRED_COMPILED
     if patterns is _PRED_COMPILED_SRC:
         return _PRED_COMPILED
-    compiled = []
+    by_first: dict[str, list[tuple]] = {}
+    unanchored: list[tuple] = []
     for pat in patterns:
         items = tuple(
             (item[1:-1] if is_marker(item) else None, item)
             for item in pat["pattern"]
         )
-        compiled.append((pat["pred"], items[0][0], items))
-    _PRED_COMPILED_SRC, _PRED_COMPILED = patterns, compiled
-    return compiled
+        compiled = (pat["pred"], items[0][0], items)
+        if items[0][0] is not None:
+            by_first.setdefault(items[0][0], []).append(compiled)
+        else:
+            unanchored.append(compiled)
+    _PRED_COMPILED_SRC, _PRED_COMPILED = patterns, (by_first, unanchored)
+    return _PRED_COMPILED
 
 
 def match_predicates(
@@ -456,11 +465,14 @@ def match_predicates(
 ) -> list[tuple[int, int, str]]:
     """Returns (subj_mention_idx, obj_mention_idx, pred).
 
-    Patterns whose first item is an entity placeholder (the common case)
-    are anchored at mention-open positions only — O(patterns × mentions)
-    instead of O(patterns × tokens). Mentions are bucketed by etype once
-    per sentence; marker tests are precompiled per pattern list."""
-    if not mentions:
+    A triple needs two distinct bound mentions, so sentences with fewer
+    than two mentions (the vast majority on noise-dominated web text)
+    return immediately. Patterns whose first item is an entity placeholder
+    (the common case) are anchored at mention-open positions only —
+    O(patterns × mentions) instead of O(patterns × tokens) — and bucketed
+    by first etype at compile time so only patterns whose first type
+    exists in this sentence are tried."""
+    if len(mentions) < 2:
         return []
     n = len(gen_sets)
     open_at = {m[0]: i for i, m in enumerate(mentions)}
@@ -468,13 +480,14 @@ def match_predicates(
     for m in mentions:
         by_etype.setdefault(m[2], []).append(m[0])
     out: list[tuple[int, int, str]] = []
-    for pred, first_et, items in _compile_predicates(patterns):
-        if first_et is not None:
-            starts = by_etype.get(first_et)
-            if starts is None:
-                continue
-        else:
-            starts = range(n)
+    by_first, unanchored = _compile_predicates(patterns)
+    candidates: list[tuple] = []
+    for et, starts in by_etype.items():
+        for compiled in by_first.get(et, ()):
+            candidates.append((compiled, starts))
+    for compiled in unanchored:
+        candidates.append((compiled, range(n)))
+    for (pred, _first_et, items), starts in candidates:
         for start in starts:
             ti = start
             bound: list[int] = []

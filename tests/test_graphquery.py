@@ -150,3 +150,42 @@ def test_kg_salience_and_components_over_pipeline_shapes(spark):
     assert top[0].surface_forms == ["Hub Corp"]
     comps = kg_components(edges).collect()
     assert sorted(r.n_members for r in comps) == [2, 4]
+
+
+def test_kcore_peel_matches_pure_python_fixpoint(spark):
+    """kcore_peel run with enough rounds equals the textbook sequential
+    k-core (repeatedly delete nodes of degree < k) on a deterministic
+    random graph — and is invariant to input partitioning."""
+    import random
+
+    from mxsparkg.graphquery import kcore_peel
+
+    rng = random.Random(7)
+    pairs = sorted({
+        tuple(sorted(rng.sample(range(40), 2))) for _ in range(100)
+    })
+
+    # sequential oracle: peel to fixpoint
+    k = 3
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for x in list(adj):
+            if len(adj[x]) < k:
+                for y in adj.pop(x):
+                    adj[y].discard(x)
+                changed = True
+    expected = {x: len(ns) for x, ns in adj.items() if ns}
+
+    e = spark.createDataFrame(pairs, "u long, v long")
+    # rounds=10 >> peel-cascade depth on 40 nodes → fixpoint; partitioning
+    # of the input cannot matter (pure relational ops), so one run suffices
+    got = {
+        r.node: r.degree
+        for r in kcore_peel(e, k=k, rounds=10, checkpoint_every=4).collect()
+    }
+    assert got == expected
