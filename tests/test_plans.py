@@ -114,3 +114,16 @@ def test_vocab_topk_is_take_ordered(spark):
 
     plan = _plan(txt_vocab(spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sessionize_single_exchange_no_python(spark):
+    """evt_sessionize's lag-flag window and running-sum window must share
+    ONE user_id hash Exchange (both windows + the final agg are planned on
+    the same partitioning), and the whole op stays JVM-side."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["evt_sessionize"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan
+    assert "Python" not in plan, plan
