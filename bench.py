@@ -69,7 +69,7 @@ def headline_queries() -> dict:
     # training-data + graph-analytics ops land here too once their
     # modules ship
     for k in ("dedup_minhash_lsh", "txt_quality", "ann_topk_cosine",
-              "txt_lm_score", "kg_pagerank"):
+              "txt_lm_score", "kg_pagerank", "evt_sessionize"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

@@ -130,6 +130,107 @@ def stateful_host_counts(pages: DataFrame) -> DataFrame:
     )
 
 
+SESSION_GAP_US = 1800 * 1_000_000  # mirror of contract.SESSION_GAP_US
+SESSIONS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def stateful_sessions(
+    events: DataFrame,
+    gap_us: int = SESSION_GAP_US,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization (the continuous analogue of the batch
+    evt_sessionize operator): per-user open-session state carried across
+    micro-batches in the streaming state store, sessions CLOSED either by
+    a later in-stream event past the inactivity gap or by event-time
+    timeout once the watermark passes (open state cannot grow without
+    bound — every idle user's state is reclaimed by the timeout).
+
+    Semantics contract (asserted in tests/test_streaming.py): the closed
+    sessions emitted across all micro-batches equal the batch
+    sessionization of the same data minus each user's final (still-open)
+    session — independent of how the stream is split into batches.
+
+    applyInPandasWithState: rows arrive per user as Arrow batches; state
+    is (start_us, last_us, n_events). Timestamps are handled as naive
+    integer microseconds end-to-end (pandas datetime64[ns] // 1000), the
+    same zone-free arithmetic as the batch operator."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        uid = key[0]
+
+        def session_row(start, last, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start_us": [start],
+                    "session_end_us": [last],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield session_row(start, last, n)
+            return
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        us = (
+            pd.concat(parts)["ts"]
+            .astype("datetime64[ns]")
+            .astype("int64")
+            .sort_values()
+            // 1000
+        )
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = int(us.iloc[0])
+            n = 0  # the loop below counts the first event
+        for t in us:
+            t = int(t)
+            if n > 0 and t - last > gap_us:
+                yield session_row(start, last, n)
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        # close the open session when the watermark passes last + gap
+        state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            SESSIONS_OUT_SCHEMA,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def hourly_ingest_stats(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling-window ingest metrics (streaming-native agg): pages and
     hosts per hour of crawl time, watermark-bounded."""

@@ -147,3 +147,86 @@ def test_dedup_late_fetches(spark):
     q.awaitTermination(120)
     got = spark.sql("SELECT url FROM dedup_urls").collect()
     assert sorted(r.url for r in got) == ["u1", "u2"]
+
+
+def test_stateful_sessions_match_batch_minus_open(spark):
+    """Streaming sessionization contract: with in-order-per-user arrival,
+    the closed sessions emitted across micro-batches == batch
+    sessionization minus each user's final (still-open) session —
+    sessions spanning a micro-batch boundary must be stitched through
+    state, not split. The watermark delay is set large so no event-time
+    timeout can fire within the test data (timeout-driven closes are the
+    unbounded-stream path, exercised implicitly by the state contract)."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    from mxsparkg.streaming import SESSION_GAP_US, stateful_sessions
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid, offsets_min in [
+        (1, [0, 5, 10, 120, 125, 300]),     # sessions 0-10, 120-125, open 300
+        (2, [0, 50, 100]),                  # 50-min gaps: 3 sessions
+        (3, [0, 10, 20, 29, 70, 80]),       # session 0-29 CLOSES in batch 2
+    ]:
+        for m in offsets_min:
+            rows.append((uid, base + dt.timedelta(minutes=m)))
+    root = "/tmp/mxsparkg_test_sessions"
+    src, ckpt = f"{root}/incoming", f"{root}/ckpt"
+    shutil.rmtree(root, ignore_errors=True)
+    _os.makedirs(src)
+    # split by TIME (events before/after minute 40) so arrival is in order
+    # per user; write sequentially with distinct mtimes so the file source
+    # (which orders by modification time) replays them as two in-order
+    # micro-batches
+    cut = base + dt.timedelta(minutes=40)
+    early = [r for r in rows if r[1] < cut]
+    late = [r for r in rows if r[1] >= cut]
+    for i, part in enumerate((early, late)):
+        spark.createDataFrame(part, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.parquet(f"{src}/f{i}")
+        _time.sleep(1.1)
+
+    schema = spark.read.parquet(f"{src}/f0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        stateful_sessions(stream, watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.sql("select * from sessions").collect()
+    }
+
+    # batch oracle: sessionize in pure python, drop each user's last session
+    by_user = {}
+    for uid, ts in rows:
+        by_user.setdefault(uid, []).append(
+            int(pd.Timestamp(ts).value) // 1000
+        )
+    expected = set()
+    for uid, uss in by_user.items():
+        uss.sort()
+        sessions, start, last, n = [], uss[0], uss[0], 0
+        for t in uss:
+            if n > 0 and t - last > SESSION_GAP_US:
+                sessions.append((uid, start, last, n))
+                start, n = t, 0
+            last, n = t, n + 1
+        # final session stays OPEN (not emitted: watermark never reaches it)
+        expected.update(sessions)
+    assert got == expected, (sorted(got), sorted(expected))
