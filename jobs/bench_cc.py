@@ -57,6 +57,114 @@ def build_edges(args) -> list[tuple[str, str]]:
     return edges
 
 
+def skew_experiment(args) -> None:
+    """Roadmap item 'skew-aware large-star salting measurements': on a
+    hub-DOMINATED graph (one star holding ~85% of all edges — the worst
+    case for the star steps' edge⋈min join, whose probe side hashes every
+    hub edge to ONE partition), measure three ways of running the same CC:
+
+      baseline   join_salts=0, stock AQE (the hub partition is tens of MB —
+                 BELOW AQE's 256MB skew-split threshold, so AQE does NOT
+                 split it: the hot task bounds every round's wall)
+      aqe-tuned  join_salts=0 + skewedPartitionThresholdInBytes/
+                 advisoryPartitionSizeInBytes lowered to 8MB so AQE's
+                 skew-split actually fires on the hub partition
+      salted     join_salts=8 (skew.salted_join inside both star steps:
+                 probe salted by row hash, min table replicated ×8)
+
+    All three must produce the EXACT union-find map. Results append to
+    BENCH/CC.md."""
+    from mxsparkg.graph import _driver_cc, connected_components
+    from mxsparkg.session import get_spark
+
+    edges = build_edges(args)
+    n_edges = len(edges)
+    spark = get_spark(
+        f"local[{args.cores}]",
+        shuffle_partitions=2 * args.cores,
+        app_name="bench-cc-skew",
+    )
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(
+        2 * args.cores
+    )
+    df.persist().count()
+    # CC drops self-edges (a node whose ONLY edge is a self-loop is a
+    # singleton and absent from the edge-derived map); feed the oracle
+    # the same filtered view
+    expected = set(_driver_cc([(a, b) for a, b in edges if a != b]))
+
+    aqe_tuning = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    defaults = {k: spark.conf.get(k) for k in aqe_tuning}
+
+    results = {}
+    for name, salts, confs in (
+        ("baseline", 0, {}),
+        ("aqe_tuned", 0, aqe_tuning),
+        ("salted_x8", 8, {}),
+    ):
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        walls = []
+        for _rep in range(args.skew_reps):
+            stats: dict = {}
+            t0 = time.time()
+            cc = connected_components(
+                df, driver_threshold=0, stats=stats, join_salts=salts
+            )
+            got = {(r["entity_id"], r["canon_id"]) for r in cc.collect()}
+            walls.append(round(time.time() - t0, 2))
+            assert got == expected, f"{name}: CC result differs from union-find"
+        for k in confs:
+            spark.conf.set(k, defaults[k])
+        results[name] = {
+            "walls": walls,
+            "best": min(walls),
+            "rounds": stats.get("rounds"),
+        }
+        print(f"[skew-exp] {name}: walls={walls} rounds={stats.get('rounds')}",
+              file=sys.stderr)
+
+    summary = {
+        "metric": "cc_hub_skew_experiment",
+        "n_edges": n_edges,
+        "hub_degree": args.star,
+        "cores": args.cores,
+        "results": results,
+        "exact_match_vs_union_find": True,
+    }
+    b = results["baseline"]["best"]
+    md = f"""
+
+## Hub-skew experiment: salting vs AQE skew-split on the star-step join
+
+Graph: {n_edges} edges, ONE {args.star}-leaf hub (~{100 * args.star // n_edges}% of
+all edges), local[{args.cores}], {args.skew_reps} reps each, best wall kept. All
+three variants verified EXACT against driver union-find.
+
+| variant | best wall | vs baseline | rounds |
+| --- | --- | --- | --- |
+| baseline (stock AQE, no salting) | {b}s | 1.00x | {results["baseline"]["rounds"]} |
+| AQE skew-split tuned to 8MB thresholds | {results["aqe_tuned"]["best"]}s | {round(b / results["aqe_tuned"]["best"], 2)}x | {results["aqe_tuned"]["rounds"]} |
+| salted join x8 (skew.salted_join in both stars) | {results["salted_x8"]["best"]}s | {round(b / results["salted_x8"]["best"], 2)}x | {results["salted_x8"]["rounds"]} |
+
+Reading: the hub's probe partition is ~{args.star * 40 // (1 << 20)}MB — stock AQE
+never splits it (256MB threshold), so any hot-task effect shows up
+undiluted in the baseline. `connected_components(join_salts=N)` turns on
+the salted path; AQE tuning is a config-only alternative on clusters
+where re-running jobs with salts is harder than lowering two thresholds.
+
+Regenerate: `python jobs/bench_cc.py --skew-exp --cores {args.cores} --star {args.star}`
+"""
+    with open(args.out, "a") as f:
+        f.write(md)
+    spark.stop()
+    print(json.dumps(summary))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=16)
@@ -67,7 +175,23 @@ def main() -> None:
     ap.add_argument("--random-nodes", type=int, default=400_000)
     ap.add_argument("--random-edges", type=int, default=500_000)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "CC.md"))
+    ap.add_argument("--skew-exp", action="store_true",
+                    help="run the hub-skew salting/AQE comparison and "
+                         "APPEND results to --out (main mode rewrites it)")
+    ap.add_argument("--skew-reps", type=int, default=2)
     args = ap.parse_args()
+
+    if args.skew_exp:
+        # hub-dominated defaults unless the caller overrode them
+        if args.star == 100_000:
+            args.star = 2_000_000
+        args.pairs = min(args.pairs, 50_000)
+        args.chains = 0
+        args.long_chain = 1_000
+        args.random_nodes = min(args.random_nodes, 200_000)
+        args.random_edges = min(args.random_edges, 200_000)
+        skew_experiment(args)
+        return
 
     from mxsparkg.graph import _driver_cc, connected_components
     from mxsparkg.session import get_spark
@@ -92,7 +216,10 @@ def main() -> None:
 
     got = {(r["entity_id"], r["canon_id"]) for r in rows}
     t1 = time.time()
-    expected = set(_driver_cc(edges))
+    # CC drops self-edges (a node whose ONLY edge is a self-loop is a
+    # singleton and absent from the edge-derived map); feed the oracle
+    # the same filtered view
+    expected = set(_driver_cc([(a, b) for a, b in edges if a != b]))
     oracle_wall = time.time() - t1
     assert got == expected, (
         f"distributed CC disagrees with union-find: "

@@ -26,7 +26,23 @@ def _sym(edges: DataFrame) -> DataFrame:
     return edges.unionByName(rev)
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _min_join(probe: DataFrame, mins: DataFrame, join_salts: int) -> DataFrame:
+    """The star steps' edge⋈per-node-min equi-join on src. join_salts=0
+    (default): plain shuffle-hash (build side is one row per node, bounded
+    per partition; skipping the probe-side sort saves two O(E log E) sorts
+    per round × O(log n) rounds). join_salts=S: explicit salted join
+    (skew.salted_join — probe salted by row hash, min table replicated ×S)
+    for hubs hot enough that one probe partition dominates the round wall
+    but still below AQE's skew-split byte thresholds — see the measured
+    comparison in BENCH/CC.md."""
+    if join_salts:
+        from mxsparkg.skew import salted_join
+
+        return salted_join(probe, mins, on="src", n_salts=join_salts)
+    return probe.join(mins.hint("shuffle_hash"), "src")
+
+
+def _large_star(edges: DataFrame, join_salts: int = 0) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to the min of
     u's closed neighborhood.
 
@@ -40,19 +56,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     mins = sym.groupBy("src").agg(
         F.least(F.min("dst"), F.col("src")).alias("m")
     )
-    # shuffle-hash, not sort-merge: the build side is one row per node
-    # (bounded per partition), and skipping the probe-side sort saves two
-    # O(E log E) sorts per round × O(log n) rounds
     return (
-        sym.filter(F.col("dst") > F.col("src"))
-        .join(mins.hint("shuffle_hash"), "src")
+        _min_join(sym.filter(F.col("dst") > F.col("src")), mins, join_salts)
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, join_salts: int = 0) -> DataFrame:
     """Orient each edge (max→min); connect all smaller neighbors (and the
     center) to the minimum. Same relational min+join shape as _large_star
     (min over oriented out-neighbors is ≤ center, so no least() needed on
@@ -62,9 +74,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
     mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-    nbr_edges = (
-        oriented.join(mins.hint("shuffle_hash"), "src")
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    nbr_edges = _min_join(oriented, mins, join_salts).select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
     )
     center_edges = mins.select("src", F.col("m").alias("dst"))
     return (
@@ -99,6 +110,7 @@ def connected_components(
     driver_threshold: int = 200_000,
     reliable_checkpoint_dir: str | None = None,
     stats: dict | None = None,
+    join_salts: int = 0,
 ) -> DataFrame:
     """edges(src, dst) strings → canon_map(entity_id, canon_id).
 
@@ -122,7 +134,13 @@ def connected_components(
     executor loss at the cost of one write per round).
 
     stats: optional dict the call fills with {'path': 'driver'|'distributed',
-    'rounds': k} — observability for bench/ops, no behavior change."""
+    'rounds': k} — observability for bench/ops, no behavior change.
+
+    join_salts: 0 (default) = plain shuffle-hash star joins; N = route the
+    star steps' edge⋈min joins through skew.salted_join with N salts, for
+    hub partitions hot enough to bound the round wall yet below AQE's
+    skew-split byte thresholds (measured comparison in BENCH/CC.md;
+    results are identical either way — salt-equality property-tested)."""
     spark = edges.sparkSession
     if reliable_checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
@@ -168,7 +186,7 @@ def connected_components(
     sig_cur = _sig(cur)
     rounds = 0
     for _ in range(max_iter):
-        nxt = _ckpt(_small_star(_large_star(cur)))
+        nxt = _ckpt(_small_star(_large_star(cur, join_salts), join_salts))
         sig_nxt = _sig(nxt)
         cur = nxt
         rounds += 1

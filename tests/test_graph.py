@@ -115,3 +115,27 @@ def test_cc_reliable_checkpoint_path(spark, tmp_path):
     }
     assert reliable == local
     assert any(os.scandir(ckpt_dir)), "no reliable checkpoint files written"
+
+
+def test_cc_salted_joins_identical(spark):
+    """join_salts routes the star-step joins through skew.salted_join;
+    the canon map must be bit-identical to the unsalted path (salting is
+    a physical-plan choice, never a semantics choice) — including on a
+    hub-heavy graph, the shape salting exists for."""
+    import random
+
+    rng = random.Random(11)
+    edges = [("hub", f"leaf{i:05d}") for i in range(1500)]
+    edges += [
+        (f"m{rng.randrange(400)}", f"m{rng.randrange(400)}")
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges if a != b]
+    )
+    plain = {(r["entity_id"], r["canon_id"])
+             for r in connected_components(df, driver_threshold=0).collect()}
+    salted = {(r["entity_id"], r["canon_id"])
+              for r in connected_components(
+                  df, driver_threshold=0, join_salts=8).collect()}
+    assert plain == salted and len(plain) > 1500
