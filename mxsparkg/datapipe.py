@@ -1122,6 +1122,112 @@ def ann_kmeans_topk_sql() -> str:
     """
 
 
+SEMDEDUP_TAU = 0.98
+SEMDEDUP_PLANT_N = 25
+SEMDEDUP_PLANT_EPS = 0.003
+SEMDEDUP_PLANT_OFFSET = 1000
+
+
+def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup: cluster the embedding
+    space with the TRAINED k-means centroids (A4'), search for
+    near-duplicate pairs only WITHIN each cell, and drop every vector that
+    has a same-cell neighbor with a smaller id and cosine ≥ τ (the greedy
+    keep-lowest-id representative — deterministic, no sampled ordering).
+    The cell equi-join replaces the n² pair space with Σ|cell|²: at 10^9
+    vectors the per-cell blocks are the only pair space ever materialized
+    — the embedding-space analogue of the LSH-bucket dedup's scale shape,
+    and the reason SemDeDup is feasible at training-corpus scale at all.
+
+    Near-dups are planted deterministically in-query (copies of vec_id <
+    SEMDEDUP_PLANT_N shifted by +EPS on every component → cosine ≈ 0.9995
+    to the original) so the drop set is non-vacuous under the hash gate;
+    random 64-dim vectors never approach τ = 0.98 naturally. The threshold
+    compares round(cos, 6) — the 6dp-rounded value is the cross-engine-
+    stable comparison key (raw low-order bits are not), same rule as every
+    cosine key in this module. Returns one row per DROPPED vector:
+    (vec_id, cell, rep_id = the smallest qualifying keeper, cosine)."""
+    from pyspark.sql.window import Window
+
+    cents, vecs = _kmeans_train(spark, sf, KMEANS_ITERS)
+    planted = vecs.filter(F.col("vec_id") < SEMDEDUP_PLANT_N).select(
+        (F.col("vec_id") + SEMDEDUP_PLANT_OFFSET).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(SEMDEDUP_PLANT_EPS)).alias("v"),
+    )
+    aug = vecs.select("vec_id", "v").unionByName(planted).withColumn(
+        "norm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    assigned = _assign_df(aug, cents)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos6 = F.round(
+        _dot(F.col("a.v"), F.col("b.v"))
+        / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.cell").alias("cell"),
+            F.col("a.vec_id").alias("rep_id"),
+            cos6.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+    )
+    w = Window.partitionBy("vec_id").orderBy("rep_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell", "rep_id", "cosine")
+    )
+
+
+def dedup_semantic_sql() -> str:
+    """Oracle: the unrolled Lloyd CTEs (identical decimal arithmetic) +
+    augmented-set assignment under the trained cents + the within-cell
+    pair join — training, cell blocking, and the drop decision all under
+    the driver's value-hash gate."""
+    it = KMEANS_ITERS
+    n, eps, off, tau = (SEMDEDUP_PLANT_N, SEMDEDUP_PLANT_EPS,
+                        SEMDEDUP_PLANT_OFFSET, SEMDEDUP_TAU)
+    return f"""
+      WITH {_SQL_VECS}, {_sql_kmeans_cte(it)},
+      aug AS (
+        SELECT vec_id, v FROM vecs
+        UNION ALL
+        SELECT vec_id + {off}, list_transform(v, x -> x + {eps})
+        FROM vecs WHERE vec_id < {n}),
+      augn AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM aug),
+      asgn AS (
+        SELECT vec_id, v, norm, cell FROM (
+          SELECT augn.vec_id, augn.v, augn.norm, cents{it}.cell,
+                 row_number() OVER (
+                   PARTITION BY augn.vec_id
+                   ORDER BY list_dot_product(augn.v, augn.v)
+                            - 2 * list_dot_product(augn.v, cents{it}.c)
+                            + list_dot_product(cents{it}.c, cents{it}.c),
+                            cents{it}.cell) AS rk
+          FROM augn CROSS JOIN cents{it}) WHERE rk = 1),
+      hits AS (
+        SELECT b.vec_id AS vec_id, b.cell AS cell, a.vec_id AS rep_id,
+               round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
+                 AS cosine
+        FROM asgn a JOIN asgn b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
+              >= {tau})
+      SELECT vec_id, cell, rep_id, cosine FROM (
+        SELECT vec_id, cell, rep_id, cosine,
+               row_number() OVER (PARTITION BY vec_id ORDER BY rep_id) AS rk
+        FROM hits) WHERE rk = 1
+    """
+
+
 # ================================================================ text
 
 def txt_langid(spark: SparkSession, sf: str) -> DataFrame:
@@ -2531,6 +2637,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_winnow_pairs": dedup_winnow_pairs,
         "dedup_embed_cosine": dedup_embed_cosine,
+        "dedup_semantic": dedup_semantic,
         "ann_topk_cosine": ann_topk_cosine,
         "ann_lsh_bucket": ann_lsh_bucket,
         "ann_lsh_topk": ann_lsh_topk,
@@ -2568,6 +2675,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard_sql(),
         "dedup_winnow_pairs": dedup_winnow_pairs_sql(),
         "dedup_embed_cosine": dedup_embed_cosine_sql(),
+        "dedup_semantic": dedup_semantic_sql(),
         "ann_topk_cosine": ann_topk_cosine_sql(),
         "ann_lsh_bucket": ann_lsh_bucket_sql(),
         "ann_lsh_topk": ann_lsh_topk_sql(),

@@ -588,6 +588,107 @@ def graph_kcore_sql() -> str:
     """
 
 
+BFS_ROUNDS = 3
+BFS_SEED_MOD = 100
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = BFS_ROUNDS,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source bounded BFS over symmetric edges (src, dst): min-hop
+    distance from the seed set, truncated at `iters` hops. The KG-consumer
+    query this serves is neighborhood expansion — "every entity within k
+    hops of these seed entities" (entity-context harvesting, blast-radius
+    queries) — and bounded-frontier BFS is also the per-round core of any
+    shortest-path job.
+
+    Relational shape per round: one equi-join of the edge list against the
+    current distance table + one map-side-combinable groupBy(min) — the
+    same skew-safe iteration as pagerank_exact/minlabel_propagate (a
+    celebrity hub's fanout streams through the join; no adjacency arrays,
+    no frontier ever collected to the driver). The distance table is
+    monotone (min of a growing union), so each round's output is bounded
+    by the reachable node set, not the frontier × degree product.
+    Lineage truncates every `checkpoint_every` rounds like the CC loop.
+
+    seeds: one column `node`. Returns (node, dist) for every node within
+    `iters` hops; dist 0 = seed. Unreached nodes are absent (at web scale
+    the reached set is the small output; materializing "unreached" would
+    be a full node-table anti-join the caller can do if wanted)."""
+    edges = edges.select("src", "dst").persist()  # loop-invariant
+    dist = seeds.select("node", F.lit(0).alias("dist"))
+    for i in range(iters):
+        nbr = (
+            edges.join(
+                dist.withColumnRenamed("node", "_s"),
+                F.col("src") == F.col("_s"),
+            )
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+def graph_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    """3-hop multi-source BFS on the 1-in-50-sparsified co-purchase graph
+    (the graph with real component structure — see _copurchase_edges):
+    seeds = every part key divisible by BFS_SEED_MOD that appears in the
+    graph. Certifies the frontier-join + groupBy(min) round core the
+    unrolled oracle expresses per hop."""
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    sym = _symmetrize(und, "u", "v")
+    seeds = (
+        sym.select(F.col("src").alias("node"))
+        .filter(F.col("node") % BFS_SEED_MOD == 0)
+        .distinct()
+    )
+    return bfs_hops(sym, seeds, iters=BFS_ROUNDS)
+
+
+def graph_bfs_sql() -> str:
+    rounds, mod = BFS_ROUNDS, BFS_SEED_MOD
+    steps = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""c{i} AS (
+        SELECT e.dst AS node, min(p.dist) + 1 AS dist
+        FROM edges e JOIN {prev} p ON p.node = e.src GROUP BY e.dst),
+      d{i} AS (
+        SELECT node, min(dist) AS dist FROM (
+          SELECT node, dist FROM {prev}
+          UNION ALL SELECT node, dist FROM c{i})
+        GROUP BY node)"""
+        )
+        prev = f"d{i}"
+    chain = ",\n      ".join(steps)
+    return f"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey % {MINLABEL_ORDER_MOD} = 0),
+      e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      edges AS (
+        SELECT u AS src, v AS dst FROM e0
+        UNION ALL SELECT v AS src, u AS dst FROM e0),
+      d0 AS (
+        SELECT DISTINCT src AS node, 0 AS dist FROM edges
+        WHERE src % {mod} = 0),
+      {chain}
+      SELECT node, dist FROM {prev}
+    """
+
+
 # ---------------------------------------------------------------- registry --
 
 def graphquery_queries() -> dict:
@@ -596,6 +697,7 @@ def graphquery_queries() -> dict:
         "graph_triangles": graph_triangles,
         "graph_minlabel": graph_minlabel,
         "graph_kcore": graph_kcore,
+        "graph_bfs": graph_bfs,
     }
 
 
@@ -605,4 +707,5 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_triangles": graph_triangles_sql(),
         "graph_minlabel": graph_minlabel_sql(),
         "graph_kcore": graph_kcore_sql(),
+        "graph_bfs": graph_bfs_sql(),
     }

@@ -434,3 +434,27 @@ def test_sample_stratified_exact_quota_and_determinism(spark):
         assert len(got) == expect, (lang, len(got), expect)
         assert all(r.k_target == expect and r.n_stratum == 30 for r in got)
     assert set(by_lang) == {"en", "de", "xx"}
+
+
+def test_dedup_semantic_drops_exactly_planted_copies(spark):
+    """SemDeDup semantics on the real embedding table: every planted
+    near-copy (vec_id+OFFSET, +EPS per component) is dropped with its
+    original as the kept representative, and NO base vector is dropped —
+    random 64-dim vectors never reach τ naturally, so a base-vector drop
+    would mean the cell blocking or threshold is wrong."""
+    from mxsparkg.datapipe import (
+        SEMDEDUP_PLANT_N,
+        SEMDEDUP_PLANT_OFFSET,
+        SEMDEDUP_TAU,
+        dedup_semantic,
+    )
+
+    rows = dedup_semantic(spark, SF).collect()
+    dropped = {r.vec_id: r for r in rows}
+    assert set(dropped) == {
+        i + SEMDEDUP_PLANT_OFFSET for i in range(SEMDEDUP_PLANT_N)
+    }
+    for i in range(SEMDEDUP_PLANT_N):
+        r = dropped[i + SEMDEDUP_PLANT_OFFSET]
+        assert r.rep_id == i          # the original is the keeper
+        assert r.cosine >= SEMDEDUP_TAU

@@ -189,3 +189,45 @@ def test_kcore_peel_matches_pure_python_fixpoint(spark):
         for r in kcore_peel(e, k=k, rounds=10, checkpoint_every=4).collect()
     }
     assert got == expected
+
+
+def test_bfs_hops_matches_driver_bfs(spark):
+    """bfs_hops == textbook BFS min-hop distances on a random symmetric
+    graph, including the truncation semantics (nodes beyond `iters` hops
+    absent) and multi-source min (a node reachable from two seeds gets the
+    shorter distance)."""
+    import collections
+    import random
+
+    from mxsparkg.graphquery import bfs_hops
+
+    rng = random.Random(13)
+    pairs = sorted({
+        tuple(sorted(rng.sample(range(60), 2))) for _ in range(80)
+    })
+    seeds = [0, 7, 31]
+
+    adj = collections.defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+
+    e = _sym(spark, list(pairs))
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "node long")
+    for iters in (1, 3):
+        got = {
+            r.node: r.dist
+            for r in bfs_hops(e, seed_df, iters=iters).collect()
+        }
+        expected = {n: d for n, d in dist.items() if d <= iters}
+        assert got == expected
