@@ -55,6 +55,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(graphquery_queries())
     except ImportError:
         pass
+    try:
+        from mxsparkg.kgexport import kgexport_queries
+
+        out.update(kgexport_queries())
+    except ImportError:
+        pass
+    try:
+        from mxsparkg.kgembed import kgembed_queries
+
+        out.update(kgembed_queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -71,6 +83,18 @@ def oracle_sql() -> dict[str, str]:
         from mxsparkg.graphquery import graphquery_oracle_sql
 
         out.update(graphquery_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from mxsparkg.kgexport import kgexport_oracle_sql
+
+        out.update(kgexport_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from mxsparkg.kgembed import kgembed_oracle_sql
+
+        out.update(kgembed_oracle_sql())
     except ImportError:
         pass
     return out

@@ -1,0 +1,142 @@
+"""spark-submit surface for the KG output-stage tools (kgexport.py /
+kgembed.py) over the pipeline's materialized tables:
+
+  spark-submit --py-files mxsparkg.zip jobs/kg_tools.py \
+      --op ntriples --edges <out>/edges --out <dir>
+
+ops:
+  ntriples   serialize edges to RDF N-Triples text shards (percent-encoded
+             IRIs; each shard independently a valid N-Triples doc)
+  validate   domain/range violations: edges typed via the nodes table's
+             etype, checked against --constraints parquet
+             (pred, styp, otyp) by broadcast anti-join
+  infer      mine the dominant (pred, styp, otyp) signatures from the same
+             typed edges (the constraint table `validate` consumes)
+  diff       add/del delta between two edges snapshots (--edges vs
+             --edges-prev) on (subj, pred, obj)
+  embed      train exact-integer TransE embeddings on the edges table;
+             writes ent/ and pred/ parquet under --out
+
+Prints one JSON line {op, rows, wall_sec, out}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _typed_edges(edges, nodes):
+    """Attach styp/otyp from the nodes table (canon_id → etype): two
+    equi-joins, broadcast when nodes is small relative to edges."""
+    from pyspark.sql import functions as F
+
+    et = nodes.select(F.col("canon_id").alias("_id"), F.col("etype"))
+    return (
+        edges.join(et.withColumnRenamed("etype", "styp"),
+                   edges.subj == F.col("_id")).drop("_id")
+        .join(et.withColumnRenamed("etype", "otyp"),
+              edges.obj == F.col("_id")).drop("_id")
+    )
+
+
+def _dense_entities(edges):
+    """(eid, id, obj_neg) with dense 0..n-1 eids over the distinct entity
+    set, deterministic (ordered by id). sort + zipWithIndex is one
+    shuffle and distributed; the KG pipeline's canonicalization can
+    replace this with its own id assignment."""
+    from pyspark.sql import functions as F
+
+    ids = (
+        edges.select(F.col("subj").alias("id"))
+        .unionByName(edges.select(F.col("obj").alias("id")))
+        .distinct()
+        .orderBy("id")
+    )
+    spark = ids.sparkSession
+    rdd = ids.rdd.map(lambda r: r["id"]).zipWithIndex()
+    return spark.createDataFrame(rdd, ["id", "eid"]).select(
+        "eid", F.col("id"), F.col("id").alias("obj_neg")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--op", required=True,
+                    choices=["ntriples", "validate", "infer", "diff", "embed"])
+    ap.add_argument("--edges", required=True,
+                    help="pipeline edges parquet (subj, pred, obj, ...)")
+    ap.add_argument("--edges-prev", default=None,
+                    help="previous snapshot for --op diff")
+    ap.add_argument("--nodes", default=None,
+                    help="pipeline nodes parquet (canon_id, etype, ...)")
+    ap.add_argument("--constraints", default=None,
+                    help="(pred, styp, otyp) parquet for --op validate")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from mxsparkg import kgexport as kx
+    from mxsparkg.session import get_spark
+
+    spark = get_spark(master=args.master, app_name=f"kg-{args.op}")
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.time()
+
+    edges = spark.read.parquet(args.edges)
+    if args.op == "ntriples":
+        kx.export_edges_ntriples(edges).select("line").write.mode(
+            "overwrite").text(args.out)
+        n = spark.read.text(args.out).count()
+    elif args.op == "validate":
+        typed = _typed_edges(edges, spark.read.parquet(args.nodes))
+        cons = spark.read.parquet(args.constraints)
+        out_df = kx.validate_triples(
+            typed.select("subj", "pred", "obj", "styp", "otyp"), cons)
+        out_df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    elif args.op == "infer":
+        typed = _typed_edges(edges, spark.read.parquet(args.nodes))
+        kx.infer_schema(
+            typed.select("pred", "styp", "otyp")
+        ).write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    elif args.op == "diff":
+        prev = spark.read.parquet(args.edges_prev)
+        cols = ["subj", "pred", "obj"]
+        out_df = kx.state_diff(prev.select(cols), edges.select(cols))
+        out_df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    else:  # embed
+        from mxsparkg import kgembed as ke
+
+        ents = _dense_entities(edges).persist()
+        n_ent = ents.count()
+        triples = edges.select("subj", "pred", "obj")
+        pairs = kx.negative_sample(
+            triples, ents.select("eid", "obj_neg"), n_entities=n_ent)
+        ent0 = ke.init_embeddings(ents.select("id"))
+        pred0 = ke.init_embeddings(
+            triples.select(F.col("pred").alias("id")).distinct())
+        ent, pred = ke.train_transe(pairs, ent0, pred0, epochs=args.epochs)
+        ent.write.mode("overwrite").parquet(os.path.join(args.out, "ent"))
+        pred.write.mode("overwrite").parquet(os.path.join(args.out, "pred"))
+        n = n_ent
+
+    print(json.dumps({
+        "op": args.op, "rows": n,
+        "wall_sec": round(time.time() - t0, 2), "out": args.out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

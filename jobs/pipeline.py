@@ -69,6 +69,9 @@ def main() -> None:
                          "cutting a full write+read of the largest "
                          "intermediate; resume granularity falls back to "
                          "the detect checkpoint")
+    ap.add_argument("--export-ntriples", default=None, metavar="DIR",
+                    help="also serialize the edges table as RDF N-Triples "
+                         "text shards into DIR (for triple-store ingest)")
     ap.add_argument("--reliable-checkpoint", default=None, metavar="DIR",
                     help="durable-storage dir for connected-components "
                          "per-round checkpoints (cluster-safe mode: survives "
@@ -139,6 +142,11 @@ def main() -> None:
         n_total = res["triples"].count()
         n_nodes = res["nodes"].count()
         n_edges = res["edges"].count()
+    if args.export_ntriples:
+        from mxsparkg.kgexport import export_edges_ntriples
+
+        export_edges_ntriples(res["edges"]).select("line").write.mode(
+            "overwrite").text(args.export_ntriples)
     if args.out:
         write_table(res["nodes"], os.path.join(args.out, "nodes"), args.format)
         write_table(res["edges"], os.path.join(args.out, "edges"), args.format)

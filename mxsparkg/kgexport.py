@@ -1,0 +1,514 @@
+"""KG output-stage operators: RDF N-Triples export, ontology constraint
+validation, and temporal snapshot diff (SURVEY.md §2.10/§2.11 extensions).
+
+The north-star pipeline materializes nodes/edges tables (graph.py); real
+KG consumers then need three more things this module provides:
+
+1. **Standard-format export** — downstream triple stores (Jena, Virtuoso,
+   RDF-star lakes) ingest N-Triples, not parquet. `to_ntriples` serializes
+   an edge table into spec-conformant N-Triples lines entirely with
+   JVM-side string built-ins (concat/replace): one narrow projection, no
+   shuffle, no Python — at 10^12 triples the export is exactly as
+   parallel as the input split count, and each output partition is a
+   valid N-Triples document on its own (line-oriented format), so
+   `df.write.text` sharding needs no coordination.
+
+2. **Ontology validation** — a (pred, subj_type, obj_type) domain/range
+   constraint table is model-sized (hundreds of rows), so validation is a
+   broadcast ANTI join: the triple stream is scanned once, violations
+   never shuffle, and the constraint side ships to every executor. This
+   is the same broadcast-dictionary shape as link.py's entity linking.
+
+3. **Incremental maintenance** — a web-crawl KG is re-derived from
+   snapshots; consumers need the delta (added/removed triples) between
+   two as-of states, not a full reload. `state_diff` computes it with two
+   EXCEPTs (hash-partitioned on the whole row, map-side combinable); the
+   as-of state itself is a row_number window per key — the same
+   best-per-key shape as link.py's W1.
+
+Contract keys derive deterministic triples from the driver's TPC-H
+tables (customer/nation/region/orders) so the DuckDB gate can certify
+byte-identical serialization, identical violation sets, and identical
+deltas. Escaping is made non-vacuous by planting quotes and backslashes
+into the literal labels inside the query (same planted-data trick as the
+dedup keys — /root/testdata is never modified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+BASE_E = "urn:kg:e:"   # entity IRI prefix
+BASE_P = "urn:kg:p:"   # predicate IRI prefix
+
+# temporal-diff contract cutoffs (TPC-H orderdates span 1992-1998, so both
+# cutoffs bisect the data and the add AND del sides are non-empty)
+DIFF_T1 = "1995-01-01"
+DIFF_T2 = "1996-07-01"
+
+# planted violation stride for the type-check key
+TYPECHECK_BAD_MOD = 97
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------ production --
+
+def iri(kind: str, key: Column) -> Column:
+    """`<urn:kg:e:{kind}:{key}>` — entity IRI from a typed key column."""
+    return F.concat(F.lit(f"<{BASE_E}{kind}:"), key.cast("string"), F.lit(">"))
+
+
+def escape_literal(col: Column) -> Column:
+    """N-Triples string-literal escaping (backslash first, then quote —
+    order matters or the escape backslashes get re-escaped). Newline/CR/tab
+    follow the same replace chain. All JVM built-ins: stays inside
+    whole-stage codegen."""
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    return F.replace(c, F.lit("\t"), F.lit("\\t"))
+
+
+def to_ntriples(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    obj_is_literal: str | None = None,
+) -> DataFrame:
+    """Serialize IRI-valued (subj, pred, obj) columns to an N-Triples
+    `line` column. If `obj_is_literal` names a boolean column, rows where
+    it is true render the object as an escaped quoted literal instead of
+    an IRI. Pure projection: no shuffle, no Python, output partitioning ==
+    input partitioning."""
+    s, p, o = F.col(subj), F.col(pred), F.col(obj)
+    if obj_is_literal is None:
+        rendered = o
+    else:
+        rendered = F.when(
+            F.col(obj_is_literal),
+            F.concat(F.lit('"'), escape_literal(o), F.lit('"')),
+        ).otherwise(o)
+    line = F.concat(s, F.lit(" "), p, F.lit(" "), rendered, F.lit(" ."))
+    return triples.select(s.alias("subj"), p.alias("pred"), line.alias("line"))
+
+
+def validate_triples(triples: DataFrame, constraints: DataFrame) -> DataFrame:
+    """Domain/range check: rows of `triples` (with styp/otyp type columns)
+    whose (pred, styp, otyp) is NOT in the broadcast `constraints` table.
+    Left-anti against a broadcast side = single scan of the triple stream,
+    violations never shuffle; the constraint table is model-sized by
+    construction (an ontology, not data)."""
+    return triples.join(
+        F.broadcast(constraints), on=["pred", "styp", "otyp"], how="left_anti"
+    )
+
+
+def state_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Tagged delta between two KG states over identical schemas:
+    op='add' rows are in `new` only, op='del' rows in `old` only. Two
+    EXCEPTs, each one hash-shuffle on the full row with map-side distinct;
+    unchanged triples (the overwhelming mass between adjacent crawl
+    snapshots) are dropped at the map side and never reach the reducer."""
+    adds = new.exceptAll(old).withColumn("op", F.lit("add"))
+    dels = old.exceptAll(new).withColumn("op", F.lit("del"))
+    cols = ["op", *old.columns]
+    return adds.select(cols).unionByName(dels.select(cols))
+
+
+def export_edges_ntriples(edges: DataFrame) -> DataFrame:
+    """Serialize the pipeline's materialized edges table (subj, pred, obj,
+    n_support, …) into N-Triples `line`s: entity ids and predicates are
+    percent-encoded (url_encode — JVM built-in) into the urn:kg namespace
+    so arbitrary mined ids (spaces, quotes, unicode) yield valid IRIs.
+    Write with `df.select("line").write.text(dir)` — the format is
+    line-oriented, so every shard is independently a valid N-Triples
+    document and the export parallelism equals the edge table's split
+    count (no coordination, no shuffle)."""
+    enc = lambda c: F.url_encode(F.col(c))  # noqa: E731
+    t = edges.select(
+        F.concat(F.lit(f"<{BASE_E}"), enc("subj"), F.lit(">")).alias("subj"),
+        F.concat(F.lit(f"<{BASE_P}"), enc("pred"), F.lit(">")).alias("pred"),
+        F.concat(F.lit(f"<{BASE_E}"), enc("obj"), F.lit(">")).alias("obj"),
+    )
+    return to_ntriples(t)
+
+
+def negative_sample(
+    triples: DataFrame,
+    entities: DataFrame,
+    entity_id: str = "eid",
+    entity_val: str = "obj_neg",
+    n_entities: int | None = None,
+    salt: str = "neg",
+) -> DataFrame:
+    """TransE-style corrupted-object sampling for KG-embedding training:
+    each (subj, pred, obj) gets a deterministic pseudo-random replacement
+    object drawn by hashing (subj, pred, salt) into a dense entity-id
+    space, then equi-joining the (broadcastable-or-not) entity table.
+    Accidental positives (obj_neg == obj) are dropped — the standard
+    filtered-sampling convention, and the only branch-free deterministic
+    choice.
+
+    Determinism is a lineage feature: re-running the job on any cluster
+    size reproduces the exact training pairs (the hash is md5-derived, no
+    RNG state). `entities` must carry a dense 0..n-1 id column
+    `entity_id` — the KG pipeline's canonicalization stage already
+    assigns dense ids, and a dense id is what makes corruption an
+    equi-join instead of a sort or a sampled crossJoin. Vary `salt` to
+    draw k independent negatives per positive."""
+    if n_entities is None:
+        n_entities = entities.count()  # one scalar job, model-sized result
+    h = F.md5(
+        F.concat(F.col("subj"), F.lit("|"), F.col("pred"), F.lit("|" + salt))
+        .cast("binary")
+    )
+    # 3 hex chars -> deterministic int via ascii() (identical-expression
+    # rule: DuckDB has no hex->int conv; ascii arithmetic is bit-identical
+    # in both engines and uniformity is ample for sampling)
+    idx = (
+        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
+        * 256
+        + F.ascii(F.substring(h, 3, 1))
+    ) % n_entities
+    ent = entities.select(
+        F.col(entity_id).alias("_neg_id"), F.col(entity_val).alias("obj_neg")
+    )
+    return (
+        triples.withColumn("_neg_id", idx)
+        .join(ent, on="_neg_id", how="inner")
+        .filter(F.col("obj_neg") != F.col("obj"))
+        .drop("_neg_id")
+    )
+
+
+# 25 nations in TPC-H at every scale factor (dense n_nationkey 0..24)
+N_NATIONS = 25
+
+
+def kg_negsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corrupted-object negatives over the cust→in_nation
+    KG slice; entity space = the 25 dense-keyed nations. Certifies the
+    hash-index + entity equi-join + accidental-positive filter exactly."""
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    triples = cust.select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        iri("nat", F.col("c_nationkey")).alias("obj"),
+    )
+    entities = nat.select(
+        F.col("n_nationkey").alias("eid"),
+        iri("nat", F.col("n_nationkey")).alias("obj_neg"),
+    )
+    return negative_sample(triples, entities, n_entities=N_NATIONS)
+
+
+def kg_negsample_sql() -> str:
+    return f"""
+      WITH triples AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+               'in_nation' AS pred,
+               '<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>' AS obj
+        FROM customer),
+      hashed AS (
+        SELECT subj, pred, obj,
+               ((ascii(substr(md5(subj || '|' || pred || '|neg'), 1, 1)) * 256
+                 + ascii(substr(md5(subj || '|' || pred || '|neg'), 2, 1)))
+                * 256
+                + ascii(substr(md5(subj || '|' || pred || '|neg'), 3, 1)))
+               % {N_NATIONS} AS neg_id
+        FROM triples)
+      SELECT h.subj, h.pred, h.obj,
+             '<{BASE_E}nat:' || CAST(n.n_nationkey AS VARCHAR) || '>' AS obj_neg
+      FROM hashed h JOIN nation n ON n.n_nationkey = h.neg_id
+      WHERE '<{BASE_E}nat:' || CAST(n.n_nationkey AS VARCHAR) || '>' <> h.obj
+    """
+
+
+SCHEMA_MIN_SHARE_PPM = 50_000  # signature must cover ≥5% of its pred's mass
+
+
+def infer_schema(triples: DataFrame,
+                 min_share_ppm: int = SCHEMA_MIN_SHARE_PPM) -> DataFrame:
+    """Ontology induction — mine the (pred, styp, otyp) domain/range
+    signatures that dominate each predicate (the constraint table
+    validate_triples consumes, derived from data instead of hand-written).
+    share is exact integer ppm (floor(10^6·n/total)): no float division
+    in the threshold, so the kept set is bit-stable across engines and
+    cluster sizes. Two map-side-combinable groupBys (signature counts,
+    per-pred totals) + one equi-join on pred — the signature space is
+    types², model-sized, so everything after the first aggregation is
+    tiny."""
+    sig = triples.groupBy("pred", "styp", "otyp").agg(F.count("*").alias("n"))
+    tot = sig.groupBy("pred").agg(F.sum("n").alias("tot"))
+    ppm = (F.lit(1_000_000) * F.col("n") - F.pmod(
+        F.lit(1_000_000) * F.col("n"), F.col("tot"))) / F.col("tot")
+    return (
+        sig.join(tot, on="pred")
+        .withColumn("share_ppm", ppm.cast("long"))
+        .filter(F.col("share_ppm") >= min_share_ppm)
+        .select("pred", "styp", "otyp", "n", "share_ppm")
+    )
+
+
+def kg_schema_infer(spark: SparkSession, sf: str) -> DataFrame:
+    """Induce the schema from the same typed-triple mix as kg_type_check.
+    The planted wrong-type signature's share of in_region scales with
+    sf (customers grow, nations don't), so the key certifies both sides
+    of the floor: the dominant signatures always survive, and the
+    planted signature's exact ppm share is part of the hashed output
+    whenever it clears the floor."""
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    good1 = cust.select(
+        F.lit("in_nation").alias("pred"),
+        F.lit("cust").alias("styp"), F.lit("nat").alias("otyp"),
+    )
+    good2 = nat.select(
+        F.lit("in_region").alias("pred"),
+        F.lit("nat").alias("styp"), F.lit("reg").alias("otyp"),
+    )
+    bad = cust.filter(F.col("c_custkey") % TYPECHECK_BAD_MOD == 0).select(
+        F.lit("in_region").alias("pred"),
+        F.lit("cust").alias("styp"), F.lit("nat").alias("otyp"),
+    )
+    return infer_schema(good1.unionByName(good2).unionByName(bad))
+
+
+def kg_schema_infer_sql() -> str:
+    return f"""
+      WITH triples AS (
+        SELECT 'in_nation' AS pred, 'cust' AS styp, 'nat' AS otyp
+        FROM customer
+        UNION ALL
+        SELECT 'in_region', 'nat', 'reg' FROM nation
+        UNION ALL
+        SELECT 'in_region', 'cust', 'nat' FROM customer
+        WHERE c_custkey % {TYPECHECK_BAD_MOD} = 0),
+      sig AS (
+        SELECT pred, styp, otyp, COUNT(*) AS n
+        FROM triples GROUP BY pred, styp, otyp),
+      tot AS (SELECT pred, SUM(n) AS tot FROM sig GROUP BY pred)
+      SELECT s.pred, s.styp, s.otyp, s.n,
+             CAST((1000000 * s.n - ((1000000 * s.n % t.tot + t.tot) % t.tot))
+                  / t.tot AS BIGINT) AS share_ppm
+      FROM sig s JOIN tot t ON t.pred = s.pred
+      WHERE CAST((1000000 * s.n - ((1000000 * s.n % t.tot + t.tot) % t.tot))
+                 / t.tot AS BIGINT) >= {SCHEMA_MIN_SHARE_PPM}
+    """
+
+
+# ---------------------------------------------------------- contract keys --
+
+def kg_ntriples(spark: SparkSession, sf: str) -> DataFrame:
+    """Serialize a deterministic 3-relation KG slice to N-Triples:
+    customer→in_nation→nation and nation→in_region→region entity triples,
+    plus a literal label triple per nation with planted quote+backslash
+    characters so the escape path is exercised under the hash gate."""
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    p_in_nation = F.lit(f"<{BASE_P}in_nation>")
+    p_in_region = F.lit(f"<{BASE_P}in_region>")
+    p_label = F.lit(f"<{BASE_P}label>")
+    t1 = cust.select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        p_in_nation.alias("pred"),
+        iri("nat", F.col("c_nationkey")).alias("obj"),
+        F.lit(False).alias("lit"),
+    )
+    t2 = nat.select(
+        iri("nat", F.col("n_nationkey")).alias("subj"),
+        p_in_region.alias("pred"),
+        iri("reg", F.col("n_regionkey")).alias("obj"),
+        F.lit(False).alias("lit"),
+    )
+    # planted label: NAME "r\K" — quotes AND a backslash in one literal
+    label = F.concat(
+        F.col("n_name"), F.lit(' "r\\'),
+        F.col("n_regionkey").cast("string"), F.lit('"'),
+    )
+    t3 = nat.select(
+        iri("nat", F.col("n_nationkey")).alias("subj"),
+        p_label.alias("pred"),
+        label.alias("obj"),
+        F.lit(True).alias("lit"),
+    )
+    allt = t1.unionByName(t2).unionByName(t3)
+    return to_ntriples(allt, obj_is_literal="lit")
+
+
+def kg_ntriples_sql() -> str:
+    # DuckDB replace() chain mirrors escape_literal exactly (order included)
+    esc = (
+        "replace(replace(replace(replace(replace(obj,"
+        " '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'),"
+        " chr(13), '\\r'), chr(9), '\\t')"
+    )
+    return f"""
+      WITH t AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+               '<{BASE_P}in_nation>' AS pred,
+               '<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>' AS obj,
+               FALSE AS lit
+        FROM customer
+        UNION ALL
+        SELECT '<{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR) || '>',
+               '<{BASE_P}in_region>',
+               '<{BASE_E}reg:' || CAST(n_regionkey AS VARCHAR) || '>',
+               FALSE
+        FROM nation
+        UNION ALL
+        SELECT '<{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR) || '>',
+               '<{BASE_P}label>',
+               n_name || ' "r\\' || CAST(n_regionkey AS VARCHAR) || '"',
+               TRUE
+        FROM nation)
+      SELECT subj, pred,
+             subj || ' ' || pred || ' ' ||
+             CASE WHEN lit THEN '"' || {esc} || '"' ELSE obj END
+             || ' .' AS line
+      FROM t
+    """
+
+
+def kg_type_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Ontology domain/range validation over typed triples, with a planted
+    wrong-type triple every TYPECHECK_BAD_MOD-th customer (in_region used
+    with a cust→nat signature) so the violation set is non-empty and the
+    broadcast anti-join is certified value-exactly."""
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    good1 = cust.select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        iri("nat", F.col("c_nationkey")).alias("obj"),
+        F.lit("cust").alias("styp"), F.lit("nat").alias("otyp"),
+    )
+    good2 = nat.select(
+        iri("nat", F.col("n_nationkey")).alias("subj"),
+        F.lit("in_region").alias("pred"),
+        iri("reg", F.col("n_regionkey")).alias("obj"),
+        F.lit("nat").alias("styp"), F.lit("reg").alias("otyp"),
+    )
+    bad = cust.filter(F.col("c_custkey") % TYPECHECK_BAD_MOD == 0).select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        F.lit("in_region").alias("pred"),
+        iri("nat", F.col("c_nationkey")).alias("obj"),
+        F.lit("cust").alias("styp"), F.lit("nat").alias("otyp"),
+    )
+    triples = good1.unionByName(good2).unionByName(bad)
+    constraints = spark.createDataFrame(
+        [("in_nation", "cust", "nat"), ("in_region", "nat", "reg")],
+        ["pred", "styp", "otyp"],
+    )
+    return validate_triples(triples, constraints)
+
+
+def kg_type_check_sql() -> str:
+    return f"""
+      WITH triples AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+               'in_nation' AS pred,
+               '<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>' AS obj,
+               'cust' AS styp, 'nat' AS otyp
+        FROM customer
+        UNION ALL
+        SELECT '<{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR) || '>',
+               'in_region',
+               '<{BASE_E}reg:' || CAST(n_regionkey AS VARCHAR) || '>',
+               'nat', 'reg'
+        FROM nation
+        UNION ALL
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>',
+               'in_region',
+               '<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>',
+               'cust', 'nat'
+        FROM customer WHERE c_custkey % {TYPECHECK_BAD_MOD} = 0),
+      constraints AS (
+        SELECT * FROM (VALUES
+          ('in_nation', 'cust', 'nat'),
+          ('in_region', 'nat', 'reg')) c(pred, styp, otyp))
+      SELECT pred, styp, otyp, subj, obj FROM triples t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM constraints c
+        WHERE c.pred = t.pred AND c.styp = t.styp AND c.otyp = t.otyp)
+    """
+
+
+def _as_of_state(orders: DataFrame, cutoff: str) -> DataFrame:
+    """KG state as of `cutoff`: each customer's latest order priority,
+    tie-broken deterministically (orderdate desc, orderkey desc)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            iri("cust", F.col("o_custkey")).alias("subj"),
+            F.lit("last_priority").alias("pred"),
+            F.col("o_orderpriority").alias("obj"),
+        )
+    )
+
+
+def kg_temporal_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta between the KG state as of DIFF_T1 and DIFF_T2: customers
+    whose latest-order priority changed produce one del + one add row;
+    customers first seen in the window produce an add only. Certifies the
+    as-of window + double-EXCEPT incremental-maintenance core."""
+    orders = _t(spark, sf, "orders")
+    return state_diff(_as_of_state(orders, DIFF_T1), _as_of_state(orders, DIFF_T2))
+
+
+def kg_temporal_diff_sql() -> str:
+    state = """
+        SELECT '<{be}cust:' || CAST(o_custkey AS VARCHAR) || '>' AS subj,
+               'last_priority' AS pred, o_orderpriority AS obj
+        FROM (
+          SELECT o_custkey, o_orderpriority,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders WHERE o_orderdate < TIMESTAMP '{cut}')
+        WHERE rn = 1"""
+    s1 = state.format(be=BASE_E, cut=DIFF_T1)
+    s2 = state.format(be=BASE_E, cut=DIFF_T2)
+    return f"""
+      WITH s1 AS ({s1}), s2 AS ({s2})
+      SELECT 'add' AS op, subj, pred, obj FROM (
+        SELECT subj, pred, obj FROM s2 EXCEPT ALL SELECT subj, pred, obj FROM s1)
+      UNION ALL
+      SELECT 'del' AS op, subj, pred, obj FROM (
+        SELECT subj, pred, obj FROM s1 EXCEPT ALL SELECT subj, pred, obj FROM s2)
+    """
+
+
+# ---------------------------------------------------------------- registry --
+
+def kgexport_queries() -> dict:
+    return {
+        "kg_ntriples": kg_ntriples,
+        "kg_type_check": kg_type_check,
+        "kg_temporal_diff": kg_temporal_diff,
+        "kg_negsample": kg_negsample,
+        "kg_schema_infer": kg_schema_infer,
+    }
+
+
+def kgexport_oracle_sql() -> dict[str, str]:
+    return {
+        "kg_ntriples": kg_ntriples_sql(),
+        "kg_type_check": kg_type_check_sql(),
+        "kg_temporal_diff": kg_temporal_diff_sql(),
+        "kg_negsample": kg_negsample_sql(),
+        "kg_schema_infer": kg_schema_infer_sql(),
+    }

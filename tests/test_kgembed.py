@@ -1,0 +1,110 @@
+"""kgembed: exact-integer TransE training.
+
+The contract gate certifies kg_transe value-exactly vs the unrolled
+DuckDB CTEs; these tests pin the TRAINING semantics the hash cannot see:
+the objective actually decreases, updates are the documented mean-sign
+step, and the whole thing is parallelism-invariant (exactness claim).
+"""
+
+from pyspark.sql import functions as F
+
+from mxsparkg.kgembed import (
+    hinge_loss,
+    init_embeddings,
+    train_transe,
+    transe_epoch,
+)
+
+
+def _toy(spark):
+    # 3 entities, 1 pred, 2 triples + hash-free explicit negatives
+    pairs = spark.createDataFrame(
+        [
+            ("a", "p", "x", "y"),
+            ("b", "p", "x", "y"),
+            ("c", "p", "y", "x"),
+        ],
+        ["subj", "pred", "obj", "obj_neg"],
+    )
+    ent = init_embeddings(
+        spark.createDataFrame([(e,) for e in "abcxy"], ["id"])
+    )
+    pred = init_embeddings(spark.createDataFrame([("p",)], ["id"]))
+    return pairs, ent, pred
+
+
+def test_training_reduces_hinge_loss(spark):
+    """Hand-built start with ACTIVE hinge on every triple (pos object far,
+    corrupted object at distance 0): full-batch descent must reduce the
+    integer objective."""
+    pairs = spark.createDataFrame(
+        [("a", "p", "x", "y"), ("b", "p", "x", "y")],
+        ["subj", "pred", "obj", "obj_neg"],
+    )
+    ent = spark.createDataFrame(
+        [
+            ("a", 0, 0, 0, 0),
+            ("b", 1, 0, 0, 0),
+            ("x", 5, 5, 5, 5),   # positive object: far
+            ("y", 0, 0, 0, 0),   # corrupted object: at the subjects
+        ],
+        ["id", "e0", "e1", "e2", "e3"],
+    )
+    pred = spark.createDataFrame([("p", 0, 0, 0, 0)], ["id", "e0", "e1", "e2", "e3"])
+    l0 = hinge_loss(pairs, ent, pred)
+    assert l0 > 0
+    ent2, pred2 = train_transe(pairs, ent, pred, epochs=4)
+    l1 = hinge_loss(pairs, ent2, pred2)
+    assert l1 < l0, (l0, l1)
+
+
+def test_epoch_moves_each_entity_at_most_lr_per_dim(spark):
+    pairs, ent, pred = _toy(spark)
+    ent2, _ = transe_epoch(pairs, ent, pred)
+    before = {r["id"]: r for r in ent.collect()}
+    after = {r["id"]: r for r in ent2.collect()}
+    for eid, row in after.items():
+        for k in range(4):
+            # mean-sign step: |Δ| ≤ 1 per dimension per epoch
+            assert abs(row[f"e{k}"] - before[eid][f"e{k}"]) <= 1
+
+
+def test_init_is_deterministic_and_bounded(spark):
+    ids = spark.createDataFrame([(f"e{i}",) for i in range(50)], ["id"])
+    a = sorted(map(tuple, init_embeddings(ids).collect()))
+    b = sorted(map(tuple, init_embeddings(ids).collect()))
+    assert a == b
+    vals = [v for row in a for v in row[1:]]
+    assert all(-8 <= v <= 8 for v in vals)
+    assert len(set(vals)) > 3  # not collapsed
+
+
+def test_predict_ranks_exact_translation_first(spark):
+    """Hand-built embeddings where x == a + p exactly: link prediction
+    must rank x first with dist 0; ties break on candidate id."""
+    from mxsparkg.kgembed import predict_objects
+
+    rows = [
+        ("a", 1, 2, 3, 4),
+        ("x", 2, 3, 4, 5),   # == a + p  (p = all-ones)
+        ("y", 2, 3, 4, 7),   # dist 2
+        ("z", 9, 9, 9, 9),
+    ]
+    ent = spark.createDataFrame(rows, ["id", "e0", "e1", "e2", "e3"])
+    pred = spark.createDataFrame([("p", 1, 1, 1, 1)], ["id", "e0", "e1", "e2", "e3"])
+    subjects = spark.createDataFrame([("a",)], ["id"])
+    cands = spark.createDataFrame([("x",), ("y",), ("z",)], ["id"])
+    out = predict_objects(subjects, "p", ent, pred, cands, top_k=2).collect()
+    assert [(r["cand"], r["dist"], r["rk"]) for r in out] == [
+        ("x", 0, 1), ("y", 2, 2)
+    ]
+
+
+def test_training_is_partition_invariant(spark):
+    """Exactness claim: same result at different parallelism (the property
+    that float gradients would break)."""
+    pairs, ent, pred = _toy(spark)
+    e1, p1 = train_transe(pairs.repartition(1), ent.repartition(1), pred, epochs=2)
+    e8, p8 = train_transe(pairs.repartition(8), ent.repartition(7), pred, epochs=2)
+    assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e8.collect()))
+    assert p1.collect() == p8.collect()

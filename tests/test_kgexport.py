@@ -1,0 +1,156 @@
+"""kgexport: N-Triples serialization, ontology validation, snapshot diff.
+
+The contract gate (tests/test_contract_gate.py) certifies all three keys
+value-exactly against DuckDB; these tests pin the production functions'
+semantics directly — spec-level escaping, violation detection, and the
+add/del tagging — on hand-written rows where the expected output is
+written out literally.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mxsparkg.kgexport import (
+    state_diff,
+    to_ntriples,
+    validate_triples,
+)
+
+
+def test_ntriples_escaping_and_shape(spark):
+    df = spark.createDataFrame(
+        [
+            ("<urn:kg:e:a>", "<urn:kg:p:knows>", "<urn:kg:e:b>", False),
+            ("<urn:kg:e:a>", "<urn:kg:p:label>", 'say "hi"\\now\nline\tend', True),
+        ],
+        ["subj", "pred", "obj", "lit"],
+    )
+    lines = {
+        r["line"]
+        for r in to_ntriples(df, obj_is_literal="lit").collect()
+    }
+    assert "<urn:kg:e:a> <urn:kg:p:knows> <urn:kg:e:b> ." in lines
+    # backslash escaped before quote; newline/tab become \n \t
+    assert (
+        '<urn:kg:e:a> <urn:kg:p:label> "say \\"hi\\"\\\\now\\nline\\tend" .'
+        in lines
+    )
+
+
+def test_ntriples_plan_has_no_shuffle_no_python(spark):
+    df = spark.createDataFrame(
+        [("<s>", "<p>", "<o>", False)], ["subj", "pred", "obj", "lit"]
+    )
+    plan = to_ntriples(df, obj_is_literal="lit")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_validate_triples_finds_only_planted_violation(spark):
+    triples = spark.createDataFrame(
+        [
+            ("a", "in_nation", "n1", "cust", "nat"),
+            ("n1", "in_region", "r1", "nat", "reg"),
+            ("a", "in_region", "n1", "cust", "nat"),  # violation
+        ],
+        ["subj", "pred", "obj", "styp", "otyp"],
+    )
+    constraints = spark.createDataFrame(
+        [("in_nation", "cust", "nat"), ("in_region", "nat", "reg")],
+        ["pred", "styp", "otyp"],
+    )
+    bad = validate_triples(triples, constraints).collect()
+    assert [(r["subj"], r["pred"]) for r in bad] == [("a", "in_region")]
+
+
+def test_validate_triples_uses_broadcast_join(spark):
+    triples = spark.createDataFrame(
+        [("a", "p", "b", "s", "o")], ["subj", "pred", "obj", "styp", "otyp"]
+    )
+    constraints = spark.createDataFrame([("p", "s", "o")], ["pred", "styp", "otyp"])
+    plan = (
+        validate_triples(triples, constraints)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_state_diff_tags_adds_and_dels(spark):
+    old = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y")], ["subj", "pred", "obj"]
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "z"), ("c", "p", "w")],
+        ["subj", "pred", "obj"],
+    )
+    got = {
+        (r["op"], r["subj"], r["obj"])
+        for r in state_diff(old, new).collect()
+    }
+    assert got == {
+        ("del", "b", "y"),
+        ("add", "b", "z"),
+        ("add", "c", "w"),
+    }
+
+
+def test_state_diff_empty_when_identical(spark):
+    df = spark.createDataFrame([("a", "p", "x")], ["subj", "pred", "obj"])
+    assert state_diff(df, df.select(df.columns)).count() == 0
+
+
+def test_negative_sample_deterministic_and_filtered(spark):
+    from mxsparkg.kgexport import negative_sample
+
+    triples = spark.createDataFrame(
+        [("s%d" % i, "p", "e%d" % (i % 4)) for i in range(40)],
+        ["subj", "pred", "obj"],
+    )
+    entities = spark.createDataFrame(
+        [(i, "e%d" % i) for i in range(4)], ["eid", "obj_neg"]
+    )
+    a = sorted(map(tuple, negative_sample(triples, entities, n_entities=4).collect()))
+    b = sorted(map(tuple, negative_sample(triples, entities, n_entities=4).collect()))
+    assert a == b and len(a) > 0          # reproducible draw
+    assert all(r[3] != r[2] for r in a)   # no accidental positives
+    # a different salt draws a different negative set
+    c = sorted(map(tuple, negative_sample(
+        triples, entities, n_entities=4, salt="neg2").collect()))
+    assert c != a
+
+
+def test_infer_schema_keeps_dominant_drops_rare(spark):
+    from mxsparkg.kgexport import infer_schema
+
+    rows = (
+        [("p1", "A", "B")] * 95
+        + [("p1", "A", "C")] * 4       # 40000 ppm < 5% floor -> dropped
+        + [("p2", "X", "Y")] * 1
+    )
+    triples = spark.createDataFrame(rows, ["pred", "styp", "otyp"])
+    got = {
+        (r["pred"], r["styp"], r["otyp"]): (r["n"], r["share_ppm"])
+        for r in infer_schema(triples).collect()
+    }
+    assert got == {
+        ("p1", "A", "B"): (95, 959595),  # floor(95e6/99)
+        ("p2", "X", "Y"): (1, 1000000),
+    }
+
+
+def test_export_edges_percent_encodes_ids(spark):
+    from mxsparkg.kgexport import export_edges_ntriples
+
+    edges = spark.createDataFrame(
+        [("New York", "capital of", 'state "NY"', 3)],
+        ["subj", "pred", "obj", "n_support"],
+    )
+    [row] = export_edges_ntriples(edges).collect()
+    line = row["line"]
+    # encoded IRIs contain no raw spaces or quotes; line terminates ' .'
+    head = line.rsplit(" .", 1)[0]
+    s, p, o = head.split(" ")
+    for part in (s, p, o):
+        assert part.startswith("<urn:kg:") and part.endswith(">")
+        assert '"' not in part
+    assert line.endswith(" .")
