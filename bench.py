@@ -68,8 +68,12 @@ def headline_queries() -> dict:
     out = {k: q[k] for k in picks if k in q}
     # training-data + graph-analytics ops land here too once their
     # modules ship
+    # kg_transe is deliberately NOT here: a 2-epoch training loop over
+    # model-sized embedding tables measures per-stage scheduler latency,
+    # not data throughput — the gate + pytest certify it instead
     for k in ("dedup_minhash_lsh", "txt_quality", "ann_topk_cosine",
-              "txt_lm_score", "kg_pagerank", "evt_sessionize"):
+              "txt_lm_score", "kg_pagerank", "evt_sessionize",
+              "kg_ntriples"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

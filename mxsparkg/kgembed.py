@@ -199,13 +199,15 @@ def train_transe(
     ent: DataFrame,
     pred: DataFrame,
     epochs: int = EPOCHS,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """Fixed-epoch full-batch training loop. localCheckpoint truncates the
-    per-epoch lineage EVERY epoch by default: one epoch references `ent`
-    four times (three roles + the update join), so un-truncated lineage
-    grows ~4^epochs and Catalyst analysis time explodes after ~3 epochs —
-    unlike the CC loop (2 refs/round), this loop cannot defer truncation."""
+    lineage every 2 epochs by default: one epoch references `ent` four
+    times (three roles + the update join), so un-truncated lineage grows
+    ~4^epochs and Catalyst analysis explodes past ~3 epochs — unlike the
+    CC loop (2 refs/round), this loop cannot defer truncation for long.
+    Every-2 keeps the worst plan at 4²=16 leaf refs while sparing short
+    runs the eager materialization cost (~2× on model-sized tables)."""
     for i in range(epochs):
         ent, pred = transe_epoch(pairs, ent, pred)
         if (i + 1) % checkpoint_every == 0 and i + 1 < epochs:
