@@ -481,6 +481,34 @@ def kg_transe_predict_sql() -> str:
     """
 
 
+def hits_at_k(
+    triples: DataFrame,
+    ent: DataFrame,
+    pred: DataFrame,
+    candidates: DataFrame,
+    k: int = 1,
+    dim: int = DIM,
+) -> float:
+    """Standard KG-completion evaluation: fraction of (subj, pred, obj)
+    test triples whose true obj ranks in the top-k of the candidate set
+    under the trained embeddings (same scoring + tie-break as
+    predict_objects). One prediction join + one equi-join against the
+    test triples + two counts; exact because scores are integers."""
+    preds = triples.select("pred").distinct().collect()
+    assert len(preds) == 1, "hits_at_k evaluates one predicate at a time"
+    subjects = triples.select(F.col("subj").alias("id")).distinct()
+    topk = predict_objects(
+        subjects, preds[0]["pred"], ent, pred, candidates, top_k=k, dim=dim
+    )
+    hits = triples.join(
+        topk,
+        (triples["subj"] == topk["subj"]) & (triples["obj"] == topk["cand"]),
+        "left_semi",
+    ).count()
+    total = triples.count()
+    return hits / total if total else 0.0
+
+
 # ---------------------------------------------------------------- registry --
 
 def kgembed_queries() -> dict:

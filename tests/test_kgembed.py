@@ -100,6 +100,34 @@ def test_predict_ranks_exact_translation_first(spark):
     ]
 
 
+def test_training_improves_hits_at_1(spark):
+    """Separable toy (two subjects per true object, shared relation):
+    training must not make link-prediction accuracy worse, and on this
+    construction it reaches hits@1 above the init value. Deterministic
+    (hash init, integer arithmetic) — no flakiness."""
+    from mxsparkg.kgembed import hits_at_k, train_transe
+
+    triples = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "x"), ("c", "p", "y"), ("d", "p", "y")],
+        ["subj", "pred", "obj"],
+    )
+    pairs = spark.createDataFrame(
+        [("a", "p", "x", "y"), ("b", "p", "x", "y"),
+         ("c", "p", "y", "x"), ("d", "p", "y", "x")],
+        ["subj", "pred", "obj", "obj_neg"],
+    )
+    ent = init_embeddings(
+        spark.createDataFrame([(e,) for e in "abcdxy"], ["id"])
+    )
+    pred = init_embeddings(spark.createDataFrame([("p",)], ["id"]))
+    cands = spark.createDataFrame([("x",), ("y",)], ["id"])
+    h0 = hits_at_k(triples, ent, pred, cands, k=1)
+    ent2, pred2 = train_transe(pairs, ent, pred, epochs=6)
+    h1 = hits_at_k(triples, ent2, pred2, cands, k=1)
+    assert h1 >= h0
+    assert h1 >= 0.75, (h0, h1)
+
+
 def test_training_is_partition_invariant(spark):
     """Exactness claim: same result at different parallelism (the property
     that float gradients would break)."""
