@@ -231,6 +231,34 @@ def stateful_sessions(
     )
 
 
+def streaming_edge_support(
+    triples: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Incremental KG edge maintenance as a stream: per-crawl-window
+    support counts for each (subj, pred, obj), emitted append-mode once
+    the watermark closes the window — each emitted row is a final,
+    exactly-once edge-support delta a downstream merge (kgexport.
+    state_diff consumers, or a MERGE INTO on the edges table) can apply
+    without reprocessing history. The state store holds only open
+    windows' partial counts (bounded by watermark × arrival rate), and
+    the aggregation is the same map-side-combinable groupBy as the batch
+    edges rollup — stream == batch on closed windows is asserted in
+    tests/test_streaming.py."""
+    return (
+        triples.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("w"), "subj", "pred", "obj"
+        )
+        .agg(F.count("*").alias("n_support"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "subj", "pred", "obj", "n_support",
+        )
+    )
+
+
 def hourly_ingest_stats(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling-window ingest metrics (streaming-native agg): pages and
     hosts per hour of crawl time, watermark-bounded."""

@@ -149,6 +149,80 @@ def test_dedup_late_fetches(spark):
     assert sorted(r.url for r in got) == ["u1", "u2"]
 
 
+def test_streaming_edge_support_matches_batch_closed_windows(spark):
+    """Streaming edge rollup == batch rollup on every window the
+    watermark has closed; the last (open) window is withheld, not
+    emitted partially — the exactly-once delta contract."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from mxsparkg.streaming import streaming_edge_support
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h, subj, obj, n in [
+        (0, "e1", "e2", 3), (0, "e1", "e3", 1),
+        (1, "e1", "e2", 2), (1, "e2", "e3", 4),
+        (5, "e9", "e2", 2),  # far-future hour: advances the watermark
+    ]:
+        for i in range(n):
+            rows.append((subj, "rel", obj,
+                         base + dt.timedelta(hours=h, minutes=i)))
+    root = "/tmp/mxsparkg_test_edgestream"
+    src, ckpt = f"{root}/incoming", f"{root}/ckpt"
+    shutil.rmtree(root, ignore_errors=True)
+    _os.makedirs(src)
+    # hour 0+1 first, then the watermark-advancing hour-5 batch
+    early = [r for r in rows if r[3] < base + dt.timedelta(hours=2)]
+    late = [r for r in rows if r[3] >= base + dt.timedelta(hours=2)]
+    for i, part in enumerate((early, late)):
+        spark.createDataFrame(
+            part, "subj string, pred string, obj string, warc_ts timestamp"
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+        _time.sleep(1.1)
+    schema = spark.read.parquet(f"{src}/f0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_edge_support(stream)
+        .writeStream.format("memory")
+        .queryName("edge_deltas")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.subj, r.pred, r.obj, r.n_support)
+        for r in spark.sql("select * from edge_deltas").collect()
+    }
+    batch = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, warc_ts timestamp"
+    )
+    closed = (
+        batch.filter(  # hour-5 window is still open at end of stream
+            F.col("warc_ts") < F.lit("2024-01-01 05:00:00").cast("timestamp")
+        )
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"),
+                 "subj", "pred", "obj")
+        .agg(F.count("*").alias("n_support"))
+        .select(F.col("w.start").alias("window_start"),
+                "subj", "pred", "obj", "n_support")
+    )
+    want = {
+        (str(r.window_start), r.subj, r.pred, r.obj, r.n_support)
+        for r in closed.collect()
+    }
+    assert got == want and len(want) == 4
+
+
 def test_stateful_sessions_match_batch_minus_open(spark):
     """Streaming sessionization contract: with in-order-per-user arrival,
     the closed sessions emitted across micro-batches == batch
