@@ -46,7 +46,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     n_e, n_t = args.entities, args.triples
 
-    # deterministic synthetic KG: md5-driven draws (no RNG state)
+    # deterministic synthetic KG: xxhash64-driven draws (no RNG state; no
+    # DuckDB oracle here, so the cheaper JVM hash is fine)
+    head = min(1000, n_e)  # object head never exceeds the entity space
     t = spark.range(n_t).select(
         F.concat(F.lit("e"), (F.xxhash64(F.col("id")) % n_e + n_e) % n_e)
         .alias("subj"),
@@ -56,7 +58,7 @@ def main() -> None:
         ).otherwise(
             F.concat(
                 F.lit("e"),
-                (F.xxhash64(F.col("id") + n_t) % 1000 + 1000) % 1000,
+                (F.xxhash64(F.col("id") + n_t) % head + head) % head,
             )
         ).alias("obj"),
     )
@@ -84,7 +86,9 @@ def main() -> None:
     l1 = hinge_loss(pairs, ent, pred)
 
     # exactness checksum over the full trained model (order-insensitive)
-    chk = ent.select(  # bit_xor: ANSI-safe (bigint sum of hashes overflows)
+    # checksum over the FULL trained model (entity + predicate rows);
+    # bit_xor: ANSI-safe (bigint sum of hashes overflows)
+    chk = ent.unionByName(pred).select(
         F.bit_xor(F.xxhash64("id", "e0", "e1", "e2", "e3")).alias("h")
     ).collect()[0]["h"]
     print(json.dumps({

@@ -399,6 +399,8 @@ def predict_objects(
     (datapipe's LSH/IVF layer), not exact scoring."""
     d = dim
     pvec = pred.filter(F.col("id") == pred_id).head()  # one model-sized row
+    if pvec is None:
+        raise ValueError(f"predicate {pred_id!r} has no trained embedding")
     cand = candidates.join(
         ent.withColumnRenamed("id", "_cid"), F.col("id") == F.col("_cid")
     ).select(
@@ -493,20 +495,30 @@ def hits_at_k(
     test triples whose true obj ranks in the top-k of the candidate set
     under the trained embeddings (same scoring + tie-break as
     predict_objects). One prediction join + one equi-join against the
-    test triples + two counts; exact because scores are integers."""
-    preds = triples.select("pred").distinct().collect()
-    assert len(preds) == 1, "hits_at_k evaluates one predicate at a time"
-    subjects = triples.select(F.col("subj").alias("id")).distinct()
-    topk = predict_objects(
-        subjects, preds[0]["pred"], ent, pred, candidates, top_k=k, dim=dim
-    )
-    hits = triples.join(
-        topk,
-        (triples["subj"] == topk["subj"]) & (triples["obj"] == topk["cand"]),
-        "left_semi",
-    ).count()
-    total = triples.count()
-    return hits / total if total else 0.0
+    test triples + two counts; exact because scores are integers.
+    `triples` is persisted for the duration (it is scanned three times:
+    predicate check, hit join, total)."""
+    triples = triples.persist()
+    try:
+        preds = [r["pred"] for r in triples.select("pred").distinct().collect()]
+        if len(preds) != 1:
+            raise ValueError(
+                f"hits_at_k evaluates one predicate at a time, got {preds!r}"
+            )
+        subjects = triples.select(F.col("subj").alias("id")).distinct()
+        topk = predict_objects(
+            subjects, preds[0], ent, pred, candidates, top_k=k, dim=dim
+        )
+        hits = triples.join(
+            topk,
+            (triples["subj"] == topk["subj"])
+            & (triples["obj"] == topk["cand"]),
+            "left_semi",
+        ).count()
+        total = triples.count()
+        return hits / total if total else 0.0
+    finally:
+        triples.unpersist()
 
 
 # ---------------------------------------------------------------- registry --
