@@ -16,6 +16,9 @@ ops:
              --edges-prev) on (subj, pred, obj)
   embed      train exact-integer TransE embeddings on the edges table;
              writes ent/ and pred/ parquet under --out
+  predict    link prediction with trained embeddings (--emb = embed's
+             --out): top-k candidate objects per subject of --pred,
+             candidates = the objects observed for that predicate
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -68,7 +71,13 @@ def _dense_entities(edges):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
-                    choices=["ntriples", "validate", "infer", "diff", "embed"])
+                    choices=["ntriples", "validate", "infer", "diff",
+                             "embed", "predict"])
+    ap.add_argument("--emb", default=None,
+                    help="embed op's --out dir (ent/ + pred/) for --op predict")
+    ap.add_argument("--pred", default=None,
+                    help="predicate to predict objects for (--op predict)")
+    ap.add_argument("--top-k", type=int, default=3)
     ap.add_argument("--edges", required=True,
                     help="pipeline edges parquet (subj, pred, obj, ...)")
     ap.add_argument("--edges-prev", default=None,
@@ -113,6 +122,18 @@ def main() -> None:
         prev = spark.read.parquet(args.edges_prev)
         cols = ["subj", "pred", "obj"]
         out_df = kx.state_diff(prev.select(cols), edges.select(cols))
+        out_df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    elif args.op == "predict":
+        from mxsparkg import kgembed as ke
+
+        ent = spark.read.parquet(os.path.join(args.emb, "ent"))
+        pred = spark.read.parquet(os.path.join(args.emb, "pred"))
+        rel = edges.filter(F.col("pred") == args.pred)
+        subjects = rel.select(F.col("subj").alias("id")).distinct()
+        cands = rel.select(F.col("obj").alias("id")).distinct()
+        out_df = ke.predict_objects(
+            subjects, args.pred, ent, pred, cands, top_k=args.top_k)
         out_df.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
     else:  # embed
