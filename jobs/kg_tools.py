@@ -50,22 +50,53 @@ def _typed_edges(edges, nodes):
 
 def _dense_entities(edges):
     """(eid, id, obj_neg) with dense 0..n-1 eids over the distinct entity
-    set, deterministic (ordered by id). sort + zipWithIndex is one
-    shuffle and distributed; the KG pipeline's canonicalization can
-    replace this with its own id assignment."""
+    set, in global id sort order, DataFrame-only (no RDD, no per-row
+    Python): range-partition the distinct ids, count each partition
+    (partition counts are a tiny driver-side collect, one row per
+    partition), prefix-sum the counts into per-partition offsets, and
+    assign eid = offset + (row_number within partition) − 1. Range
+    partitioning guarantees every id in partition p sorts before every id
+    in partition p+1, so the offset scheme reproduces the global sort
+    rank exactly — same eids the old sort+zipWithIndex produced — while
+    the sort, the counts, and the ranks all stay distributed (the only
+    driver traffic is n_partitions longs)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
+    spark = edges.sparkSession
     ids = (
         edges.select(F.col("subj").alias("id"))
         .unionByName(edges.select(F.col("obj").alias("id")))
         .distinct()
-        .orderBy("id")
     )
-    spark = ids.sparkSession
-    rdd = ids.rdd.map(lambda r: r["id"]).zipWithIndex()
-    return spark.createDataFrame(rdd, ["id", "eid"]).select(
-        "eid", F.col("id"), F.col("id").alias("obj_neg")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # persist AFTER stamping the partition id: the counts job and the
+    # rank job must observe the same range assignment
+    ids2 = (
+        ids.repartitionByRange(n_parts, "id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
+    counts = sorted(
+        (r["pid"], r["c"])
+        for r in ids2.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets or [(0, 0)], ["pid", "off"])
+    w = Window.partitionBy("pid").orderBy("id")
+    out = (
+        ids2.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), on="pid")
+        .select(
+            (F.col("off") + F.col("rn") - 1).alias("eid"),
+            F.col("id"),
+            F.col("id").alias("obj_neg"),
+        )
+    )
+    return out
 
 
 def main() -> None:
@@ -90,6 +121,22 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
+
+    # per-op required flags: fail with a usage error, not an opaque
+    # TypeError from spark.read.parquet(None) three stages later
+    required = {
+        "validate": ["nodes", "constraints"],
+        "infer": ["nodes"],
+        "diff": ["edges_prev"],
+        "predict": ["emb", "pred"],
+    }
+    missing = [
+        "--" + f.replace("_", "-")
+        for f in required.get(args.op, ())
+        if getattr(args, f) is None
+    ]
+    if missing:
+        ap.error(f"--op {args.op} requires {' '.join(missing)}")
 
     from pyspark.sql import functions as F
 

@@ -296,6 +296,11 @@ def minhash_candidate_pairs(
     )
 
 
+# same never-alias-a-real-id rule as SEMDEDUP_PLANT_OFFSET (guarded at every
+# shipped SF by tests/test_datapipe_guard.py)
+MINHASH_PLANT_OFFSET = 1_000_000
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-gate key for the LSH candidate-pair JOIN (the one
     quadratic-risk dedup step): bucket self-join + signature-agreement
@@ -309,7 +314,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs(spark, sf).select("doc_id", "text")
     w = F.split(F.col("text"), " ")
     planted = docs.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_id") + MINHASH_PLANT_OFFSET).alias("doc_id"),
         F.array_join(
             F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))), " "
         ).alias("text"),
@@ -336,7 +341,7 @@ def dedup_minhash_pairs_sql() -> str:
       WITH docs2 AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id,
+        SELECT doc_id + {MINHASH_PLANT_OFFSET} AS doc_id,
                array_to_string(
                  list_slice(w, 1, greatest(len(w) - 1, 1)), ' ') AS text
         FROM (SELECT doc_id, string_split(text, ' ') AS w
@@ -1125,7 +1130,13 @@ def ann_kmeans_topk_sql() -> str:
 SEMDEDUP_TAU = 0.98
 SEMDEDUP_PLANT_N = 25
 SEMDEDUP_PLANT_EPS = 0.003
-SEMDEDUP_PLANT_OFFSET = 1000
+# Planted-duplicate ids must NEVER collide with a real vec_id: a collision
+# makes the drop window conflate two different vectors (r3 advice — at sf0.1
+# real vec_ids reach 1999, so the old offset of 1000 aliased ids 1000-1024).
+# 1e6 is far above any fixture scale; tests/test_datapipe_guard.py asserts
+# max(vec_id) < OFFSET at every shipped SF so a bigger fixture can't silently
+# reintroduce the alias.
+SEMDEDUP_PLANT_OFFSET = 1_000_000
 
 
 def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:

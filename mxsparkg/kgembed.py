@@ -299,7 +299,11 @@ def _sql_epoch(i: int) -> str:
         terms = []
         for k in range(d):
             gs = f"COALESCE(g.gs{k}, 0)"
-            n = "COALESCE(g._n, 1)"
+            # identical-expression rule: the Spark side multiplies the
+            # per-id count by LR_DEN (apply_updates, line ~156), so the
+            # oracle must emit the same factor — hardcoding 1 would
+            # silently diverge the two the day LR_DEN is tuned.
+            n = f"(COALESCE(g._n, 1) * {LR_DEN})"
             terms.append(
                 f"t.e{k} - CAST(({gs} - (({gs} % {n} + {n}) % {n})) / {n}"
                 f" AS BIGINT) AS e{k}"
@@ -333,7 +337,12 @@ def _sql_epoch(i: int) -> str:
       pred{i} AS ({upd(f"pred{p}", f"predg{i}")})"""
 
 
-def kg_transe_sql() -> str:
+def _transe_cte_chain() -> str:
+    """The full training CTE chain — `WITH triples AS (...) ... pred{EPOCHS}
+    AS (...)` with NO final SELECT — shared verbatim by kg_transe_sql and
+    kg_transe_predict_sql. Exposed as a helper (rather than one function
+    string-slicing the other's rendered SQL) so a formatting change to
+    either consumer cannot silently corrupt the other."""
     d = DIM
     # deterministic pairs: kg_negsample's hash-corrupted negatives
     neg_hash = (
@@ -349,7 +358,6 @@ def kg_transe_sql() -> str:
         for k in range(d)
     )
     epochs = ",\n      ".join(_sql_epoch(i) for i in range(1, EPOCHS + 1))
-    ecols = ", ".join(f"e{k}" for k in range(d))
     return f"""
       WITH triples AS (
         SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
@@ -370,7 +378,12 @@ def kg_transe_sql() -> str:
         FROM nation),
       ent0 AS (SELECT id, {init_comps} FROM ids),
       pred0 AS (SELECT id, {init_comps} FROM (SELECT 'in_nation' AS id)),
-      {epochs}
+      {epochs}"""
+
+
+def kg_transe_sql() -> str:
+    ecols = ", ".join(f"e{k}" for k in range(DIM))
+    return f"""{_transe_cte_chain()}
       SELECT id, {ecols} FROM ent{EPOCHS}
       WHERE id LIKE '<{BASE_E}nat:%'
       UNION ALL
@@ -453,12 +466,10 @@ def kg_transe_predict(spark: SparkSession, sf: str) -> DataFrame:
 
 def kg_transe_predict_sql() -> str:
     d = DIM
-    base = kg_transe_sql()
-    # reuse the whole training CTE chain: strip the final SELECT (the
-    # first "SELECT id, e0" — the init CTEs select CAST(... expressions,
-    # so the pattern is unique to the output selects) and re-open the
-    # CTE list with a comma
-    chain = base[: base.index("SELECT id, e0")].rstrip().rstrip(",") + ","
+    # compose the shared training CTE chain (no string surgery on the
+    # rendered sibling SQL — see _transe_cte_chain) and re-open the CTE
+    # list with a comma for the inference CTEs
+    chain = _transe_cte_chain().rstrip().rstrip(",") + ","
     spk = ", ".join(
         f"s.e{k} + p.e{k} AS sp{k}" for k in range(d)
     )
@@ -498,9 +509,22 @@ def hits_at_k(
     test triples + two counts; exact because scores are integers.
     `triples` is persisted for the duration (it is scanned three times:
     predicate check, hit join, total)."""
+    from mxsparkg.mining import guarded_collect
+
     triples = triples.persist()
     try:
-        preds = [r["pred"] for r in triples.select("pred").distinct().collect()]
+        # the distinct-predicate set is model-sized (a KG schema has
+        # thousands of predicates at most), but raw mined triples fed in
+        # by mistake could make it corpus-sized — bound the collect with
+        # the same fail-fast guard every model collect in mining.py uses
+        preds = [
+            r["pred"]
+            for r in guarded_collect(
+                triples.select("pred").distinct(),
+                "hits_at_k predicate vocabulary",
+                max_rows=10_000,
+            )
+        ]
         if len(preds) != 1:
             raise ValueError(
                 f"hits_at_k evaluates one predicate at a time, got {preds!r}"

@@ -26,6 +26,28 @@ def test_dense_entities_deterministic_dense_and_complete(spark):
     assert eids == [0, 1, 2, 3]                      # dense 0..n-1
     assert sorted(r[1] for r in a) == ["a", "b", "c", "d"]
     assert all(r[1] == r[2] for r in a)              # obj_neg mirrors id
+    # eid == global sort rank of id (the contract the old sort+zipWithIndex
+    # implementation gave; the DataFrame-only prefix-sum path must match)
+    by_eid = [r[1] for r in sorted(a)]
+    assert by_eid == sorted(by_eid)
+
+
+def test_dense_entities_matches_global_sort_rank_larger(spark):
+    """200 distinct ids across many partitions: eid must equal the global
+    sort rank exactly (checksum of the id→eid map is the invariant the
+    embed op's negative sampler indexes by)."""
+    ids = [f"<e:{i:04d}>" for i in range(200)]
+    import random
+
+    rng = random.Random(7)
+    shuffled = ids[:]
+    rng.shuffle(shuffled)
+    edges = spark.createDataFrame(
+        [(shuffled[i], "p", shuffled[(i + 1) % 200]) for i in range(200)],
+        ["subj", "pred", "obj"],
+    ).repartition(16)
+    got = {r["id"]: r["eid"] for r in _dense_entities(edges).collect()}
+    assert got == {v: k for k, v in enumerate(sorted(ids))}
 
 
 def test_typed_edges_attaches_both_role_types(spark):
