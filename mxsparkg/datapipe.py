@@ -1613,6 +1613,198 @@ def dedup_winnow_pairs_sql() -> str:
     """
 
 
+# --------------------------------------------------- substring-level dedup --
+
+# Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better"): the third dedup tier after exact-doc and
+# near-doc — find token runs >= SUBSTR_K that are duplicated ACROSS
+# documents and strip every copy except the one in the earliest doc.
+# Lee et al. build a monolithic suffix array; the distributed-equivalent
+# decomposition used here is the k-gram cover: a duplicated run of length
+# L >= k duplicates ALL of its (L - k + 1) k-grams, so marking every token
+# covered by a cross-doc-duplicated k-gram and merging contiguous coverage
+# reconstructs exactly the maximal duplicated runs >= k tokens — no suffix
+# array, just one groupBy(min) + one equi-join + per-doc windows, every
+# stage map-side combinable or partitioned by doc.
+SUBSTR_K = 8
+
+
+def substring_dedup(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, text) → one row per doc that LOSES at least one duplicated
+    run: (doc_id, n_runs, toks_dropped, rs array<struct<s,e>>, w tokens,
+    text_dedup). Runs are maximal contiguous stripped token spans
+    [s, e] (0-based, inclusive); the doc with the smallest doc_id keeps
+    its copy (the canonical Lee-et-al. keep-first policy).
+
+    Scale posture: the k-gram postings are the same inverted-index shape
+    as every other dedup op here — groupBy(gram → min doc_id) is map-side
+    combinable, the mark join is a plain hash equi-join whose output is
+    exactly |postings|, and run-merging is a per-doc window (partitioned
+    on doc_id, never global). The gram array is persisted BEFORE the
+    posexplode: Generate inlines its child, so exploding a computed
+    array re-evaluates the whole HOF chain per emitted element — O(n²)
+    per doc without the materialization barrier (measured on the
+    winnowing op; same fix)."""
+    from pyspark.sql.window import Window
+
+    grams = (
+        f"transform(sequence(0, size(w) - {k}), "
+        f"i -> md5(concat_ws(' ', slice(w, i + 1, {k}))))"
+    )
+    g = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .withColumn(
+            "gh",
+            F.when(F.size("w") >= k, F.expr(grams))
+            .otherwise(F.array().cast("array<string>")),
+        )
+        .persist()  # materialization barrier before explode — see docstring
+    )
+    posts = g.select("doc_id", F.posexplode("gh").alias("gpos", "gm"))
+    keeper = posts.groupBy("gm").agg(F.min("doc_id").alias("keep_id"))
+    dup = (
+        posts.join(keeper, "gm")
+        .filter(F.col("doc_id") > F.col("keep_id"))
+        .select("doc_id", "gpos")
+    )
+    w1 = Window.partitionBy("doc_id").orderBy("gpos")
+    runs = (
+        dup.withColumn("prev", F.lag("gpos").over(w1))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("prev").isNull() | (F.col("gpos") - F.col("prev") > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(
+                w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.min("gpos").cast("int").alias("s"),
+            (F.max("gpos") + k - 1).cast("int").alias("e"),
+        )
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_runs"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("toks_dropped"),
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("rs"),
+    )
+    return g.join(per_doc, "doc_id").withColumn(
+        "text_dedup",
+        F.expr(
+            "array_join(filter(w, (x, i) -> "
+            "!exists(rs, r -> i >= r.s AND i <= r.e)), ' ')"
+        ),
+    )
+
+
+def dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key for exact substring dedup. The word-salad corpus has no
+    natural >= SUBSTR_K-token cross-doc runs, so the query plants the same
+    13-token boilerplate paragraph (the winnowing plant) on every doc_id %
+    WINNOW_PLANT_MOD == 1 — the earliest such doc keeps it, every later
+    one must emit exactly one stripped run covering the plant. Output one
+    row per stripped doc: run count, tokens dropped, the run boundary
+    string (certifies every start/end the merge produced), and
+    md5(text_dedup) (certifies the stripped text byte-for-byte) — the
+    whole detect→merge→strip chain under the value-hash gate."""
+    planted = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % WINNOW_PLANT_MOD == 1,
+            F.concat("text", F.lit(" " + _WINNOW_PLANT)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return (
+        substring_dedup(planted, SUBSTR_K)
+        .select(
+            "doc_id",
+            "n_runs",
+            "toks_dropped",
+            F.array_join(
+                F.expr(
+                    "transform(rs, r -> concat(cast(r.s as string), '-', "
+                    "cast(r.e as string)))"
+                ),
+                ",",
+            ).alias("runs_str"),
+            F.md5(F.col("text_dedup").cast("binary")).alias("dedup_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_substring_sql() -> str:
+    k = SUBSTR_K
+    return f"""
+      WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {WINNOW_PLANT_MOD} = 1
+                    THEN text || ' {_WINNOW_PLANT}' ELSE text END AS t
+        FROM documents),
+      toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM planted),
+      g AS (
+        SELECT doc_id, w,
+               CASE WHEN len(w) >= {k} THEN
+                 list_transform(range(1, len(w) - {k} + 2),
+                                i -> md5(array_to_string(w[i:i+{k}-1], ' ')))
+               ELSE [] END AS gh
+        FROM toks),
+      posts AS (
+        SELECT doc_id, u.gpos, u.gm FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(gh) + 1),
+                        i -> {{'gpos': i - 1, 'gm': gh[i]}})) AS u
+          FROM g)),
+      keeper AS (SELECT gm, min(doc_id) AS keep_id FROM posts GROUP BY gm),
+      dup AS (
+        SELECT p.doc_id, p.gpos FROM posts p
+        JOIN keeper kp ON p.gm = kp.gm WHERE p.doc_id > kp.keep_id),
+      flagged AS (
+        SELECT doc_id, gpos,
+               CASE WHEN lag(gpos) OVER w IS NULL
+                         OR gpos - lag(gpos) OVER w > {k}
+                    THEN 1 ELSE 0 END AS new_run
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY gpos)),
+      numbered AS (
+        SELECT doc_id, gpos,
+               sum(new_run) OVER (PARTITION BY doc_id ORDER BY gpos
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM flagged),
+      runs AS (
+        SELECT doc_id, run_id, CAST(min(gpos) AS INT) AS s,
+               CAST(max(gpos) + {k} - 1 AS INT) AS e
+        FROM numbered GROUP BY doc_id, run_id),
+      per_doc AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_runs,
+               CAST(sum(e - s + 1) AS BIGINT) AS toks_dropped,
+               list_sort(list({{'s': s, 'e': e}})) AS rs
+        FROM runs GROUP BY doc_id),
+      stripped AS (
+        SELECT t.doc_id, p.n_runs, p.toks_dropped, p.rs,
+               -- COALESCE: DuckDB's array_to_string([]) is NULL where
+               -- Spark's array_join([]) is '' — a doc that is an exact
+               -- duplicate of an earlier doc strips to the empty string
+               COALESCE(array_to_string(
+                 list_filter(t.w, (x, i) ->
+                   len(list_filter(p.rs,
+                       r -> i - 1 >= r.s AND i - 1 <= r.e)) = 0),
+                 ' '), '') AS text_dedup
+        FROM g t JOIN per_doc p ON t.doc_id = p.doc_id)
+      SELECT doc_id, n_runs, toks_dropped,
+             array_to_string(list_transform(rs,
+               r -> CAST(r.s AS VARCHAR) || '-' || CAST(r.e AS VARCHAR)),
+               ',') AS runs_str,
+             md5(text_dedup) AS dedup_md5
+      FROM stripped ORDER BY doc_id
+    """
+
+
 def txt_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 repetition
     filters, adapted to the word level): duplicate-token fraction and
@@ -2647,6 +2839,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_winnow_pairs": dedup_winnow_pairs,
+        "dedup_substring": dedup_substring,
         "dedup_embed_cosine": dedup_embed_cosine,
         "dedup_semantic": dedup_semantic,
         "ann_topk_cosine": ann_topk_cosine,
@@ -2685,6 +2878,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup_simhash_sql(),
         "dedup_ngram_jaccard": dedup_ngram_jaccard_sql(),
         "dedup_winnow_pairs": dedup_winnow_pairs_sql(),
+        "dedup_substring": dedup_substring_sql(),
         "dedup_embed_cosine": dedup_embed_cosine_sql(),
         "dedup_semantic": dedup_semantic_sql(),
         "ann_topk_cosine": ann_topk_cosine_sql(),

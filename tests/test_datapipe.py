@@ -458,3 +458,98 @@ def test_dedup_semantic_drops_exactly_planted_copies(spark):
         r = dropped[i + SEMDEDUP_PLANT_OFFSET]
         assert r.rep_id == i          # the original is the keeper
         assert r.cosine >= SEMDEDUP_TAU
+
+
+def test_substring_dedup_strips_exact_known_run(spark):
+    """Hand-built corpus: doc 2 embeds doc 1's 10-token run verbatim with
+    unique text around it — the run (and only the run) must be stripped
+    from doc 2 at the exact token boundaries, and doc 1 (the keeper) must
+    not appear in the output at all."""
+    from mxsparkg.datapipe import SUBSTR_K, substring_dedup
+
+    run = " ".join(f"r{i}" for i in range(10))          # 10 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {run} gamma delta"),
+            (2, f"p0 p1 p2 {run} q0 q1 q2 q3"),
+            (3, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),   # no overlap
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in substring_dedup(docs, SUBSTR_K).collect()}
+    assert set(out) == {2}
+    r = out[2]
+    assert r.n_runs == 1
+    assert [(x.s, x.e) for x in r.rs] == [(3, 12)]      # tokens 3..12
+    assert r.toks_dropped == 10
+    assert r.text_dedup == "p0 p1 p2 q0 q1 q2 q3"
+
+
+def test_substring_dedup_merges_adjacent_coverage(spark):
+    """Two shared runs separated by <= 0 tokens in the copy merge into one
+    maximal stripped span; separated runs stay separate."""
+    from mxsparkg.datapipe import SUBSTR_K, substring_dedup
+
+    a = " ".join(f"a{i}" for i in range(SUBSTR_K))
+    b = " ".join(f"b{i}" for i in range(SUBSTR_K))
+    mid = " ".join(f"m{i}" for i in range(SUBSTR_K + 1))  # > k gap tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"x0 {a} x1 x2 x3 x4 x5 x6 x7 x8"),
+            (2, f"y0 {b} y1 y2 y3 y4 y5 y6 y7 y8"),
+            (3, f"z0 {a} {b} z1"),            # adjacent copies -> one span
+            (4, f"w0 {a} {mid} {b} w1"),      # separated -> two spans
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in substring_dedup(docs, SUBSTR_K).collect()}
+    assert out[3].n_runs == 1
+    assert [(x.s, x.e) for x in out[3].rs] == [(1, 2 * SUBSTR_K)]
+    assert out[3].text_dedup == "z0 z1"
+    assert out[4].n_runs == 2
+    assert out[4].text_dedup == f"w0 {mid} w1"
+
+
+def test_substring_dedup_stripped_corpus_has_no_cross_doc_runs(spark):
+    """Lee et al. property on the real corpus (with the planted
+    boilerplate): after stripping, NO k-gram appears in more than one
+    document — every duplicated run >= k tokens survives only in its
+    keeper doc."""
+    import mxsparkg.datapipe as dp
+    from mxsparkg.datapipe import SUBSTR_K, substring_dedup
+
+    planted = dp._docs(spark, SF).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % dp.WINNOW_PLANT_MOD == 1,
+            F.concat("text", F.lit(" " + dp._WINNOW_PLANT)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    deduped = substring_dedup(planted, SUBSTR_K).select(
+        "doc_id", F.col("text_dedup").alias("text2"))
+    stripped = (
+        planted.join(deduped, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("text2", "text").alias("text"))
+    )
+    w = F.split("text", " ")
+    grams = stripped.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(w) >= SUBSTR_K,
+                F.expr(
+                    f"transform(sequence(0, size(split(text, ' ')) - "
+                    f"{SUBSTR_K}), i -> md5(concat_ws(' ', "
+                    f"slice(split(text, ' '), i + 1, {SUBSTR_K}))))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gm"),
+    )
+    cross = (
+        grams.groupBy("gm")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .count()
+    )
+    assert cross == 0
