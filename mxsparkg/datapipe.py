@@ -2135,6 +2135,168 @@ def txt_vocab_sql() -> str:
     """
 
 
+# ------------------------------------------------------------ BPE training --
+
+# Distributed BPE merge training (Sennrich et al. 2016) — the tokenizer-
+# training op txt_vocab stops short of: iteratively count adjacent symbol
+# pairs over the corpus word-frequency table, pick the most frequent pair
+# (deterministic tie-break: count DESC, then lexicographic), merge it
+# everywhere, repeat. The gate key unrolls BPE_MERGES iterations; the
+# production entry point bpe_train() takes any merge count.
+#
+# Cross-engine representation trick: each word's symbol sequence is a
+# string "␣s1␣␣s2␣␣...␣␣sn␣" (tokens joined by DOUBLE spaces, single-space
+# boundaries). Applying merge (a, b) is then a plain non-overlapping
+# left-to-right replace of "␣a␣␣b␣" with "␣ab␣" — the shared separator
+# spaces mean adjacent occurrences still match, so the result equals
+# greedy left-to-right BPE merging exactly (verified vs a pure-Python
+# reference in tests), and replace() has identical semantics in Spark and
+# DuckDB — no fold/aggregate needed, which DuckDB lambdas cannot express.
+BPE_MERGES = 3
+BPE_EOW = "</w>"  # end-of-word marker, standard BPE
+
+
+def _bpe_seq0(words: DataFrame) -> DataFrame:
+    """(word, cnt) → (cnt, seq) in the double-space symbol encoding with
+    each word split to characters + the end-of-word marker."""
+    return words.select(
+        "cnt",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW))), "  "
+            ),
+            F.lit(" "),
+        ).alias("seq"),
+    )
+
+
+def _bpe_pair_counts(seqs: DataFrame) -> DataFrame:
+    """(cnt, seq) → (lhs, rhs, pc): corpus-weighted adjacent-pair counts.
+    One explode + one map-side-combinable groupBy — the whole per-
+    iteration shuffle; at web scale the input is the DISTINCT-word table
+    (vocabulary-sized, not corpus-sized), so each merge round is cheap."""
+    toks = seqs.select("cnt", F.split(F.trim("seq"), "  ").alias("tk"))
+    pairs = toks.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tk) - 2), "
+                "i -> struct(tk[i] AS lhs, tk[i + 1] AS rhs))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select("cnt", "p.lhs", "p.rhs")
+        .groupBy("lhs", "rhs")
+        .agg(F.sum("cnt").cast("bigint").alias("pc"))
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int) -> DataFrame:
+    """Full distributed BPE merge training: returns the merge table
+    (step, lhs, rhs, pair_count) for n_merges iterations. Each iteration
+    is one pair-count groupBy + one broadcast of the single winning pair
+    back onto the vocabulary table (1-row broadcast join on a constant
+    key — never a collect of corpus data; the winner row itself is the
+    only driver traffic, via the guarded limit(1)). Lineage grows one
+    replace() per merge; localCheckpoint every 8 merges keeps the plan
+    bounded for real vocabularies (the same Catalyst-depth discipline as
+    the TransE trainer)."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .persist()  # every merge round's lineage re-enters here: scan once
+    )
+    seqs = _bpe_seq0(words)
+    out = None
+    for step in range(1, n_merges + 1):
+        best = (
+            _bpe_pair_counts(seqs)
+            .orderBy(F.col("pc").desc(), "lhs", "rhs")
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"), "lhs", "rhs",
+                F.col("pc").alias("pair_count"),
+            )
+        )
+        out = best if out is None else out.unionByName(best)
+        b = best.select("lhs", "rhs")
+        seqs = (
+            seqs.withColumn("_one", F.lit(1))
+            .join(F.broadcast(b.withColumn("_one", F.lit(1))), on="_one")
+            .select(
+                "cnt",
+                F.expr(
+                    "replace(seq, ' ' || lhs || '  ' || rhs || ' ', "
+                    "' ' || lhs || rhs || ' ')"
+                ).alias("seq"),
+            )
+        )
+        if step % 8 == 0:
+            seqs = seqs.localCheckpoint(eager=False)
+    return out
+
+
+def txt_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: BPE_MERGES unrolled merge rounds over the documents
+    corpus — each output row (step, lhs, rhs, pair_count) certifies that
+    round's full pair count and the deterministic argmax choice, and
+    steps 2+ additionally certify that the previous merges were APPLIED
+    correctly (their counts depend on the rewritten sequences)."""
+    return bpe_train(_docs(spark, sf), BPE_MERGES).orderBy("step")
+
+
+def txt_bpe_merges_sql() -> str:
+    k = [""]  # rendered CTE pieces
+
+    def pair_cte(i: int) -> str:
+        return f"""pairs{i} AS (
+        SELECT u.lhs AS lhs, u.rhs AS rhs, CAST(sum(cnt) AS BIGINT) AS pc
+        FROM (
+          SELECT cnt,
+                 unnest(list_transform(range(1, len(tk)),
+                        j -> {{'lhs': tk[j], 'rhs': tk[j + 1]}})) AS u
+          FROM (SELECT cnt, string_split(trim(seq), '  ') AS tk
+                FROM seq{i - 1}))
+        GROUP BY u.lhs, u.rhs),
+      best{i} AS (
+        SELECT lhs, rhs, pc FROM pairs{i}
+        ORDER BY pc DESC, lhs, rhs LIMIT 1)"""
+
+    def apply_cte(i: int) -> str:
+        return f"""seq{i} AS (
+        SELECT s.cnt,
+               replace(s.seq, ' ' || p.lhs || '  ' || p.rhs || ' ',
+                       ' ' || p.lhs || p.rhs || ' ') AS seq
+        FROM seq{i - 1} s CROSS JOIN best{i} p)"""
+
+    for i in range(1, BPE_MERGES + 1):
+        k.append(pair_cte(i))
+        if i < BPE_MERGES:
+            k.append(apply_cte(i))
+    ctes = ",\n      ".join(k[1:])
+    finals = "\n      UNION ALL ".join(
+        f"SELECT {i} AS step, lhs, rhs, pc AS pair_count FROM best{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+      WITH words AS (
+        SELECT word, count(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word),
+      seq0 AS (
+        SELECT cnt,
+               ' ' || array_to_string(
+                 list_append(string_split(word, ''), '{BPE_EOW}'), '  ')
+               || ' ' AS seq
+        FROM words),
+      {ctes}
+      SELECT * FROM ({finals}) ORDER BY step
+    """
+
+
 def txt_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """Bigram language-model surprisal scoring — the CCNet/Gopher-class
     perplexity filter: train add-one-smoothed bigram counts on the corpus
@@ -2860,6 +3022,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_decontam": txt_decontam,
         "txt_tfidf": txt_tfidf,
         "txt_vocab": txt_vocab,
+        "txt_bpe_merges": txt_bpe_merges,
         "txt_lm_score": txt_lm_score,
         "txt_sample_stratified": txt_sample_stratified,
         "mm_decode_stub": mm_decode_stub,
@@ -2899,6 +3062,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_decontam": txt_decontam_sql(),
         "txt_tfidf": txt_tfidf_sql(),
         "txt_vocab": txt_vocab_sql(),
+        "txt_bpe_merges": txt_bpe_merges_sql(),
         "txt_lm_score": txt_lm_score_sql(),
         "txt_sample_stratified": txt_sample_stratified_sql(),
         "mm_decode_stub": mm_decode_stub_sql(),

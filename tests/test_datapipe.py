@@ -553,3 +553,68 @@ def test_substring_dedup_stripped_corpus_has_no_cross_doc_runs(spark):
         .count()
     )
     assert cross == 0
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python single-node BPE (Sennrich et al. 2016), the oracle the
+    distributed trainer must match merge-for-merge: corpus word counts ->
+    per-round adjacent-pair argmax (count DESC, then lexicographic) ->
+    greedy left-to-right merge application."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split(" "))
+    vocab = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_single_node_reference(spark):
+    """Distributed BPE == pure-Python BPE, merge for merge, on a corpus
+    chosen to exercise overlap (aaa), adjacency (abab), cross-word
+    weighting, and the end-of-word marker."""
+    from mxsparkg.datapipe import bpe_train
+
+    texts = [
+        "banana bandana banana",
+        "aaa abab abab banana",
+        "low lower lowest low low",
+        "banana band bandana aaa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        (r.lhs, r.rhs, r.pair_count)
+        for r in bpe_train(docs, 6).orderBy("step").collect()
+    ]
+    assert got == _bpe_reference(texts, 6)
+
+
+def test_bpe_train_on_real_corpus_prefix_stable(spark):
+    """The gate key's 3 merges must be the prefix of a longer training
+    run (merge choices are history-dependent — a prefix mismatch would
+    mean the apply step corrupted the sequences)."""
+    import mxsparkg.datapipe as dp
+    from mxsparkg.datapipe import bpe_train
+
+    docs = dp._docs(spark, SF)
+    m3 = [(r.lhs, r.rhs) for r in bpe_train(docs, 3).orderBy("step").collect()]
+    m5 = [(r.lhs, r.rhs) for r in bpe_train(docs, 5).orderBy("step").collect()]
+    assert m5[:3] == m3
