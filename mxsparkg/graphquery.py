@@ -407,6 +407,147 @@ def kg_pagerank_sql() -> str:
     """
 
 
+def ppr_exact(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = PR_ITERS,
+    damping_pct: int = PR_DAMPING_PCT,
+    total_mass: int = PR_TOTAL_MASS,
+    checkpoint_every: int = 8,
+    rank_join_hint: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank (seed-restart): salience of every node WITH
+    RESPECT TO a topic, where `seeds` (one column `src`) defines the
+    topic. Same exact-integer-mass machinery as pagerank_exact — the one
+    change is where restart mass lands: instead of total/n to every node,
+    (100−d)% of the mass returns to the SEEDS each round (total/|S| per
+    seed), so rank decays with distance from the seed set. This answers
+    the KG query global PageRank can't: "which entities matter *for this
+    topic*" (query-time entity salience, RWR in the literature).
+
+    Per iteration: the identical two shuffles as pagerank_exact (one
+    edge⋈rank equi-join + one map-side-combinable bigint sum) plus a
+    broadcast-friendly left-semi seed flag computed ONCE outside the
+    loop. Deterministic: floor-div integer mass, no floats anywhere.
+    Returns (src, pr); mass conservation: sum(pr) ≈ total_mass with the
+    same ≤ n+|E| units/round floor-div loss as the global variant."""
+    edges = edges.select("src", "dst").persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # seed flag + |S| ride the degree table (computed once, loop-invariant)
+    deg = deg.join(
+        seeds.select("src").distinct().withColumn("_s", F.lit(1)),
+        "src", "left",
+    ).select("src", "outdeg", F.coalesce("_s", F.lit(0)).alias("_s")).persist()
+    ns = deg.agg(F.sum("_s").alias("_ns")).withColumn("_k", F.lit(1))
+    pr = (
+        deg.withColumn("_k", F.lit(1))
+        .join(F.broadcast(ns), "_k")
+        .select("src", F.expr(f"(_s * {total_mass}) div _ns").alias("pr"))
+    )
+    base = (
+        f"((_s * {100 - damping_pct} * cast({total_mass} as bigint))"
+        f" div (100 * _ns))"
+    )
+    for i in range(iters):
+        rank_side = pr.join(deg, "src")
+        if rank_join_hint:
+            rank_side = rank_side.hint(rank_join_hint)
+        incoming = (
+            edges.join(rank_side, "src")
+            .select(
+                F.col("dst").alias("src"),
+                F.expr("pr div outdeg").alias("c"),
+            )
+            .groupBy("src")
+            .agg(F.sum("c").alias("inc"))
+        )
+        pr = (
+            deg.join(incoming, "src", "left")
+            .withColumn("_k", F.lit(1))
+            .join(F.broadcast(ns), "_k")
+            .select(
+                "src",
+                F.expr(
+                    f"cast({base} + ({damping_pct} * coalesce(inc, 0L))"
+                    " div 100 as long)"
+                ).alias("pr"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            pr = pr.localCheckpoint(eager=True)
+    return pr
+
+
+PPR_SEED_NATION = 1  # topic for the contract key: nation-1 suppliers
+
+
+def kg_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """Topic-conditioned entity salience: personalized PageRank on the
+    supplier↔part graph, restarting at the suppliers of nation
+    PPR_SEED_NATION — "which parts/suppliers matter for this nation's
+    supply base". Top-25 by rank; a disjoint result set from global
+    kg_pagerank by construction (global hubs outside the seed
+    neighborhood drop)."""
+    seeds = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .filter(F.col("s_nationkey") == PPR_SEED_NATION)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("src"))
+    )
+    pr = ppr_exact(_bipartite_edges(spark, sf), seeds, iters=PR_ITERS)
+    return (
+        pr.filter(F.col("pr") > 0)
+        .select(F.col("src").alias("node"), "pr")
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(25)
+    )
+
+
+def kg_ppr_sql() -> str:
+    total, dpct, n_it = PR_TOTAL_MASS, PR_DAMPING_PCT, PR_ITERS
+    iters = []
+    prev = "pr0"
+    for i in range(1, n_it + 1):
+        iters.append(
+            f"""inc{i} AS (
+        SELECT e.dst AS src, sum(p.pr // d.outdeg) AS inc
+        FROM edges e JOIN {prev} p ON p.src = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      pr{i} AS (
+        SELECT d.src,
+               CAST((d._s * {100 - dpct} * {total})
+                      // (100 * (SELECT ns FROM nn))
+                    + ({dpct} * coalesce(i.inc, 0)) // 100 AS BIGINT) AS pr
+        FROM deg d LEFT JOIN inc{i} i ON i.src = d.src)"""
+        )
+        prev = f"pr{i}"
+    chain = ",\n      ".join(iters)
+    return f"""
+      WITH pairs AS (
+        SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS p
+        FROM lineitem),
+      edges AS (
+        SELECT s AS src, p AS dst FROM pairs
+        UNION ALL SELECT p AS src, s AS dst FROM pairs),
+      seeds AS (
+        SELECT DISTINCT 's' || s_suppkey AS src FROM supplier
+        WHERE s_nationkey = {PPR_SEED_NATION}),
+      deg AS (
+        SELECT e.src, count(*) AS outdeg,
+               CASE WHEN max(s.src) IS NOT NULL THEN 1 ELSE 0 END AS _s
+        FROM edges e LEFT JOIN seeds s ON s.src = e.src
+        GROUP BY e.src),
+      nn AS (SELECT sum(_s) AS ns FROM deg),
+      pr0 AS (
+        SELECT src, CAST((_s * {total}) // (SELECT ns FROM nn) AS BIGINT)
+               AS pr
+        FROM deg),
+      {chain}
+      SELECT src AS node, pr FROM {prev}
+      WHERE pr > 0
+      ORDER BY pr DESC, node LIMIT 25
+    """
+
+
 def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Triangle census of the part co-purchase graph: one row of exact
     integer statistics (edges, wedges, triangles, clustering in ppm)."""
@@ -694,6 +835,7 @@ def graph_bfs_sql() -> str:
 def graphquery_queries() -> dict:
     return {
         "kg_pagerank": kg_pagerank,
+        "kg_ppr": kg_ppr,
         "graph_triangles": graph_triangles,
         "graph_minlabel": graph_minlabel,
         "graph_kcore": graph_kcore,
@@ -704,6 +846,7 @@ def graphquery_queries() -> dict:
 def graphquery_oracle_sql() -> dict[str, str]:
     return {
         "kg_pagerank": kg_pagerank_sql(),
+        "kg_ppr": kg_ppr_sql(),
         "graph_triangles": graph_triangles_sql(),
         "graph_minlabel": graph_minlabel_sql(),
         "graph_kcore": graph_kcore_sql(),

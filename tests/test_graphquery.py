@@ -231,3 +231,40 @@ def test_bfs_hops_matches_driver_bfs(spark):
         }
         expected = {n: d for n, d in dist.items() if d <= iters}
         assert got == expected
+
+
+def test_ppr_seed_locality_and_mass(spark):
+    """Two disconnected components; seeds only in component A: every
+    component-B node must end with exactly zero rank (restart mass never
+    reaches it), total mass stays ~conserved, and the seed outranks its
+    neighbors (rank decays with distance from the restart set)."""
+    from mxsparkg.graphquery import PR_TOTAL_MASS, ppr_exact
+
+    edges = spark.createDataFrame(
+        # component A: a1 - a2 - a3 chain; component B: b1 - b2
+        [("a1", "a2"), ("a2", "a1"), ("a2", "a3"), ("a3", "a2"),
+         ("b1", "b2"), ("b2", "b1")],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("a1",)], ["src"])
+    pr = {r.src: r.pr for r in ppr_exact(edges, seeds, iters=6).collect()}
+    assert pr["b1"] == 0 and pr["b2"] == 0
+    assert pr["a1"] > pr["a2"] > pr["a3"] > 0
+    total = sum(pr.values())
+    assert abs(total - PR_TOTAL_MASS) <= 6 * (len(pr) + 6)  # floor-div loss
+
+
+def test_ppr_with_all_seeds_equals_global_pagerank(spark):
+    """Seeds == every node degenerates PPR to global PageRank exactly
+    (same integer arithmetic, so bit-identical, not approximately)."""
+    from mxsparkg.graphquery import pagerank_exact, ppr_exact
+
+    edges = spark.createDataFrame(
+        [("x", "y"), ("y", "x"), ("y", "z"), ("z", "y"), ("z", "x"),
+         ("x", "z")],
+        ["src", "dst"],
+    )
+    seeds = edges.select("src").distinct()
+    a = sorted(map(tuple, ppr_exact(edges, seeds, iters=4).collect()))
+    b = sorted(map(tuple, pagerank_exact(edges, iters=4).collect()))
+    assert a == b
