@@ -19,6 +19,10 @@ ops:
   predict    link prediction with trained embeddings (--emb = embed's
              --out): top-k candidate objects per subject of --pred,
              candidates = the objects observed for that predicate
+  apply      idempotent merge of a --op diff delta into a version-dir
+             snapshot table at --out (--delta-id = exactly-once key;
+             --edges seeds v=1 on an empty root; Iceberg MERGE INTO is
+             the production equivalent)
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -103,7 +107,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
                     choices=["ntriples", "validate", "infer", "diff",
-                             "embed", "predict"])
+                             "embed", "predict", "apply"])
+    ap.add_argument("--delta", default=None,
+                    help="state_diff output parquet (op, subj, pred, obj) "
+                         "for --op apply")
+    ap.add_argument("--delta-id", default=None,
+                    help="idempotency key for --op apply (e.g. crawl id): "
+                         "re-submitting the same id is a no-op")
+    ap.add_argument("--key-cols", default=None,
+                    help="comma-separated upsert key for --op apply "
+                         "(default: full row)")
     ap.add_argument("--emb", default=None,
                     help="embed op's --out dir (ent/ + pred/) for --op predict")
     ap.add_argument("--pred", default=None,
@@ -129,6 +142,7 @@ def main() -> None:
         "infer": ["nodes"],
         "diff": ["edges_prev"],
         "predict": ["emb", "pred"],
+        "apply": ["delta", "delta_id"],
     }
     missing = [
         "--" + f.replace("_", "-")
@@ -171,6 +185,18 @@ def main() -> None:
         out_df = kx.state_diff(prev.select(cols), edges.select(cols))
         out_df.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
+    elif args.op == "apply":
+        # idempotent snapshot merge: --out is the version-dir root, --edges
+        # seeds v=1 when the root is empty, --delta-id gives exactly-once
+        kc = args.key_cols.split(",") if args.key_cols else None
+        delta = spark.read.parquet(args.delta)
+        # the snapshot tracks exactly the columns the delta carries: the
+        # diff op projects to (subj, pred, obj), so the seed base must too
+        dcols = [c for c in delta.columns if c != "op"]
+        res = kx.merge_snapshot(
+            spark, args.out, delta, args.delta_id, key_cols=kc,
+            base=edges.select(dcols))
+        n = res["rows"]
     elif args.op == "predict":
         from mxsparkg import kgembed as ke
 

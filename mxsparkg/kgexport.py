@@ -460,6 +460,157 @@ def _as_of_state(orders: DataFrame, cutoff: str) -> DataFrame:
     )
 
 
+def apply_state_delta(
+    base: DataFrame, delta: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
+    """IDEMPOTENT merge of a state_diff / streaming_edge_support delta
+    into a materialized state table — the consumer the diff producers
+    were missing. `delta` carries op='add'/'del' rows over base's schema.
+
+    Semantics (MERGE INTO equivalent):
+      1. rows matching a del row (full row) are removed,
+      2. rows sharing a KEY with any add row are removed (upsert),
+      3. distinct add rows are inserted.
+    `key_cols` is the entity key (e.g. [subj, pred] for single-valued
+    predicates, [subj, pred, obj] / None for set-valued); dels still
+    match on the FULL row so a del for an already-replaced version is a
+    no-op. Re-applying the same delta is exactly a no-op (dels no longer
+    match, adds' keys anti-join themselves back out before re-insert), so
+    at-least-once delivery upstream (Kafka replays, stage retries, the
+    streaming sink's commit-retry window) cannot corrupt the table —
+    pytest proves apply(old, diff(old,new)) == new and double-apply ==
+    single-apply.
+
+    Scale shape: two anti-joins against the delta (delta is snapshot-
+    deltas-sized — tiny next to the table — so AQE turns both into
+    broadcast anti-joins and the base table never shuffles) + one union.
+    The production path on Iceberg is MERGE INTO (copy-on-write manifest
+    rewrite); merge_snapshot() below is the same contract over plain
+    parquet version directories for environments without a table
+    format."""
+    cols = base.columns
+    kc = key_cols or cols
+    adds = delta.filter(F.col("op") == "add").select(cols).distinct()
+    dels = delta.filter(F.col("op") == "del").select(cols)
+    survived = base.join(dels, on=cols, how="left_anti")
+    survived = survived.join(adds.select(kc).distinct(), on=kc, how="left_anti")
+    return survived.unionByName(adds).select(cols)
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    root: str,
+    delta: DataFrame,
+    delta_id: str,
+    key_cols: list[str] | None = None,
+    base: DataFrame | None = None,
+) -> dict:
+    """Exactly-once delta application onto a version-directory parquet
+    table (the in-sandbox stand-in for Iceberg MERGE INTO): `root`
+    contains v=N snapshot dirs, each committed by a `_DELTA_ID` marker
+    file written AFTER the parquet data (torn writes leave no marker and
+    are ignored — the same commit-marker discipline as catalog.py's
+    checkpoints). If any committed version already carries `delta_id`,
+    the call is a no-op (exactly-once under re-submission of the same
+    delta job); otherwise the latest snapshot + delta are merged via
+    apply_state_delta into v=N+1. `base` seeds v=1 when the root is
+    empty. Returns {version, rows, applied(bool)}."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+
+    def committed():
+        out = []
+        for d in sorted(os.listdir(root)):
+            marker = os.path.join(root, d, "_DELTA_ID")
+            if d.startswith("v=") and os.path.exists(marker):
+                with open(marker) as fh:
+                    out.append((int(d[2:]), fh.read().strip()))
+        return out
+
+    versions = committed()
+    for v, did in versions:
+        if did == delta_id:
+            n = spark.read.parquet(os.path.join(root, f"v={v}", "data")).count()
+            return {"version": v, "rows": n, "applied": False}
+    if versions:
+        latest = max(v for v, _ in versions)
+        cur = spark.read.parquet(os.path.join(root, f"v={latest}", "data"))
+        new_v = latest + 1
+        out = apply_state_delta(cur, delta, key_cols)
+    else:
+        if base is None:
+            raise ValueError("empty snapshot root requires a `base` table")
+        new_v = 1
+        out = apply_state_delta(base, delta, key_cols)
+    vdir = os.path.join(root, f"v={new_v}")
+    out.write.mode("overwrite").parquet(os.path.join(vdir, "data"))
+    n = spark.read.parquet(os.path.join(vdir, "data")).count()
+    with open(os.path.join(vdir, "_DELTA_ID"), "w") as fh:
+        fh.write(delta_id)
+    return {"version": new_v, "rows": n, "applied": True}
+
+
+def kg_apply_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key for the delta applier: diff the DIFF_T1→DIFF_T2 states
+    (same construction as kg_temporal_diff), then apply the delta to the
+    OLD state TWICE — the double application certifies, inside the
+    hash-gated plan itself, both the merge arithmetic (result must equal
+    the new state, asserted in pytest) and its idempotence (second apply
+    must change nothing), with the DuckDB oracle running the identical
+    double-apply. Key = (subj, pred): last_priority is single-valued."""
+    orders = _t(spark, sf, "orders")
+    s1 = _as_of_state(orders, DIFF_T1)
+    delta = state_diff(s1, _as_of_state(orders, DIFF_T2))
+    once = apply_state_delta(s1, delta, key_cols=["subj", "pred"])
+    twice = apply_state_delta(once, delta, key_cols=["subj", "pred"])
+    return twice.orderBy("subj", "pred", "obj")
+
+
+def kg_apply_delta_sql() -> str:
+    state = """
+        SELECT '<{be}cust:' || CAST(o_custkey AS VARCHAR) || '>' AS subj,
+               'last_priority' AS pred, o_orderpriority AS obj
+        FROM (
+          SELECT o_custkey, o_orderpriority,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders WHERE o_orderdate < TIMESTAMP '{cut}')
+        WHERE rn = 1"""
+    s1 = state.format(be=BASE_E, cut=DIFF_T1)
+    s2 = state.format(be=BASE_E, cut=DIFF_T2)
+
+    def apply_cte(src: str, n: int) -> str:
+        return f"""del_gone{n} AS (
+        SELECT subj, pred, obj FROM {src} t
+        WHERE NOT EXISTS (
+          SELECT 1 FROM dels d
+          WHERE d.subj = t.subj AND d.pred = t.pred AND d.obj = t.obj)),
+      keyfree{n} AS (
+        SELECT subj, pred, obj FROM del_gone{n} t
+        WHERE NOT EXISTS (
+          SELECT 1 FROM adds a
+          WHERE a.subj = t.subj AND a.pred = t.pred)),
+      applied{n} AS (
+        SELECT subj, pred, obj FROM keyfree{n}
+        UNION ALL SELECT subj, pred, obj FROM adds)"""
+
+    return f"""
+      WITH s1 AS ({s1}), s2 AS ({s2}),
+      adds AS (
+        SELECT DISTINCT subj, pred, obj FROM (
+          SELECT subj, pred, obj FROM s2
+          EXCEPT ALL SELECT subj, pred, obj FROM s1)),
+      dels AS (
+        SELECT subj, pred, obj FROM s1
+        EXCEPT ALL SELECT subj, pred, obj FROM s2),
+      {apply_cte('s1', 1)},
+      {apply_cte('applied1', 2)}
+      SELECT subj, pred, obj FROM applied2 ORDER BY subj, pred, obj
+    """
+
+
 def kg_temporal_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Delta between the KG state as of DIFF_T1 and DIFF_T2: customers
     whose latest-order priority changed produce one del + one add row;
@@ -499,6 +650,7 @@ def kgexport_queries() -> dict:
         "kg_ntriples": kg_ntriples,
         "kg_type_check": kg_type_check,
         "kg_temporal_diff": kg_temporal_diff,
+        "kg_apply_delta": kg_apply_delta,
         "kg_negsample": kg_negsample,
         "kg_schema_infer": kg_schema_infer,
     }
@@ -509,6 +661,7 @@ def kgexport_oracle_sql() -> dict[str, str]:
         "kg_ntriples": kg_ntriples_sql(),
         "kg_type_check": kg_type_check_sql(),
         "kg_temporal_diff": kg_temporal_diff_sql(),
+        "kg_apply_delta": kg_apply_delta_sql(),
         "kg_negsample": kg_negsample_sql(),
         "kg_schema_infer": kg_schema_infer_sql(),
     }

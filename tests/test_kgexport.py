@@ -154,3 +154,75 @@ def test_export_edges_percent_encodes_ids(spark):
         assert part.startswith("<urn:kg:") and part.endswith(">")
         assert '"' not in part
     assert line.endswith(" .")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_apply_delta_roundtrip_and_idempotence(spark):
+    """The incremental-maintenance contract: apply(old, diff(old, new))
+    reconstructs new EXACTLY (adds, dels, and in-place value changes),
+    and re-applying the same delta is a no-op (exactly-once under
+    at-least-once delivery)."""
+    from mxsparkg.kgexport import apply_state_delta, state_diff
+
+    old = spark.createDataFrame(
+        [("c1", "p", "HIGH"), ("c2", "p", "LOW"), ("c3", "p", "MED")],
+        ["subj", "pred", "obj"],
+    )
+    new = spark.createDataFrame(
+        [("c1", "p", "HIGH"),      # unchanged
+         ("c2", "p", "URGENT"),    # value change (del+add same key)
+         ("c4", "p", "LOW")],      # c3 removed, c4 added
+        ["subj", "pred", "obj"],
+    )
+    delta = state_diff(old, new)
+    once = apply_state_delta(old, delta, key_cols=["subj", "pred"])
+    assert _rows(once) == _rows(new)
+    twice = apply_state_delta(once, delta, key_cols=["subj", "pred"])
+    assert _rows(twice) == _rows(new)
+    # full-row key (set-valued predicate) round-trips too
+    assert _rows(apply_state_delta(old, delta)) == _rows(new)
+
+
+def test_merge_snapshot_versions_and_exactly_once(spark, tmp_path):
+    """Storage-level exactly-once: same delta_id re-submitted -> no new
+    version, same contents; a second distinct delta advances the chain."""
+    from mxsparkg.kgexport import merge_snapshot, state_diff
+
+    root = str(tmp_path / "edges_snapshots")
+    s0 = spark.createDataFrame([("a", "p", "x"), ("b", "p", "y")],
+                               ["subj", "pred", "obj"])
+    s1 = spark.createDataFrame([("a", "p", "x"), ("b", "p", "z")],
+                               ["subj", "pred", "obj"])
+    s2 = spark.createDataFrame([("b", "p", "z"), ("c", "p", "w")],
+                               ["subj", "pred", "obj"])
+    d1 = state_diff(s0, s1)
+    r1 = merge_snapshot(spark, root, d1, "crawl-2026-08-01",
+                        key_cols=["subj", "pred"], base=s0)
+    assert r1 == {"version": 1, "rows": 2, "applied": True}
+    # replay the same delta job -> no-op, version unchanged
+    r1b = merge_snapshot(spark, root, d1, "crawl-2026-08-01",
+                         key_cols=["subj", "pred"])
+    assert r1b == {"version": 1, "rows": 2, "applied": False}
+    assert _rows(spark.read.parquet(f"{root}/v=1/data")) == _rows(s1)
+    # a new delta advances to v=2 built on v=1
+    r2 = merge_snapshot(spark, root, state_diff(s1, s2), "crawl-2026-08-08",
+                        key_cols=["subj", "pred"])
+    assert r2["version"] == 2 and r2["applied"]
+    assert _rows(spark.read.parquet(f"{root}/v=2/data")) == _rows(s2)
+
+
+def test_apply_delta_on_real_temporal_states(spark, sf001):
+    """End-to-end on the contract tables: the T1 state + the T1->T2 diff
+    must equal the T2 state row-for-row."""
+    from mxsparkg.kgexport import (
+        DIFF_T1, DIFF_T2, _as_of_state, _t, apply_state_delta, state_diff,
+    )
+
+    orders = _t(spark, sf001, "orders")
+    s1 = _as_of_state(orders, DIFF_T1)
+    s2 = _as_of_state(orders, DIFF_T2)
+    got = apply_state_delta(s1, state_diff(s1, s2), key_cols=["subj", "pred"])
+    assert _rows(got) == _rows(s2)
