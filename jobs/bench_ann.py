@@ -1,0 +1,246 @@
+"""ANN quality benchmark: recall@k of the LSH-bucket and trained-IVF
+search paths against brute-force cosine ground truth on a 100k-vector
+clustered synthetic corpus — the nprobe-vs-recall curve a user tunes
+IVF_NPROBE with (the piece the determinism gate cannot provide: the gate
+certifies the searches compute exactly what they claim; this measures how
+GOOD what they claim is).
+
+  python jobs/bench_ann.py [--n 100000] [--queries 100] [--cpus 8]
+
+Writes BENCH/ANN.md and prints one JSON line. Deterministic: corpus from
+a fixed seed (64 planted clusters in 64-d, the regime IVF is built for),
+all searches reuse mxsparkg.datapipe's own internals (_kmeans_train,
+_assign_df, _bucket_col, _dot) so the measured recall is the recall of
+the shipped operators, not of a bench-local reimplementation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CACHE = "/tmp/mxs_ann_bench"
+N_CLUSTERS = 64
+ANN_EVAL_K = 10
+
+
+def make_corpus(spark, n: int) -> str:
+    """64 gaussian clusters in 64-d, spread 2.0, noise 0.5 — nearest
+    neighbors are overwhelmingly same-cluster, so a correct coarse index
+    that probes the right cell(s) can reach high recall, and probing too
+    few cells visibly costs recall: the regime the curve is about."""
+    from mxsparkg.datapipe import EMB_DIM
+
+    path = os.path.join(CACHE, f"n{n}")
+    if os.path.exists(os.path.join(path, "embeddings.parquet", "_SUCCESS")):
+        return path
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((N_CLUSTERS, EMB_DIM)) * 2.0
+    labels = np.arange(n) % N_CLUSTERS
+    vecs = centers[labels] + rng.standard_normal((n, EMB_DIM)) * 0.5
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in vecs],
+            "label": labels.astype(np.int32),
+        }
+    )
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(path, "embeddings.parquet")
+    )
+    return path
+
+
+def topk_sets(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["q_id"], set()).add(r["vec_id"])
+    return out
+
+
+def recall(got: dict[int, set[int]], gt: dict[int, set[int]]) -> float:
+    hits = sum(len(got.get(q, set()) & s) for q, s in gt.items())
+    return hits / sum(len(s) for s in gt.values())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--queries", type=int, default=100)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--nprobes", default="1,2,4,8")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mxsparkg import datapipe as dp
+    from mxsparkg.session import get_spark
+
+    spark = get_spark(f"local[{args.cpus}]", shuffle_partitions=32,
+                      app_name="bench-ann")
+    spark.sparkContext.setLogLevel("WARN")
+    sf = make_corpus(spark, args.n)
+
+    vecs = dp._vecs_with_norm(dp._embs(spark, sf)).select(
+        "vec_id", "v", "norm").persist()
+    vecs.count()
+    q = vecs.filter(F.col("vec_id") < args.queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    ).persist()
+    cos = dp._dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.col("vec_id"))
+
+    def topk(scored):
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= ANN_EVAL_K)
+            .select("q_id", "vec_id")
+        )
+
+    results: dict[str, dict] = {}
+
+    # ---- ground truth: brute force over the full corpus -------------------
+    t0 = time.time()
+    gt = topk_sets(topk(
+        vecs.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+    ))
+    brute_wall = time.time() - t0
+    results["brute_force"] = {"recall_at_10": 1.0, "wall_sec": round(brute_wall, 2),
+                              "scanned_frac": 1.0}
+
+    # ---- LSH: single-bucket search (the shipped ann_lsh_topk shape) -------
+    t0 = time.time()
+    bucketed = dp._embs(spark, sf).select(
+        "vec_id", dp._bucket_col().alias("bucket"))
+    bv = vecs.join(bucketed, "vec_id").persist()
+    qb = q.join(
+        bucketed.withColumnRenamed("vec_id", "q_id"), "q_id")
+    lsh = topk_sets(topk(
+        bv.join(F.broadcast(qb), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+    ))
+    lsh_wall = time.time() - t0
+    # scanned fraction: mean bucket size over queries / n
+    sizes = {r["bucket"]: r["c"] for r in
+             bv.groupBy("bucket").agg(F.count("*").alias("c")).collect()}
+    qbuckets = [r["bucket"] for r in qb.select("bucket").collect()]
+    lsh_frac = (sum(sizes.get(b, 0) for b in qbuckets)
+                / (len(qbuckets) * args.n))
+    results["lsh_bucket"] = {
+        "recall_at_10": round(recall(lsh, gt), 4),
+        "wall_sec": round(lsh_wall, 2),
+        "scanned_frac": round(lsh_frac, 4),
+    }
+
+    # ---- trained IVF at each nprobe ---------------------------------------
+    t0 = time.time()
+    cents, _ = dp._kmeans_train(spark, sf, dp.KMEANS_ITERS)
+    train_wall = time.time() - t0
+    assigned = dp._assign_df(vecs, cents).persist()
+    cell_sizes = {r["cell"]: r["c"] for r in
+                  assigned.groupBy("cell").agg(F.count("*").alias("c")).collect()}
+
+    probe_cols = []
+    for ci, c in enumerate(cents):
+        carr = F.array(*[F.lit(x) for x in c])
+        c2 = sum(x * x for x in c)
+        d2 = (dp._dot(F.col("qv"), F.col("qv"))
+              - 2.0 * dp._dot(F.col("qv"), carr) + F.lit(c2))
+        probe_cols.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    ranked_cells = F.array_sort(F.array(*probe_cols))
+
+    for nprobe in [int(x) for x in args.nprobes.split(",")]:
+        t0 = time.time()
+        probes = q.select(
+            "q_id", "qv", "qnorm",
+            F.explode(F.slice(ranked_cells, 1, nprobe)).alias("p"),
+        ).select("q_id", "qv", "qnorm", F.col("p.cell").alias("cell"))
+        got = topk_sets(topk(
+            assigned.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", cos.alias("cos_raw"))
+        ))
+        wall = time.time() - t0
+        pr = probes.select("q_id", "cell").collect()
+        frac = (sum(cell_sizes.get(r["cell"], 0) for r in pr)
+                / (len({r["q_id"] for r in pr}) * args.n))
+        results[f"ivf_nprobe_{nprobe}"] = {
+            "recall_at_10": round(recall(got, gt), 4),
+            "wall_sec": round(wall, 2),
+            "scanned_frac": round(frac, 4),
+        }
+    results["ivf_train_wall_sec"] = round(train_wall, 2)
+
+    write_report(args, results)
+    print(json.dumps({"metric": "ann_recall_at_10", "n": args.n,
+                      "queries": args.queries, "results": results}))
+    spark.stop()
+
+
+def write_report(args, results: dict) -> None:
+    from mxsparkg.datapipe import KMEANS_ITERS, N_IVF_CELLS
+
+    rows = []
+    order = ["brute_force", "lsh_bucket"] + [
+        k for k in results if k.startswith("ivf_nprobe_")]
+    for k in order:
+        r = results[k]
+        rows.append(
+            f"| {k} | {r['recall_at_10']:.4f} | {r['scanned_frac']*100:.2f}% "
+            f"| {r['wall_sec']:.2f}s |")
+    body = "\n".join(rows)
+    md = f"""# ANN recall vs cost ({args.n:,} vectors, 64-d, {N_CLUSTERS} planted clusters)
+
+recall@10 of the shipped search paths against brute-force cosine ground
+truth, {args.queries} queries, corpus seed 11. `scanned_frac` = share of
+the corpus each query's candidate set covers — the cost axis the recall
+buys down. IVF = k-means-trained coarse quantizer ({N_IVF_CELLS} cells,
+{KMEANS_ITERS} Lloyd iterations, the ann_kmeans_* operators); LSH = 8
+seeded hyperplanes → 256 buckets (ann_lsh_topk).
+
+| variant | recall@10 | corpus scanned | wall (local[{args.cpus}]) |
+|---|---|---|---|
+{body}
+
+IVF training wall: {results['ivf_train_wall_sec']}s (one-off, amortized
+across every query).
+
+## How to read this for tuning
+
+- The IVF rows are the nprobe curve: pick the smallest nprobe whose
+  recall clears your target — each probe step adds ~1/{N_IVF_CELLS} of
+  the corpus to the scan.
+- Single-bucket LSH is cheap but its recall ceiling is the probability
+  the true neighbors share all 8 hyperplane signs; raise recall by
+  multi-probing neighboring buckets (Hamming-1) or by unioning
+  independent hyperplane sets — both multiply scanned_frac.
+- At 10^9+ vectors the same curve applies per shard: recall depends on
+  (cells, nprobe, data clusteredness), not corpus size, so this
+  100k-vector measurement transfers; re-run with --n to confirm on a
+  bigger sample.
+
+Generated by jobs/bench_ann.py (deterministic; re-run reproduces
+identical recall numbers — walls vary with the box).
+"""
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH", "ANN.md")
+    with open(out, "w") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__":
+    main()
