@@ -71,9 +71,13 @@ def headline_queries() -> dict:
     # kg_transe is deliberately NOT here: a 2-epoch training loop over
     # model-sized embedding tables measures per-stage scheduler latency,
     # not data throughput — the gate + pytest certify it instead
+    # round 4 additions: the substring-dedup tier (the heaviest new op —
+    # gram explode + mark join + strip), BPE training (iterative pair-count
+    # groupBys), and personalized PageRank (seed-restart iteration)
     for k in ("dedup_minhash_lsh", "txt_quality", "ann_topk_cosine",
               "txt_lm_score", "kg_pagerank", "evt_sessionize",
-              "kg_ntriples"):
+              "kg_ntriples", "dedup_substring", "txt_bpe_merges",
+              "kg_ppr"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect
