@@ -128,7 +128,11 @@ def run_once(cores: int, pages_path: str, fdir: str, zpath: str) -> dict:
             "--fold-triples",
         ]
         out = subprocess.run(
-            cmd, capture_output=True, text=True, check=True, timeout=1800
+            # ceiling sized for the biggest session this harness runs:
+            # 51.2M pages (repeat 256) at local[4] needs ~2700s on a calm
+            # box; 5400 leaves 2x headroom for a throttled one (the old
+            # 1800 killed the first repeat-256 run 2/3 through)
+            cmd, capture_output=True, text=True, check=True, timeout=5400
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         return json.loads(line)
@@ -278,6 +282,7 @@ def main() -> None:
         "levels": {str(c): results[c] for c in levels},
         "n_pages": n_pages,
         "scale": args.scale,
+        "repeat": args.repeat,
         "rule": "eff = (thr_4N/thr_N)/4 >= 0.8",
         "passes": eff_min >= 0.8,
         "passes_normalized": eff_min / ceiling >= 0.8,
@@ -335,16 +340,18 @@ parallelism levels on one machine — `local[{lo}]` vs `local[{hi}]`.
   {len(rl["wall_sec_all"])} runs; shuffle partitions = 2x cores;
   raw walls {lo}: {rl["wall_sec_all"]}, {hi}: {rh["wall_sec_all"]}
 
-Regenerate: `python jobs/bench_scaling.py --scale {s["scale"]} --repeat 16 --levels {lo},{hi}`
+Regenerate: `python jobs/bench_scaling.py --scale {s["scale"]} --repeat {s.get("repeat", 16)} --levels {lo},{hi}`
 """
-    # preserve a manually-maintained appendix (measurement-honesty notes)
+    # preserve a manually-maintained appendix (measurement-honesty notes);
+    # slice exactly at the first marker — grabbing chars before it leaks
+    # fragments of the previous auto-generated section into the new file
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     marker = "## Measurement honesty note"
     appendix = ""
     if os.path.exists(path):
         old = open(path).read()
         if marker in old:
-            appendix = "\n" + old[old.index(marker) - 3:]
+            appendix = "\n" + old[old.index(marker):]
     with open(path, "w") as f:
         f.write(md + appendix)
 
