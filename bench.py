@@ -74,10 +74,15 @@ def headline_queries() -> dict:
     # round 4 additions: the substring-dedup tier (the heaviest new op —
     # gram explode + mark join + strip), BPE training (iterative pair-count
     # groupBys), and personalized PageRank (seed-restart iteration)
+    # second round-4 batch: HITS (two normalized matvec rounds), ER by
+    # neighborhood Jaccard (capped incidence self-join), near-dup
+    # clustering (LSH pairs + label propagation), and the as-of join
+    # (union-window point-in-time lookup)
     for k in ("dedup_minhash_lsh", "txt_quality", "ann_topk_cosine",
               "txt_lm_score", "kg_pagerank", "evt_sessionize",
               "kg_ntriples", "dedup_substring", "txt_bpe_merges",
-              "kg_ppr"):
+              "kg_ppr", "graph_hits", "kg_er_jaccard", "dedup_cluster",
+              "evt_asof"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

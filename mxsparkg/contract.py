@@ -767,6 +767,92 @@ def evt_funnel(spark, sf):
     )
 
 
+# ------------------------------------------------ as-of join ---------------
+
+@reg("evt_asof",
+     """WITH e AS (
+       SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+              CAST(round(value * 100) AS BIGINT) AS val_c
+       FROM events WHERE event_type IN ('view', 'purchase')),
+     t AS (
+       SELECT user_id, event_id, us,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_state,
+         CASE WHEN event_type = 'view' THEN us END AS s_us,
+         CASE WHEN event_type = 'view' THEN val_c END AS s_val,
+         val_c
+       FROM e),
+     j AS (
+       SELECT user_id, event_id, us, is_state, val_c,
+         last_value(s_us IGNORE NULLS) OVER w AS view_us,
+         last_value(s_val IGNORE NULLS) OVER w AS view_val_c
+       FROM t
+       WINDOW w AS (PARTITION BY user_id
+                    ORDER BY us, is_state DESC, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+     SELECT event_id, user_id, val_c, view_us, view_val_c,
+            us - view_us AS age_us
+     FROM j WHERE is_state = 0""")
+def evt_asof(spark, sf):
+    """As-of (point-in-time) join — the temporal operator Spark has no
+    built-in for: each purchase event is joined to the MOST RECENT view
+    event of the same user at or before its timestamp (NULL if none).
+    The KG pipeline runs this exact shape to attach the latest crawl
+    state (warc_ts) to each annotation time; finance calls it
+    trade↔quote. The naive formulation is a per-row correlated subquery
+    (or DuckDB's native ASOF JOIN); the scalable one used here is
+    union-then-window: tag state rows, union both streams, and take
+    last(ignorenulls) over a user-partitioned ts-ordered frame — ONE
+    shuffle on user_id total, vs a join whose range predicate defeats
+    equi-join planning. Ties (state and observation at the same
+    microsecond) sort the state row first, so same-instant state is
+    visible ('<=' semantics); event_id breaks any remaining tie, making
+    the frame order total and the result deterministic. Same zone-free
+    integer-microsecond base as evt_sessionize; money in integer cents.
+    At 10^12 events: one Exchange on user_id, window buffer bounded per
+    user — salt hot users by day first, as in sessionization."""
+    e = _t(spark, sf, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(_FUNNEL_US).alias("us"),
+        F.expr("cast(round(value * 100) as bigint)").alias("val_c"),
+    )
+    is_view = F.col("event_type") == "view"
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.when(is_view, 1).otherwise(0).alias("is_state"),
+        F.when(is_view, F.col("us")).alias("s_us"),
+        F.when(is_view, F.col("val_c")).alias("s_val"),
+        "val_c",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", F.col("is_state").desc(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = tagged.select(
+        "event_id",
+        "user_id",
+        "us",
+        "is_state",
+        "val_c",
+        F.last("s_us", ignorenulls=True).over(w).alias("view_us"),
+        F.last("s_val", ignorenulls=True).over(w).alias("view_val_c"),
+    )
+    return joined.filter(F.col("is_state") == 0).select(
+        "event_id",
+        "user_id",
+        "val_c",
+        "view_us",
+        "view_val_c",
+        (F.col("us") - F.col("view_us")).alias("age_us"),
+    )
+
+
 # ------------------------------------------------ exact percentiles --------
 
 @reg("agg_percentile",

@@ -311,6 +311,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     data). A ~98% shingle-Jaccard copy collides in essentially every band,
     so the pair join, the bucket-size cap and the estimate all do real
     work under the oracle's value-hash gate."""
+    sig = minhash_signatures(_docs_with_plants(spark, sf))
+    return minhash_candidate_pairs(sig, min_est_jaccard=0.5)
+
+
+def _docs_with_plants(spark: SparkSession, sf: str) -> DataFrame:
+    """documents plus the deterministic in-query near-dup plants shared by
+    dedup_minhash_pairs and dedup_cluster: for each doc_id < 50, a copy at
+    doc_id + MINHASH_PLANT_OFFSET with the last word dropped."""
     docs = _docs(spark, sf).select("doc_id", "text")
     w = F.split(F.col("text"), " ")
     planted = docs.filter(F.col("doc_id") < 50).select(
@@ -319,11 +327,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
             F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))), " "
         ).alias("text"),
     )
-    sig = minhash_signatures(docs.unionByName(planted))
-    return minhash_candidate_pairs(sig, min_est_jaccard=0.5)
+    return docs.unionByName(planted)
 
 
-def dedup_minhash_pairs_sql() -> str:
+def _minhash_pairs_ctes() -> str:
+    """The shared DuckDB CTE chain (docs2 → … → pairs) composed by
+    dedup_minhash_pairs_sql and dedup_cluster_sql — exposed as a helper
+    both render, never sliced out of a rendered query string."""
     sigs = ", ".join(
         f"min(md5('{i}|' || sh)) AS s{i}" for i in range(N_MINHASH)
     )
@@ -337,8 +347,7 @@ def dedup_minhash_pairs_sql() -> str:
     matches = " + ".join(
         f"CAST(a.s{i} = b.s{i} AS INT)" for i in range(N_MINHASH)
     )
-    return f"""
-      WITH docs2 AS (
+    return f"""docs2 AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + {MINHASH_PLANT_OFFSET} AS doc_id,
@@ -363,8 +372,101 @@ def dedup_minhash_pairs_sql() -> str:
         FROM buckets a
         JOIN ok ON ok.band_id = a.band_id AND ok.band_hash = a.band_hash
         JOIN buckets b ON a.band_id = b.band_id
-             AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-      SELECT a_id, b_id, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
+             AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"""
+
+
+def dedup_minhash_pairs_sql() -> str:
+    return (
+        f"WITH {_minhash_pairs_ctes()}\n"
+        "      SELECT a_id, b_id, est_jaccard FROM pairs"
+        " WHERE est_jaccard >= 0.5"
+    )
+
+
+DEDUP_CLUSTER_ITERS = 3
+
+
+def cluster_near_dups(
+    docs: DataFrame,
+    iters: int = DEDUP_CLUSTER_ITERS,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS with a keep/drop decision — the step a
+    production corpus pipeline runs after pair generation: LSH candidate
+    pairs are only pairwise evidence, and near-dup relations chain (A≈B,
+    B≈C ⇒ {A,B,C} must dedup together or the kept set still contains
+    near-dups). Composes the two certified primitives: minhash candidate
+    pairs (quadratic-risk step, bucket-capped) → bounded min-label
+    propagation over the pair graph (graphquery.minlabel_propagate, the
+    oracle-checkable CC core). Output one row per document (planted
+    near-dups included): its cluster id (min doc_id reachable in
+    DEDUP_CLUSTER_ITERS rounds) and keep = 1 iff the doc is its cluster's
+    representative — the exact rows a training-data filter joins against.
+    Scale shape: everything is the constituent ops' shapes; the extra
+    work is iters × (equi-join + min-agg) over the SPARSE pair graph
+    (|pairs| ≪ corpus), plus one left join back to the full corpus.
+    3 rounds merges chains up to diameter 8 (2^3); production reuses
+    graph.py's convergent star-contraction CC instead. `docs` is any
+    (doc_id, text) frame; returns (doc_id, cluster, keep)."""
+    from mxsparkg.graphquery import minlabel_propagate
+
+    docs2 = docs.select("doc_id", "text")
+    sig = minhash_signatures(docs2)
+    cand = minhash_candidate_pairs(sig, min_est_jaccard=min_est_jaccard)
+    sym = cand.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+                F.struct(F.col("b_id").alias("src"), F.col("a_id").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    lab = minlabel_propagate(sym, iters=iters)
+    out = docs2.select("doc_id").join(
+        lab.withColumnRenamed("src", "doc_id"), "doc_id", "left"
+    )
+    cluster = F.coalesce("label", "doc_id")
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster"),
+        (F.col("doc_id") == cluster).cast("int").alias("keep"),
+    )
+
+
+def dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: cluster_near_dups over documents + the deterministic
+    in-query plants (each planted copy must land in its original's
+    cluster with keep=0)."""
+    return cluster_near_dups(_docs_with_plants(spark, sf))
+
+
+def dedup_cluster_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, DEDUP_CLUSTER_ITERS + 1):
+        rounds.append(
+            f"""nm{i} AS (
+        SELECT e.dst AS src, min(p.label) AS nl
+        FROM sym e JOIN {prev} p ON p.src = e.src GROUP BY e.dst),
+      l{i} AS (
+        SELECT p.src, least(p.label, coalesce(m.nl, p.label)) AS label
+        FROM {prev} p LEFT JOIN nm{i} m ON m.src = p.src)"""
+        )
+        prev = f"l{i}"
+    chain = ",\n      ".join(rounds)
+    return f"""
+      WITH {_minhash_pairs_ctes()},
+      cand AS (SELECT a_id, b_id FROM pairs WHERE est_jaccard >= 0.5),
+      sym AS (
+        SELECT a_id AS src, b_id AS dst FROM cand
+        UNION ALL SELECT b_id AS src, a_id AS dst FROM cand),
+      nodes AS (SELECT DISTINCT src FROM sym),
+      l0 AS (SELECT src, src AS label FROM nodes),
+      {chain}
+      SELECT d.doc_id,
+             coalesce(l.label, d.doc_id) AS cluster,
+             CAST(d.doc_id = coalesce(l.label, d.doc_id) AS INT) AS keep
+      FROM docs2 d LEFT JOIN {prev} l ON l.src = d.doc_id
     """
 
 
@@ -1123,6 +1225,218 @@ def ann_kmeans_topk_sql() -> str:
                                   ORDER BY cos_raw DESC, vec_id) AS rank
         FROM scored)
       SELECT q_id, rank, vec_id, round(cos_raw, 6) AS cosine
+      FROM ranked WHERE rank <= {ANN_K}
+    """
+
+
+# ---------------- product quantization (PQ) — ANN compression tier --------
+#
+# Jégou et al. 2011: split each vector into PQ_M subspaces, quantize each
+# sub-vector to one of PQ_K per-subspace codewords, store only the M small
+# codes (here 4 codes for a 64-dim double vector — 128x compression), and
+# answer queries with asymmetric distance computation (ADC): the query
+# stays full-precision, each database vector's distance is the sum of its
+# codewords' per-subspace distances. This is the tier after IVF in every
+# production ANN stack (IVF prunes the corpus, PQ shrinks what remains in
+# memory); the two compose as IVF-PQ. Codebooks here are seeded literals
+# (same stand-in policy as _centroids); pq_train() learns them with the
+# identical decimal-exact Lloyd machinery per subspace.
+
+PQ_M = 4                      # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M   # dims per subspace
+PQ_K = 8                      # codewords per subspace → 3-bit codes
+
+
+def _pq_codebooks(
+    m: int = PQ_M, k: int = PQ_K, subdim: int = PQ_SUBDIM
+) -> list[list[list[float]]]:
+    """Seeded per-subspace codebooks (m × k × subdim), rounded to 3dp so
+    identical literals embed in Spark and the oracle (same policy as
+    _centroids)."""
+    rng = np.random.RandomState(11)
+    return [
+        [[round(float(x), 3) for x in row]
+         for row in rng.standard_normal((k, subdim)) * 0.1]
+        for _ in range(m)
+    ]
+
+
+def _pq_sub(col: Column, mi: int, subdim: int = PQ_SUBDIM) -> Column:
+    return F.slice(col, mi * subdim + 1, subdim)
+
+
+def pq_encode(
+    vecs: DataFrame, books: list[list[list[float]]] | None = None
+) -> DataFrame:
+    """(vec_id, v) → (vec_id, c0..c{M-1}): per-subspace argmin-L2 code
+    (tie-break code asc — same rule as _assign_df). One narrow codegen
+    pass, no shuffle: at 10^9 vectors this is the compression map a PQ
+    index persists instead of the raw vectors."""
+    books = books if books is not None else _pq_codebooks()
+    out = [F.col("vec_id")]
+    for mi, book in enumerate(books):
+        sub = _pq_sub(F.col("v"), mi, len(book[0]))
+        cands = []
+        for j, cw in enumerate(book):
+            carr = F.array(*[F.lit(x) for x in cw])
+            c2 = sum(x * x for x in cw)
+            d2 = _dot(sub, sub) - 2.0 * _dot(sub, carr) + F.lit(c2)
+            cands.append(F.struct(d2.alias("d2"), F.lit(j).alias("code")))
+        out.append(F.array_min(F.array(*cands)).getField("code").alias(f"c{mi}"))
+    return vecs.select(*out)
+
+
+def pq_train(
+    vecs: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = KMEANS_ITERS,
+) -> list[list[list[float]]]:
+    """Learn the per-subspace codebooks with the SAME decimal-exact Lloyd
+    steps as _kmeans_train (assignment + decimal(38,10) means as DataFrame
+    jobs; only k×subdim floats cross to the driver per iteration per
+    subspace). Deterministic: seeded init + exact means + code-asc
+    tie-break ⇒ identical books at any partitioning."""
+    subdim = EMB_DIM // m
+    books = []
+    seeds = _pq_codebooks(m, k, subdim)
+    for mi in range(m):
+        sub = vecs.select("vec_id", _pq_sub(F.col("v"), mi, subdim).alias("v"))
+        cur = seeds[mi]
+        for _ in range(iters):
+            means = _means_df(_assign_df(sub, cur)).collect()
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cell.setdefault(r["cell"], {})[r["pos"]] = r["mv"]
+            cur = [
+                [by_cell[ci][p + 1] for p in range(len(cur[ci]))]
+                if ci in by_cell else cur[ci]
+                for ci in range(len(cur))
+            ]
+        books.append(cur)
+    return books
+
+
+def ann_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ encode of the embedding table under the seeded codebooks — the
+    compressed representation a PQ index stores (4 small ints per 64-dim
+    vector)."""
+    vecs = _vecs_with_norm(_embs(spark, sf)).select("vec_id", "v")
+    return pq_encode(vecs)
+
+
+def _pq_codes_sql_ctes() -> str:
+    rows = ", ".join(
+        f"({mi}, {j}, {cw!r}::DOUBLE[])"
+        for mi, book in enumerate(_pq_codebooks())
+        for j, cw in enumerate(book)
+    )
+    pivots = ", ".join(
+        f"MAX(CASE WHEN m = {mi} THEN code END) AS c{mi}"
+        for mi in range(PQ_M)
+    )
+    return f"""books(m, j, cw) AS (VALUES {rows}),
+      subv AS (
+        SELECT vec_id, m,
+               list_slice(v, m * {PQ_SUBDIM} + 1,
+                          m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS s
+        FROM vecs, range(0, {PQ_M}) t(m)),
+      assign AS (
+        SELECT vec_id, m, code FROM (
+          SELECT sv.vec_id, sv.m, b.j AS code,
+                 row_number() OVER (
+                   PARTITION BY sv.vec_id, sv.m
+                   ORDER BY list_dot_product(sv.s, sv.s)
+                            - 2 * list_dot_product(sv.s, b.cw)
+                            + list_dot_product(b.cw, b.cw), b.j) AS rk
+          FROM subv sv JOIN books b ON b.m = sv.m) WHERE rk = 1),
+      codes AS (SELECT vec_id, {pivots} FROM assign GROUP BY vec_id)"""
+
+
+def ann_pq_codes_sql() -> str:
+    return (
+        f"WITH {_SQL_VECS}, {_pq_codes_sql_ctes()}\n"
+        f"      SELECT vec_id, c0, c1, c2, c3 FROM codes"
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC top-k search: full-precision queries against the PQ-compressed
+    corpus. approx_d2(q, x) = Σ_m ||q_m − codeword[m][x.c_m]||², written
+    as an explicit fixed-order 4-term sum (identical-expression rule —
+    a commutative re-association would flip near-tie ranks between
+    engines). The corpus side carries ONLY the 4 codes — the scan a real
+    PQ index does over its in-memory code table; queries broadcast."""
+    from pyspark.sql.window import Window
+
+    books = _pq_codebooks()
+    vecs = _vecs_with_norm(_embs(spark, sf)).select("vec_id", "v")
+    codes = pq_encode(vecs, books)
+    q = vecs.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    terms = []
+    for mi, book in enumerate(books):
+        cw_lit = F.array(*[
+            F.array(*[F.lit(x) for x in cw]) for cw in book
+        ])
+        sq_lit = F.array(*[F.lit(sum(x * x for x in cw)) for cw in book])
+        sub = _pq_sub(F.col("qv"), mi, len(book[0]))
+        idx = F.col(f"c{mi}") + 1
+        terms.append(
+            _dot(sub, sub)
+            - 2.0 * _dot(sub, F.element_at(cw_lit, idx))
+            + F.element_at(sq_lit, idx)
+        )
+    approx = terms[0] + terms[1] + terms[2] + terms[3]
+    scored = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", approx.alias("d2_raw"))
+    )
+    w = Window.partitionBy("q_id").orderBy("d2_raw", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("q_id", "rank", "vec_id", F.round("d2_raw", 6).alias("d2"))
+    )
+
+
+def ann_pq_topk_sql() -> str:
+    books = _pq_codebooks()
+    terms = []
+    for mi, book in enumerate(books):
+        cw_lit = (
+            "[" + ", ".join(
+                "[" + ", ".join(repr(x) for x in cw) + "]" for cw in book
+            ) + "]"
+        )
+        sq_lit = (
+            "[" + ", ".join(repr(sum(x * x for x in cw)) for cw in book) + "]"
+        )
+        lo = mi * PQ_SUBDIM + 1
+        hi = mi * PQ_SUBDIM + PQ_SUBDIM
+        sub = f"list_slice(q.qv, {lo}, {hi})"
+        terms.append(
+            f"(list_dot_product({sub}, {sub})"
+            f" - 2 * list_dot_product({sub}, ({cw_lit})[x.c{mi} + 1])"
+            f" + ({sq_lit})[x.c{mi} + 1])"
+        )
+    approx = "\n               + ".join(terms)
+    return f"""
+      WITH {_SQL_VECS}, {_pq_codes_sql_ctes()},
+      q AS (SELECT vec_id AS q_id, v AS qv FROM vecs
+            WHERE vec_id < {ANN_N_QUERIES}),
+      scored AS (
+        SELECT q.q_id, x.vec_id,
+               {approx} AS d2_raw
+        FROM codes x CROSS JOIN q
+        WHERE x.vec_id != q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, d2_raw,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY d2_raw, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id, round(d2_raw, 6) AS d2
       FROM ranked WHERE rank <= {ANN_K}
     """
 
@@ -2554,11 +2868,11 @@ def mm_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
 
 def _decode_real(blob):  # pragma: no cover - no media libs in sandbox
     """Slot for lib-backed decode of formats needing external codecs
-    (JPEG/MP3/MP4 need PIL/ffmpeg — not in this container). BMP/WAV and
-    zlib-compressed PNG are decoded for real by _parse_media below; route
-    other magics here."""
+    (MP3/MP4 need ffmpeg — not in this container). BMP/WAV, zlib-compressed
+    PNG and baseline JPEG (entropy layer, _parse_jpeg) are decoded for real
+    by _parse_media below; route other magics here."""
     raise NotImplementedError(
-        "JPEG/MP3/MP4 decode needs PIL/ffmpeg; wire them in here"
+        "MP3/MP4 decode needs ffmpeg; wire it in here"
     )
 
 
@@ -2695,6 +3009,17 @@ def _parse_media(blob: bytes) -> dict:
             "sample_rate": 0,
             "n_samples": 0,
             "bit_depth": p["bit_depth"],
+        }
+    if blob[:2] == b"\xff\xd8":
+        j = _parse_jpeg(blob)
+        return {
+            "media_type": "image",
+            "n_bytes": len(blob),
+            "width": j["width"],
+            "height": j["height"],
+            "sample_rate": 0,
+            "n_samples": 0,
+            "bit_depth": 8,
         }
     if blob[:2] == b"BM":
         file_size, = struct.unpack_from("<I", blob, 2)
@@ -2872,6 +3197,420 @@ def mm_decode_png_sql() -> str:
     """
 
 
+# ---- baseline JPEG codec (pure stdlib: struct + canonical Huffman) --------
+#
+# Upgrades the declared lib slot one more notch (PNG fell in round 3): the
+# ENTROPY layer of baseline JFIF — marker segments, DQT/DHT/SOF0/SOS
+# parsing, canonical Huffman decode driven by the DHT read from the stream
+# (never hardcoded tables on the decode side), DC differential coding,
+# AC run-length coding with ZRL/EOB, byte unstuffing (FF 00), zigzag
+# de-scan and dequantization — implemented from the public JPEG spec
+# (ITU T.81). The encoder is coefficient-domain (it plants known QUANTIZED
+# coefficients, the same fixture philosophy as _encode_png's known
+# dimensions), so every stat the gate key emits is exact integer
+# arithmetic on doc_id that the DuckDB oracle recomputes independently —
+# a wrong Huffman code, run length, sign extension or zigzag position
+# fails the value-hash gate. Pixel reconstruction (dequant + 2-D IDCT) is
+# implemented too and pytest-pinned on DC-only blocks, where the IDCT is
+# exactly integer (constant blocks) and decoded pixels must equal the
+# planted constants byte-for-byte. Only MP3/MP4 remain in the lib slot.
+
+# Annex K.3 / K.5 luminance tables (BITS = code count per length 1..16).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_JPEG_QUANT = 16  # flat luminance quant table (all 64 entries)
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """Zigzag index → (row, col), generated (anti-diagonal scan, direction
+    alternating) rather than hardcoded."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(s + 1) if i < 8 and s - i < 8]
+        order.extend(diag if s % 2 else diag[::-1])
+    return order
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """symbol → (code, length) canonical Huffman assignment (T.81 C.2)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _encode_jpeg(width: int, height: int, blocks: list[dict]) -> bytes:
+    """Baseline JFIF, single 8-bit grayscale component, no subsampling.
+    `blocks` is one dict per 8x8 data unit (raster order), mapping zigzag
+    index → QUANTIZED coefficient (0 = DC, absent = zero)."""
+    import struct
+
+    assert width % 8 == 0 and height % 8 == 0
+    assert len(blocks) == (width // 8) * (height // 8)
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    prev_dc = 0
+    for blk in blocks:
+        diff = blk.get(0, 0) - prev_dc
+        prev_dc = blk.get(0, 0)
+        cat = _jpeg_category(diff)
+        w.write(*dc_codes[cat])
+        if cat:
+            w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        ac = sorted((z, v) for z, v in blk.items() if z > 0 and v != 0)
+        k = 1
+        for z, v in ac:
+            run = z - k
+            while run >= 16:
+                w.write(*ac_codes[0xF0])  # ZRL: 16 zeros
+                run -= 16
+            cat = _jpeg_category(v)
+            w.write(*ac_codes[(run << 4) | cat])
+            w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+            k = z + 1
+        if k <= 63:
+            w.write(*ac_codes[0x00])  # EOB
+    entropy = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes([_JPEG_QUANT] * 64))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    )
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, length: int) -> int:
+        while self.n < length:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        self.n -= length
+        v = (self.acc >> self.n) & ((1 << length) - 1)
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 17:
+            code = (code << 1) | self.read(1)
+            ln += 1
+            if (code, ln) in table:
+                return table[(code, ln)]
+        raise ValueError("invalid Huffman code in scan")
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _parse_jpeg(blob: bytes) -> dict:
+    """Full baseline-JPEG entropy decode of a single-component grayscale
+    scan: walks the marker stream, builds the Huffman tables FROM the DHT
+    segments, decodes every data unit (DC differential + AC run-length
+    with ZRL/EOB + sign extension), and returns the quantized-coefficient
+    blocks plus the quant table and dimensions. Raises on malformed
+    markers, codes outside the tables, or a scan that doesn't yield
+    exactly the block count SOF0 implies."""
+    import struct
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    quant: list[int] | None = None
+    width = height = None
+    huff: dict[tuple[int, int], dict] = {}
+    scan_data = None
+    while pos < len(blob):
+        marker, ln = struct.unpack_from(">HH", blob, pos)
+        payload = blob[pos + 4:pos + 2 + ln]
+        if marker == 0xFFDB:
+            if payload[0] & 0x0F == 0:
+                quant = list(payload[1:65])
+        elif marker == 0xFFC0:
+            _prec, height, width, ncomp = struct.unpack_from(">BHHB", payload)
+            # component spec follows the 6-byte frame header: id,
+            # sampling (H<<4|V), quant-table id
+            if ncomp != 1 or payload[7] != 0x11:
+                raise ValueError("only single-component 1x1 JPEG supported")
+        elif marker == 0xFFC4:
+            p = 0
+            while p < len(payload):
+                tc_th = payload[p]
+                bits = list(payload[p + 1:p + 17])
+                nvals = sum(bits)
+                vals = list(payload[p + 17:p + 17 + nvals])
+                huff[(tc_th >> 4, tc_th & 0x0F)] = {
+                    (c, l): s
+                    for s, (c, l) in _jpeg_canonical_codes(bits, vals).items()
+                }
+                p += 17 + nvals
+        elif marker == 0xFFDA:
+            scan_data = blob[pos + 2 + ln:]
+            break
+        elif marker == 0xFFD9:
+            break
+        pos += 2 + ln
+    if width is None or quant is None or scan_data is None:
+        raise ValueError("JPEG stream missing SOF0/DQT/SOS")
+    if scan_data[-2:] != b"\xff\xd9":
+        raise ValueError("JPEG scan not terminated by EOI")
+    r = _JpegBitReader(scan_data[:-2])
+    dc_tbl, ac_tbl = huff[(0, 0)], huff[(1, 0)]
+    n_blocks = (width // 8) * (height // 8)
+    blocks, prev_dc = [], 0
+    for _ in range(n_blocks):
+        cat = r.huff(dc_tbl)
+        diff = _jpeg_extend(r.read(cat), cat) if cat else 0
+        prev_dc += diff
+        blk = {0: prev_dc} if prev_dc else {}
+        k = 1
+        while k <= 63:
+            sym = r.huff(ac_tbl)
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                k += 16
+                continue
+            k += sym >> 4
+            blk[k] = _jpeg_extend(r.read(sym & 0x0F), sym & 0x0F)
+            k += 1
+        blocks.append(blk)
+    return {
+        "width": width,
+        "height": height,
+        "quant": quant,
+        "blocks": blocks,
+    }
+
+
+def _decode_jpeg_pixels(blob: bytes):
+    """Pixel reconstruction: dequantize (flat table), de-zigzag, 2-D
+    orthonormal IDCT per block, +128 level shift, clamp to [0,255].
+    Returns an (height, width) uint8 numpy array."""
+    import numpy as np
+
+    meta = _parse_jpeg(blob)
+    zz = _jpeg_zigzag()
+    n = np.arange(8)
+    basis = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    scale = np.full(8, np.sqrt(2 / 8))
+    scale[0] = np.sqrt(1 / 8)
+    ibasis = (scale[:, None] * basis).T  # IDCT-II matrix (orthonormal)
+    h, w = meta["height"], meta["width"]
+    img = np.zeros((h, w))
+    bw = w // 8
+    for bi, blk in enumerate(meta["blocks"]):
+        coef = np.zeros((8, 8))
+        for z, v in blk.items():
+            r_, c_ = zz[z]
+            coef[r_, c_] = v * meta["quant"][z]
+        px = ibasis @ coef @ ibasis.T + 128
+        by, bx = divmod(bi, bw)
+        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px
+    return np.clip(np.round(img), 0, 255).astype("uint8")
+
+
+def _jpeg_blocks_for_doc(doc_id: int, n_blocks: int) -> list[dict]:
+    """The planted quantized-coefficient pattern the gate key encodes —
+    every branch of the entropy coder is exercised: DC differences span
+    categories 0-6, AC v1 walks zigzag 1-5 (short runs) and may be zero
+    (EOB-only path), AC v2 at zigzag 30 forces a >=16-zero run (ZRL) when
+    present. The oracle recomputes the stats from this arithmetic."""
+    blocks = []
+    for b in range(n_blocks):
+        blk = {0: (doc_id + 7 * b) % 64 - 32}
+        v1 = (doc_id + 3 * b) % 15 - 7
+        if v1:
+            blk[1 + b % 5] = v1
+        v2 = (doc_id + b) % 3 - 1
+        if v2:
+            blk[30] = v2
+        blocks.append(blk)
+    return blocks
+
+
+MM_JPEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_blocks", LongType()),
+        StructField("dc_sum_q", LongType()),
+        StructField("ac_sum_q", LongType()),
+        StructField("n_ac_nonzero", LongType()),
+    ]
+)
+
+
+def mm_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
+    """Baseline-JPEG entropy decode under the oracle gate: encode pass
+    writes a REAL JFIF stream per doc (planted quantized coefficients,
+    standard Annex-K Huffman tables, byte stuffing); decode pass rebuilds
+    the Huffman tables from the stream's own DHT and entropy-decodes every
+    data unit, emitting integer coefficient statistics the DuckDB oracle
+    recomputes from doc_id arithmetic — any disagreement in Huffman
+    coding, run lengths, sign extension, DC prediction or block count
+    fails the value hash. Same mapInPandas shape as mm_decode_png."""
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w_, h_ = 8 * (1 + d % 4), 8 * (1 + d % 3)
+                blobs.append(
+                    _encode_jpeg(
+                        w_, h_, _jpeg_blocks_for_doc(d, (w_ // 8) * (h_ // 8))
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                m = _parse_jpeg(bytes(blob))
+                acs = [
+                    v for blk in m["blocks"]
+                    for z, v in blk.items() if z > 0
+                ]
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "media_type": "image",
+                    "width": m["width"],
+                    "height": m["height"],
+                    "n_blocks": len(m["blocks"]),
+                    "dc_sum_q": sum(b.get(0, 0) for b in m["blocks"]),
+                    "ac_sum_q": sum(acs),
+                    "n_ac_nonzero": len(acs),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MM_JPEG_SCHEMA.fields]
+            )
+
+    media = (
+        _docs(spark, sf)
+        .select("doc_id")
+        .mapInPandas(encode, "doc_id long, media binary")
+    )
+    return media.mapInPandas(decode, MM_JPEG_SCHEMA)
+
+
+def mm_decode_jpeg_sql() -> str:
+    return """
+      WITH base AS (
+        SELECT doc_id,
+               8 * (1 + doc_id % 4) AS width,
+               8 * (1 + doc_id % 3) AS height,
+               (1 + doc_id % 4) * (1 + doc_id % 3) AS n_blocks
+        FROM documents),
+      terms AS (
+        SELECT doc_id, unnest(range(0, n_blocks)) AS b FROM base),
+      stats AS (
+        SELECT doc_id,
+               sum((doc_id + 7 * b) % 64 - 32) AS dc_sum_q,
+               sum(((doc_id + 3 * b) % 15 - 7)
+                   + ((doc_id + b) % 3 - 1)) AS ac_sum_q,
+               sum(CASE WHEN (doc_id + 3 * b) % 15 <> 7 THEN 1 ELSE 0 END
+                   + CASE WHEN (doc_id + b) % 3 <> 1 THEN 1 ELSE 0 END)
+                 AS n_ac_nonzero
+        FROM terms GROUP BY doc_id)
+      SELECT b.doc_id, 'image' AS media_type, b.width, b.height,
+             CAST(b.n_blocks AS BIGINT) AS n_blocks,
+             CAST(s.dc_sum_q AS BIGINT) AS dc_sum_q,
+             CAST(s.ac_sum_q AS BIGINT) AS ac_sum_q,
+             CAST(s.n_ac_nonzero AS BIGINT) AS n_ac_nonzero
+      FROM base b JOIN stats s USING (doc_id)
+    """
+
+
 def mm_decode_sql() -> str:
     return """
       SELECT doc_id,
@@ -2998,6 +3737,10 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon_dedup": url_canon_dedup,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_cluster": dedup_cluster,
+        "mm_decode_jpeg": mm_decode_jpeg,
+        "ann_pq_codes": ann_pq_codes,
+        "ann_pq_topk": ann_pq_topk,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_winnow_pairs": dedup_winnow_pairs,
@@ -3038,6 +3781,10 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "url_canon_dedup": url_canon_dedup_sql(),
         "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
         "dedup_minhash_pairs": dedup_minhash_pairs_sql(),
+        "dedup_cluster": dedup_cluster_sql(),
+        "mm_decode_jpeg": mm_decode_jpeg_sql(),
+        "ann_pq_codes": ann_pq_codes_sql(),
+        "ann_pq_topk": ann_pq_topk_sql(),
         "dedup_simhash": dedup_simhash_sql(),
         "dedup_ngram_jaccard": dedup_ngram_jaccard_sql(),
         "dedup_winnow_pairs": dedup_winnow_pairs_sql(),

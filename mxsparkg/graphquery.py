@@ -832,6 +832,266 @@ def graph_bfs_sql() -> str:
 
 # ---------------------------------------------------------------- registry --
 
+HITS_ITERS = 2
+HITS_TOP = 20
+
+
+def hits_exact(
+    edges: DataFrame,
+    iters: int = HITS_ITERS,
+    total_mass: int = PR_TOTAL_MASS,
+) -> DataFrame:
+    """Integer-mass HITS (hubs & authorities) over a DIRECTED edge list
+    (src, dst). PageRank ranks by random-walk visitation; HITS answers the
+    complementary KG question — which entities point at the important ones
+    (hubs: aggregator pages, prolific suppliers) vs which are pointed AT
+    (authorities). Kleinberg's formulation normalizes with an L2 norm
+    (floats — partition-order-dependent, see module docstring); we use the
+    L1 integer analogue: after each matvec every score is rescaled to
+    floor(raw * total_mass / sum(raw)), so the vector sums back to
+    total_mass up to n units of floor loss. The product needs 128-bit
+    intermediates (raw * total_mass <= maxdeg * 10^24): decimal(38,0) in
+    Spark and HUGEINT in DuckDB compute it exactly and identically
+    (verified bit-equal), keeping the result partition-order-independent
+    with headroom up to maxdeg ~ 10^13.
+
+    Per half-iteration: one equi-join of the edge list against the
+    one-row-per-node score table + one map-side-combinable bigint sum +
+    one broadcast one-row scalar join — the same two-shuffle skew-safe
+    shape as pagerank_exact (hub edges stream; AQE skew-split applies).
+
+    Lineage policy differs from pagerank_exact (checkpoint every 8):
+    HITS's normalizer is recomputed per half-iteration and references its
+    input twice (once for the scalar sum, once for the rescale join), so
+    the plan DOUBLES per half-iteration — 2^(2·iters) subtree copies by
+    the end (measured 92s vs 2s at sf0.01 for iters=2). Each raw-sum
+    table is persisted for the duration of its two consumers and each
+    normalized score vector is eagerly localCheckpoint'd (a one-row-per-
+    node table, the same materialization size pagerank's checkpoints
+    carry), keeping both plan and recompute linear in iters.
+
+    Returns (node, role, score): role 'hub' for src-side scores, 'auth'
+    for dst-side, score in integer mass units."""
+    edges = edges.select("src", "dst").persist()
+    hubs = edges.select("src").distinct()
+    nh = hubs.agg(F.count(F.lit(1)).alias("_n")).withColumn("_k", F.lit(1))
+    h = (
+        hubs.withColumn("_k", F.lit(1))
+        .join(F.broadcast(nh), "_k")
+        .select("src", F.expr(f"{total_mass} div _n").alias("score"))
+    )
+
+    def _renorm(raw: DataFrame, key: str) -> DataFrame:
+        raw = raw.persist()
+        tot = raw.agg(F.sum("raw").alias("_t")).withColumn("_k", F.lit(1))
+        out = (
+            raw.withColumn("_k", F.lit(1))
+            .join(F.broadcast(tot), "_k")
+            .select(
+                key,
+                F.expr(
+                    f"cast(cast(raw as decimal(38,0)) * {total_mass}"
+                    " div _t as bigint)"
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        raw.unpersist()
+        return out
+
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(h, "src")
+            .groupBy("dst")
+            .agg(F.sum("score").alias("raw"))
+        )
+        a = _renorm(a_raw, "dst")
+        h_raw = (
+            edges.join(a, "dst")
+            .groupBy("src")
+            .agg(F.sum("score").alias("raw"))
+        )
+        h = _renorm(h_raw, "src")
+    return h.select(
+        F.col("src").alias("node"), F.lit("hub").alias("role"), "score"
+    ).unionByName(
+        a.select(
+            F.col("dst").alias("node"), F.lit("auth").alias("role"), "score"
+        )
+    )
+
+
+def graph_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Hubs & authorities of the DIRECTED supplier→part graph (2-iteration
+    integer HITS): top-20 hubs (suppliers whose parts are widely sourced)
+    and top-20 authorities (parts carried by the strongest suppliers).
+    The bipartite direction makes the two roles genuinely different
+    rankings — the property global PageRank on the symmetrized graph
+    cannot express."""
+    from pyspark.sql import Window
+
+    pairs = (
+        _lineitem(spark, sf)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    scores = hits_exact(pairs, iters=HITS_ITERS)
+    w = Window.partitionBy("role").orderBy(F.col("score").desc(), "node")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HITS_TOP)
+        .select("node", "role", "score")
+        .orderBy("role", F.col("score").desc(), "node")
+    )
+
+
+def graph_hits_sql() -> str:
+    total, n_it = PR_TOTAL_MASS, HITS_ITERS
+    rounds = []
+    prev_h = "h0"
+    for i in range(1, n_it + 1):
+        rounds.append(
+            f"""ar{i} AS (
+        SELECT e.dst, sum(p.score) AS raw
+        FROM edges e JOIN {prev_h} p ON p.src = e.src GROUP BY e.dst),
+      a{i} AS (
+        SELECT dst,
+               CAST(CAST(raw AS HUGEINT) * {total}
+                    // (SELECT sum(raw) FROM ar{i}) AS BIGINT) AS score
+        FROM ar{i}),
+      hr{i} AS (
+        SELECT e.src, sum(p.score) AS raw
+        FROM edges e JOIN a{i} p ON p.dst = e.dst GROUP BY e.src),
+      h{i} AS (
+        SELECT src,
+               CAST(CAST(raw AS HUGEINT) * {total}
+                    // (SELECT sum(raw) FROM hr{i}) AS BIGINT) AS score
+        FROM hr{i})"""
+        )
+        prev_h = f"h{i}"
+    chain = ",\n      ".join(rounds)
+    return f"""
+      WITH edges AS (
+        SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+        FROM lineitem),
+      hubs AS (SELECT DISTINCT src FROM edges),
+      h0 AS (
+        SELECT src,
+               CAST({total} // (SELECT count(*) FROM hubs) AS BIGINT)
+               AS score
+        FROM hubs),
+      {chain},
+      both_roles AS (
+        SELECT src AS node, 'hub' AS role, score FROM h{n_it}
+        UNION ALL
+        SELECT dst AS node, 'auth' AS role, score FROM a{n_it}),
+      ranked AS (
+        SELECT node, role, score,
+               row_number() OVER (PARTITION BY role
+                                  ORDER BY score DESC, node) AS rn
+        FROM both_roles)
+      SELECT node, role, score FROM ranked WHERE rn <= {HITS_TOP}
+      ORDER BY role, score DESC, node
+    """
+
+
+ER_PART_CAP = 40   # drop parts stocked by more than this many suppliers
+ER_TOP = 25
+
+
+def er_jaccard_candidates(
+    sp: DataFrame,
+    cap: int = ER_PART_CAP,
+    jac_scale: int = 1_000_000,
+) -> DataFrame:
+    """Entity-resolution candidate pairs by neighborhood overlap: two
+    left-side entities (suppliers) are merge candidates when the Jaccard
+    similarity of their right-side neighbor sets (parts) is high — the KG
+    alias-discovery op for entities the explicit alias table misses (two
+    crawled storefronts stocking near-identical catalogs are likely the
+    same merchant). Input `sp` is the distinct bipartite incidence list
+    (s, p).
+
+    Scale shape: the pair generation self-joins on p, so the intermediate
+    is Σ_p |suppliers(p)|² — quadratic in the hottest neighbor. The cap
+    drops neighbors hotter than `cap` BEFORE pairing (a part every
+    supplier carries is as uninformative for identity as a stopword, the
+    same signal/scale argument as the df-cap in dedup_ngram_jaccard), via
+    one map-side-combinable count + join — bounding the blowup at
+    cap²·n_parts regardless of skew. Degrees are recomputed on the capped
+    graph so the Jaccard stays internally consistent. Integer ppm output
+    (floor-div), no floats. Returns (s1, s2, n_shared, jac_ppm), s1 < s2."""
+    sp = sp.select("s", "p").distinct()
+    keep = (
+        sp.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") <= cap)
+        .select("p")
+    )
+    capped = sp.join(keep, "p", "left_semi").persist()
+    deg = capped.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    inter = (
+        capped.select("p", F.col("s").alias("s1"))
+        .join(capped.select("p", F.col("s").alias("s2")), "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(deg.select(F.col("s").alias("s1"), F.col("d").alias("d1")), "s1")
+        .join(deg.select(F.col("s").alias("s2"), F.col("d").alias("d2")), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.expr(
+                f"(n_shared * cast({jac_scale} as bigint))"
+                " div (d1 + d2 - n_shared)"
+            ).alias("jac_ppm"),
+        )
+    )
+
+
+def kg_er_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier merge candidates by catalog overlap: top-25 supplier pairs
+    by part-set Jaccard (ppm) on the capped supplier↔part incidence."""
+    sp = _lineitem(spark, sf).select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    )
+    return (
+        er_jaccard_candidates(sp)
+        .orderBy(F.col("jac_ppm").desc(), "s1", "s2")
+        .limit(ER_TOP)
+    )
+
+
+def kg_er_jaccard_sql() -> str:
+    return f"""
+      WITH sp AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+      keep AS (
+        SELECT p FROM sp GROUP BY p HAVING count(*) <= {ER_PART_CAP}),
+      capped AS (
+        SELECT sp.s, sp.p FROM sp JOIN keep ON keep.p = sp.p),
+      deg AS (SELECT s, count(*) AS d FROM capped GROUP BY s),
+      inter AS (
+        SELECT a.s AS s1, b.s AS s2, count(*) AS n_shared
+        FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
+        GROUP BY a.s, b.s)
+      SELECT i.s1, i.s2, i.n_shared,
+             (i.n_shared * CAST(1000000 AS BIGINT))
+               // (d1.d + d2.d - i.n_shared) AS jac_ppm
+      FROM inter i
+      JOIN deg d1 ON d1.s = i.s1
+      JOIN deg d2 ON d2.s = i.s2
+      ORDER BY jac_ppm DESC, s1, s2 LIMIT {ER_TOP}
+    """
+
+
 def graphquery_queries() -> dict:
     return {
         "kg_pagerank": kg_pagerank,
@@ -840,6 +1100,8 @@ def graphquery_queries() -> dict:
         "graph_minlabel": graph_minlabel,
         "graph_kcore": graph_kcore,
         "graph_bfs": graph_bfs,
+        "graph_hits": graph_hits,
+        "kg_er_jaccard": kg_er_jaccard,
     }
 
 
@@ -851,4 +1113,6 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_minlabel": graph_minlabel_sql(),
         "graph_kcore": graph_kcore_sql(),
         "graph_bfs": graph_bfs_sql(),
+        "graph_hits": graph_hits_sql(),
+        "kg_er_jaccard": kg_er_jaccard_sql(),
     }

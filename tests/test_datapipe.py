@@ -618,3 +618,150 @@ def test_bpe_train_on_real_corpus_prefix_stable(spark):
     m3 = [(r.lhs, r.rhs) for r in bpe_train(docs, 3).orderBy("step").collect()]
     m5 = [(r.lhs, r.rhs) for r in bpe_train(docs, 5).orderBy("step").collect()]
     assert m5[:3] == m3
+
+
+def test_dedup_cluster_merges_chains_and_keeps_reps(spark):
+    """Near-dup relations chain: A≈B (last word dropped) and B≈C (first
+    word also dropped) must land in ONE cluster even if A–C alone were
+    borderline — the transitive-closure semantics pair output lacks.
+    Exactly one keep per cluster (the min doc_id); unrelated docs are
+    their own singleton clusters with keep=1."""
+    from mxsparkg.datapipe import cluster_near_dups
+
+    words = [f"w{i}x" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words[:-1])
+    c = " ".join(words[1:-1])
+    d = " ".join(f"z{i}q" for i in range(40))
+    docs = spark.createDataFrame(
+        [(10, a), (11, b), (12, c), (13, d)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.cluster, r.keep) for r in cluster_near_dups(docs).collect()}
+    assert got[10] == (10, 1)
+    assert got[11] == (10, 0)
+    assert got[12] == (10, 0)
+    assert got[13] == (13, 1)
+
+
+def test_evt_asof_tie_null_and_latest_semantics(spark, tmp_path):
+    """As-of join edge semantics the sf corpus can't pin: a view at the
+    SAME microsecond as the purchase is visible ('<=', state sorts
+    first); with two prior views the LATER one wins; a purchase with no
+    prior view gets NULLs; a view AFTER the purchase is never used."""
+    import datetime as dt
+
+    from mxsparkg.contract import evt_asof
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: view@1, view@3, purchase@3 (tie), purchase@5
+        (1, 1, t(1), "view", 1.0),
+        (2, 1, t(3), "view", 2.0),
+        (3, 1, t(3), "purchase", 10.0),
+        (4, 1, t(5), "purchase", 20.0),
+        # user 2: purchase@2 with no view at all, view@4 after it
+        (5, 2, t(2), "purchase", 30.0),
+        (6, 2, t(4), "view", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.event_id: (r.view_us, r.view_val_c, r.age_us)
+        for r in evt_asof(spark, str(tmp_path)).collect()
+    }
+    us = lambda s: int(dt.datetime(2024, 1, 1, 0, 0, s).timestamp()
+                       - dt.datetime(1970, 1, 1).timestamp()) * 1_000_000
+    assert got[3] == (us(3), 200, 0)          # same-instant view visible
+    assert got[4] == (us(3), 200, 2_000_000)  # later of the two views
+    assert got[5] == (None, None, None)       # no prior view -> NULLs
+
+
+def test_jpeg_codec_roundtrip_pixels_and_integrity():
+    """Baseline-JPEG entropy layer: planted quantized coefficients survive
+    encode→decode exactly for a spread of doc patterns (incl. the ZRL
+    >=16-zero-run and EOB-only branches); DC-only constant blocks decode
+    to EXACT pixel values through dequant + IDCT (the integer-exact case);
+    malformed streams fail loudly."""
+    import numpy as np
+    import pytest as pt
+
+    from mxsparkg.datapipe import (
+        _decode_jpeg_pixels,
+        _encode_jpeg,
+        _jpeg_blocks_for_doc,
+        _parse_jpeg,
+    )
+
+    for d in [0, 1, 7, 13, 31, 49, 123, 457]:
+        w, h = 8 * (1 + d % 4), 8 * (1 + d % 3)
+        blocks = _jpeg_blocks_for_doc(d, (w // 8) * (h // 8))
+        m = _parse_jpeg(_encode_jpeg(w, h, blocks))
+        assert (m["width"], m["height"]) == (w, h)
+        got = [{z: v for z, v in b.items() if v} for b in m["blocks"]]
+        want = [{z: v for z, v in b.items() if v} for b in blocks]
+        assert got == want
+    # at least one planted block must hit the ZRL path (zigzag 30 with a
+    # >=16-zero run before it) or the branch is untested
+    assert any(
+        30 in b and max(z for z in b if 0 < z < 30) < 14 if any(
+            0 < z < 30 for z in b) else 30 in b
+        for d in (0, 1, 7, 13)
+        for b in _jpeg_blocks_for_doc(d, 12)
+    )
+    # DC-only: constant blocks, IDCT is exactly integer
+    consts = [128 + 2 * k for k in range(-6, 0)]
+    blocks = [{0: (c - 128) * 8 // 16} for c in consts]
+    px = _decode_jpeg_pixels(_encode_jpeg(24, 16, blocks))
+    assert px.shape == (16, 24) and px.dtype == np.uint8
+    for bi, c in enumerate(consts):
+        by, bx = divmod(bi, 3)
+        assert (px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] == c).all()
+    blob = _encode_jpeg(8, 8, [{0: 5}])
+    with pt.raises(ValueError):
+        _parse_jpeg(b"\x00\x01" + blob[2:])       # bad SOI
+    with pt.raises(ValueError):
+        _parse_jpeg(blob[:-2] + b"\xff\xd8")      # scan not EOI-terminated
+
+
+def test_pq_train_reduces_error_and_codes_are_invariant(spark):
+    """PQ semantics the oracle can't check: Lloyd-trained codebooks must
+    quantize the real embedding table with LOWER mean squared error than
+    the seeded stand-ins (training does real work), and the code
+    assignment is bit-identical under repartitioning (deterministic
+    argmin + exact decimal means)."""
+    from mxsparkg.datapipe import (
+        _dot,
+        _pq_codebooks,
+        _pq_sub,
+        _vecs_with_norm,
+        pq_encode,
+        pq_train,
+    )
+
+    vecs = _vecs_with_norm(
+        spark.read.parquet(SF + "/embeddings.parquet")
+    ).select("vec_id", "v")
+
+    def qerr(books):
+        err = None
+        for mi, book in enumerate(books):
+            sub = _pq_sub(F.col("v"), mi, len(book[0]))
+            ds = [
+                _dot(sub, sub)
+                - 2.0 * _dot(sub, F.array(*[F.lit(x) for x in cw]))
+                + F.lit(sum(x * x for x in cw))
+                for cw in book
+            ]
+            m = F.least(*ds)
+            err = m if err is None else err + m
+        return vecs.select(err.alias("e")).agg(F.avg("e")).collect()[0][0]
+
+    seeded = _pq_codebooks()
+    trained = pq_train(vecs)
+    assert qerr(trained) < qerr(seeded)
+    a = sorted(map(tuple, pq_encode(vecs, trained).collect()))
+    b = sorted(map(tuple, pq_encode(vecs.repartition(7), trained).collect()))
+    assert a == b

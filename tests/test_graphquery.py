@@ -268,3 +268,54 @@ def test_ppr_with_all_seeds_equals_global_pagerank(spark):
     a = sorted(map(tuple, ppr_exact(edges, seeds, iters=4).collect()))
     b = sorted(map(tuple, pagerank_exact(edges, iters=4).collect()))
     assert a == b
+
+
+def test_hits_roles_and_partition_invariance(spark):
+    """Planted directed bipartite graph: hub h0 points at every authority,
+    authority a0 is pointed at by every hub — each must top its role's
+    ranking; scores are bit-identical under repartitioning (integer L1
+    normalization, same property as integer PageRank) and each role's
+    mass is conserved up to floor-division loss."""
+    from mxsparkg.graphquery import PR_TOTAL_MASS, hits_exact
+
+    pairs = [("h0", f"a{j}") for j in range(8)] + [
+        (f"h{i}", "a0") for i in range(1, 6)
+    ] + [(f"h{i}", f"a{i}") for i in range(1, 6)]
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    out = {(r.node, r.role): r.score for r in hits_exact(e, iters=2).collect()}
+    out2 = {
+        (r.node, r.role): r.score
+        for r in hits_exact(e.repartition(7), iters=2).collect()
+    }
+    assert out == out2
+    hubs = {n: s for (n, role), s in out.items() if role == "hub"}
+    auths = {n: s for (n, role), s in out.items() if role == "auth"}
+    assert max(hubs, key=hubs.get) == "h0"
+    assert max(auths, key=auths.get) == "a0"
+    for scores in (hubs, auths):
+        assert 0.98 * PR_TOTAL_MASS < sum(scores.values()) <= PR_TOTAL_MASS
+
+
+def test_er_jaccard_exact_values_and_cap(spark):
+    """Known incidence: s1={p1,p2,p3}, s2={p2,p3,p4} → Jaccard 2/4 =
+    500000 ppm exactly. With a hot shared neighbor p0 carried by every
+    supplier and cap below its degree, p0 must be dropped BEFORE pairing:
+    degrees and overlaps are computed on the capped graph, so the result
+    is identical to a corpus where p0 never existed."""
+    from mxsparkg.graphquery import er_jaccard_candidates
+
+    base = [(1, 11), (1, 12), (1, 13), (2, 12), (2, 13), (2, 14), (3, 99)]
+    hot = [(s, 0) for s in (1, 2, 3)]
+    sp = spark.createDataFrame(base + hot, ["s", "p"])
+    got = {
+        (r.s1, r.s2): (r.n_shared, r.jac_ppm)
+        for r in er_jaccard_candidates(sp, cap=2).collect()
+    }
+    assert got == {(1, 2): (2, 500_000)}
+    # without the hot part at all, same answer (cap == removal semantics)
+    sp_clean = spark.createDataFrame(base, ["s", "p"])
+    got_clean = {
+        (r.s1, r.s2): (r.n_shared, r.jac_ppm)
+        for r in er_jaccard_candidates(sp_clean, cap=2).collect()
+    }
+    assert got == got_clean

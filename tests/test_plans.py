@@ -127,3 +127,18 @@ def test_sessionize_single_exchange_no_python(spark):
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, plan
     assert "Python" not in plan, plan
+
+
+def test_asof_single_exchange_no_python(spark):
+    """evt_asof's union-then-window formulation exists FOR this plan: both
+    ignorenulls windows share ONE user_id hash Exchange (the whole
+    point-in-time lookup is a single shuffle), and the op stays JVM-side —
+    the range-predicate join formulation would plan a join with no
+    equi-condition instead."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["evt_asof"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
+    assert "Join" not in plan, plan
