@@ -1266,14 +1266,17 @@ def _pq_sub(col: Column, mi: int, subdim: int = PQ_SUBDIM) -> Column:
 
 
 def pq_encode(
-    vecs: DataFrame, books: list[list[list[float]]] | None = None
+    vecs: DataFrame,
+    books: list[list[list[float]]] | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(vec_id, v) → (vec_id, c0..c{M-1}): per-subspace argmin-L2 code
     (tie-break code asc — same rule as _assign_df). One narrow codegen
     pass, no shuffle: at 10^9 vectors this is the compression map a PQ
-    index persists instead of the raw vectors."""
+    index persists instead of the raw vectors. `keep` names extra input
+    columns to carry through (e.g. the IVF cell for the IVF-PQ compose)."""
     books = books if books is not None else _pq_codebooks()
-    out = [F.col("vec_id")]
+    out = [F.col("vec_id"), *[F.col(k) for k in keep]]
     for mi, book in enumerate(books):
         sub = _pq_sub(F.col("v"), mi, len(book[0]))
         cands = []
@@ -1336,12 +1339,12 @@ def _pq_codes_sql_ctes() -> str:
         for mi in range(PQ_M)
     )
     return f"""books(m, j, cw) AS (VALUES {rows}),
-      subv AS (
+      pq_subv AS (
         SELECT vec_id, m,
                list_slice(v, m * {PQ_SUBDIM} + 1,
                           m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS s
         FROM vecs, range(0, {PQ_M}) t(m)),
-      assign AS (
+      pq_assign AS (
         SELECT vec_id, m, code FROM (
           SELECT sv.vec_id, sv.m, b.j AS code,
                  row_number() OVER (
@@ -1349,8 +1352,8 @@ def _pq_codes_sql_ctes() -> str:
                    ORDER BY list_dot_product(sv.s, sv.s)
                             - 2 * list_dot_product(sv.s, b.cw)
                             + list_dot_product(b.cw, b.cw), b.j) AS rk
-          FROM subv sv JOIN books b ON b.m = sv.m) WHERE rk = 1),
-      codes AS (SELECT vec_id, {pivots} FROM assign GROUP BY vec_id)"""
+          FROM pq_subv sv JOIN books b ON b.m = sv.m) WHERE rk = 1),
+      codes AS (SELECT vec_id, {pivots} FROM pq_assign GROUP BY vec_id)"""
 
 
 def ann_pq_codes_sql() -> str:
@@ -1360,21 +1363,12 @@ def ann_pq_codes_sql() -> str:
     )
 
 
-def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """ADC top-k search: full-precision queries against the PQ-compressed
-    corpus. approx_d2(q, x) = Σ_m ||q_m − codeword[m][x.c_m]||², written
-    as an explicit fixed-order 4-term sum (identical-expression rule —
-    a commutative re-association would flip near-tie ranks between
-    engines). The corpus side carries ONLY the 4 codes — the scan a real
-    PQ index does over its in-memory code table; queries broadcast."""
-    from pyspark.sql.window import Window
-
-    books = _pq_codebooks()
-    vecs = _vecs_with_norm(_embs(spark, sf)).select("vec_id", "v")
-    codes = pq_encode(vecs, books)
-    q = vecs.filter(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
+def _pq_adc_expr(books: list[list[list[float]]]) -> Column:
+    """The ADC distance expression: Σ_m ||q_m − codeword[m][c_m]||² over
+    columns `qv` (full-precision query) and `c0..c{M-1}` (corpus codes),
+    written as an explicit fixed-order sum (identical-expression rule — a
+    commutative re-association would flip near-tie ranks between
+    engines)."""
     terms = []
     for mi, book in enumerate(books):
         cw_lit = F.array(*[
@@ -1388,21 +1382,16 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
             - 2.0 * _dot(sub, F.element_at(cw_lit, idx))
             + F.element_at(sq_lit, idx)
         )
-    approx = terms[0] + terms[1] + terms[2] + terms[3]
-    scored = (
-        codes.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", approx.alias("d2_raw"))
-    )
-    w = Window.partitionBy("q_id").orderBy("d2_raw", "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= ANN_K)
-        .select("q_id", "rank", "vec_id", F.round("d2_raw", 6).alias("d2"))
-    )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
-def ann_pq_topk_sql() -> str:
-    books = _pq_codebooks()
+def _pq_adc_sql(books: list[list[list[float]]]) -> str:
+    """SQL mirror of _pq_adc_expr over `q.qv` and `x.c{m}` — the same
+    fixed-order term sum with literal codebook/Σsq arrays indexed by
+    code."""
     terms = []
     for mi, book in enumerate(books):
         cw_lit = (
@@ -1421,15 +1410,122 @@ def ann_pq_topk_sql() -> str:
             f" - 2 * list_dot_product({sub}, ({cw_lit})[x.c{mi} + 1])"
             f" + ({sq_lit})[x.c{mi} + 1])"
         )
-    approx = "\n               + ".join(terms)
+    return "\n               + ".join(terms)
+
+
+def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC top-k search: full-precision queries against the PQ-compressed
+    corpus (exhaustive code scan — the IVF-PQ compose below prunes it).
+    The corpus side carries ONLY the 4 codes — the scan a real PQ index
+    does over its in-memory code table; queries broadcast."""
+    from pyspark.sql.window import Window
+
+    books = _pq_codebooks()
+    vecs = _vecs_with_norm(_embs(spark, sf)).select("vec_id", "v")
+    codes = pq_encode(vecs, books)
+    q = vecs.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _pq_adc_expr(books).alias("d2_raw"))
+    )
+    w = Window.partitionBy("q_id").orderBy("d2_raw", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("q_id", "rank", "vec_id", F.round("d2_raw", 6).alias("d2"))
+    )
+
+
+def ann_pq_topk_sql() -> str:
     return f"""
       WITH {_SQL_VECS}, {_pq_codes_sql_ctes()},
       q AS (SELECT vec_id AS q_id, v AS qv FROM vecs
             WHERE vec_id < {ANN_N_QUERIES}),
       scored AS (
         SELECT q.q_id, x.vec_id,
-               {approx} AS d2_raw
+               {_pq_adc_sql(_pq_codebooks())} AS d2_raw
         FROM codes x CROSS JOIN q
+        WHERE x.vec_id != q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, d2_raw,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY d2_raw, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id, round(d2_raw, 6) AS d2
+      FROM ranked WHERE rank <= {ANN_K}
+    """
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ — the production composition (Jégou et al. 2011 §IV): the
+    IVF coarse quantizer prunes the corpus to IVF_NPROBE cells per query,
+    PQ codes stand in for the pruned vectors, ADC ranks them. Per query
+    this touches nprobe/ncells of the corpus AND reads only 4 small codes
+    per touched vector — the memory/IO shape that serves billion-vector
+    ANN. Corpus side: one narrow assign+encode pass, partitioned by cell;
+    the probe table broadcasts; never a full-precision corpus scan."""
+    from pyspark.sql.window import Window
+
+    books = _pq_codebooks()
+    assigned = _ivf_assign_df(spark, sf)
+    codes = pq_encode(assigned, books, keep=("cell",))
+    cents = _centroids()
+    q = assigned.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    probe_cols = []
+    for ci, c in enumerate(cents):
+        carr = F.array(*[F.lit(x) for x in c])
+        c2 = sum(x * x for x in c)
+        d2 = (
+            _dot(F.col("qv"), F.col("qv"))
+            - 2.0 * _dot(F.col("qv"), carr)
+            + F.lit(c2)
+        )
+        probe_cols.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    probes = q.select(
+        "q_id", "qv",
+        F.explode(
+            F.slice(F.array_sort(F.array(*probe_cols)), 1, IVF_NPROBE)
+        ).alias("p"),
+    ).select("q_id", "qv", F.col("p.cell").alias("cell"))
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _pq_adc_expr(books).alias("d2_raw"))
+    )
+    w = Window.partitionBy("q_id").orderBy("d2_raw", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("q_id", "rank", "vec_id", F.round("d2_raw", 6).alias("d2"))
+    )
+
+
+def ann_ivfpq_topk_sql() -> str:
+    return f"""
+      WITH {_SQL_VECS}, {_sql_ivf_assign("ivf")}, {_pq_codes_sql_ctes()},
+      coded AS (
+        SELECT c.vec_id, c.c0, c.c1, c.c2, c.c3, i.cell
+        FROM codes c JOIN ivf i ON i.vec_id = c.vec_id),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM vecs
+            WHERE vec_id < {ANN_N_QUERIES}),
+      probes AS (
+        SELECT q_id, qv, cell FROM (
+          SELECT q.q_id, q.qv, cents.cell,
+                 row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY list_dot_product(q.qv, q.qv)
+                            - 2 * list_dot_product(q.qv, cents.c)
+                            + list_dot_product(cents.c, cents.c),
+                            cents.cell) AS rk
+          FROM q CROSS JOIN cents) WHERE rk <= {IVF_NPROBE}),
+      scored AS (
+        SELECT q.q_id, x.vec_id,
+               {_pq_adc_sql(_pq_codebooks())} AS d2_raw
+        FROM coded x JOIN probes q ON x.cell = q.cell
         WHERE x.vec_id != q.q_id),
       ranked AS (
         SELECT q_id, vec_id, d2_raw,
@@ -3741,6 +3837,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_jpeg": mm_decode_jpeg,
         "ann_pq_codes": ann_pq_codes,
         "ann_pq_topk": ann_pq_topk,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_winnow_pairs": dedup_winnow_pairs,
@@ -3785,6 +3882,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "mm_decode_jpeg": mm_decode_jpeg_sql(),
         "ann_pq_codes": ann_pq_codes_sql(),
         "ann_pq_topk": ann_pq_topk_sql(),
+        "ann_ivfpq_topk": ann_ivfpq_topk_sql(),
         "dedup_simhash": dedup_simhash_sql(),
         "dedup_ngram_jaccard": dedup_ngram_jaccard_sql(),
         "dedup_winnow_pairs": dedup_winnow_pairs_sql(),
