@@ -830,6 +830,123 @@ def graph_bfs_sql() -> str:
     """
 
 
+SSSP_ROUNDS = 3
+SSSP_SEED_MOD = 100
+SSSP_WEIGHT_MOD = 5
+
+
+def sssp_relax(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = SSSP_ROUNDS,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Bounded Bellman-Ford over weighted edges (src, dst, w): min-cost
+    distance from the seed set, truncated at `iters` relaxation rounds
+    (exact for every node whose shortest path uses ≤ iters edges — the
+    bounded-neighborhood contract bfs_hops has, generalized to weights).
+    The KG query this serves is weighted proximity: "cheapest association
+    path from these seed entities" where edge cost encodes link strength
+    or traversal penalty, which hop-count BFS cannot rank.
+
+    Relational shape per round is IDENTICAL to bfs_hops — one equi-join of
+    the loop-invariant edge list against the one-row-per-node distance
+    table, then one map-side-combinable groupBy(min) over the union with
+    the previous round (monotone non-increasing per node, so the table is
+    bounded by the reachable set). Hub fanout streams through the join;
+    AQE skew-split applies; no adjacency arrays, nothing to the driver.
+    Integer weights ⇒ exact bigint arithmetic, partition-order-proof.
+
+    seeds: one column `node`. Returns (node, dist)."""
+    edges = edges.select("src", "dst", "w").persist()  # loop-invariant
+    dist = seeds.select("node", F.lit(0).alias("dist"))
+    for i in range(iters):
+        nbr = (
+            edges.join(
+                dist.withColumnRenamed("node", "_s"),
+                F.col("src") == F.col("_s"),
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+def graph_sssp(spark: SparkSession, sf: str) -> DataFrame:
+    """3-round multi-source Bellman-Ford on the sparsified co-purchase
+    graph with deterministic integer weights w = 1 + (u+v) % 5 (symmetric
+    in (u,v), so both directions of an undirected edge cost the same);
+    seeds = BFS's seed rule. Distinct from graph_bfs on the same graph:
+    a 2-edge path of weight 2 beats a 1-edge path of weight 5, so the
+    weighted ranks genuinely differ from hop counts."""
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    wund = und.select(
+        "u", "v",
+        (F.lit(1) + (F.col("u") + F.col("v")) % SSSP_WEIGHT_MOD).alias("w"),
+    )
+    sym = wund.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e"),
+        "w",
+    ).select("e.src", "e.dst", "w")
+    seeds = (
+        sym.select(F.col("src").alias("node"))
+        .filter(F.col("node") % SSSP_SEED_MOD == 0)
+        .distinct()
+    )
+    return sssp_relax(sym, seeds, iters=SSSP_ROUNDS)
+
+
+def graph_sssp_sql() -> str:
+    rounds, mod = SSSP_ROUNDS, SSSP_SEED_MOD
+    steps = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""c{i} AS (
+        SELECT e.dst AS node, min(p.dist + e.w) AS dist
+        FROM edges e JOIN {prev} p ON p.node = e.src GROUP BY e.dst),
+      d{i} AS (
+        SELECT node, min(dist) AS dist FROM (
+          SELECT node, dist FROM {prev}
+          UNION ALL SELECT node, dist FROM c{i})
+        GROUP BY node)"""
+        )
+        prev = f"d{i}"
+    chain = ",\n      ".join(steps)
+    return f"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey % {MINLABEL_ORDER_MOD} = 0),
+      e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      ew AS (
+        SELECT u, v, 1 + (u + v) % {SSSP_WEIGHT_MOD} AS w FROM e0),
+      edges AS (
+        SELECT u AS src, v AS dst, w FROM ew
+        UNION ALL SELECT v AS src, u AS dst, w FROM ew),
+      d0 AS (
+        SELECT DISTINCT src AS node, 0 AS dist FROM edges
+        WHERE src % {mod} = 0),
+      {chain}
+      SELECT node, dist FROM {prev}
+    """
+
+
 # ---------------------------------------------------------------- registry --
 
 HITS_ITERS = 2
@@ -1100,6 +1217,7 @@ def graphquery_queries() -> dict:
         "graph_minlabel": graph_minlabel,
         "graph_kcore": graph_kcore,
         "graph_bfs": graph_bfs,
+        "graph_sssp": graph_sssp,
         "graph_hits": graph_hits,
         "kg_er_jaccard": kg_er_jaccard,
     }
@@ -1113,6 +1231,7 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_minlabel": graph_minlabel_sql(),
         "graph_kcore": graph_kcore_sql(),
         "graph_bfs": graph_bfs_sql(),
+        "graph_sssp": graph_sssp_sql(),
         "graph_hits": graph_hits_sql(),
         "kg_er_jaccard": kg_er_jaccard_sql(),
     }
