@@ -185,6 +185,106 @@ def main() -> None:
         }
     results["ivf_train_wall_sec"] = round(train_wall, 2)
 
+    # ---- PQ: exhaustive ADC over trained codes (64x compression) ----------
+    # Production-sized PQ for the measurement: 8 subspaces x 32 codewords
+    # (the gate keys use 4x8 to keep the unrolled DuckDB oracle cheap —
+    # same operators, smaller knobs). 64 doubles -> 8 five-bit codes.
+    # Two codebook sets are trained: RAW-vector books for the exhaustive
+    # classic-PQ rows (the honest floor: on clustered data raw PQ spends
+    # its code budget re-describing the cluster, so intra-cluster ranking
+    # collapses) and RESIDUAL books for the IVF-PQ rows (Jégou et al.
+    # §IV: quantize v − centroid[cell], so the same bits describe exactly
+    # the within-cell detail ADC needs).
+    pq_m, pq_k = 8, 32
+    t0 = time.time()
+    books_raw = dp.pq_train(vecs.select("vec_id", "v"), m=pq_m, k=pq_k)
+    res = assigned.select(
+        "vec_id", "cell", dp._residual_col(cents).alias("v"))
+    books_res = dp.pq_train(res.select("vec_id", "v"), m=pq_m, k=pq_k)
+    pq_train_wall = time.time() - t0
+    codes_raw = dp.pq_encode(vecs.select("vec_id", "v"), books_raw).persist()
+    codes_res = dp.pq_encode(res, books_res, keep=("cell",)).persist()
+    codes_raw.count(); codes_res.count()
+    w_d2 = Window.partitionBy("q_id").orderBy("d2_raw", F.col("vec_id"))
+
+    def topk_d2(scored):
+        return (
+            scored.withColumn("rank", F.row_number().over(w_d2))
+            .filter(F.col("rank") <= ANN_EVAL_K)
+            .select("q_id", "vec_id")
+        )
+
+    # PQ quantizes 64 doubles to 4 codes: every vector sharing a code
+    # tuple gets the SAME ADC distance, so raw ADC top-10 inside a big
+    # tied group is arbitrary (tie-break by vec_id) — the production
+    # pattern is ADC SHORTLIST + exact re-rank (Jégou et al. §VII).
+    # Both numbers are reported: raw ADC (the honest quantization floor)
+    # and rerank-100 (the shape a real PQ deployment serves).
+    rerank_r = 10 * ANN_EVAL_K
+
+    def shortlist_d2(scored, r):
+        return (
+            scored.withColumn("rank", F.row_number().over(w_d2))
+            .filter(F.col("rank") <= r)
+            .select("q_id", "vec_id")
+        )
+
+    def rerank(short):
+        return topk(
+            short.join(vecs, "vec_id")
+            .join(F.broadcast(q), "q_id")
+            .select("q_id", "vec_id", cos.alias("cos_raw"))
+        )
+
+    t0 = time.time()
+    q_lut_raw = q.select(
+        "q_id", *dp._pq_lut_cols(books_raw, F.col("qv")))
+    pq_scan = codes_raw.join(
+        F.broadcast(q_lut_raw), F.col("vec_id") != F.col("q_id")
+    ).select("q_id", "vec_id", dp._pq_adc_from_lut(pq_m).alias("d2_raw"))
+    raw_got = topk_sets(topk_d2(pq_scan))
+    results["pq_adc_raw"] = {
+        "recall_at_10": round(recall(raw_got, gt), 4),
+        "wall_sec": round(time.time() - t0, 2),
+        "scanned_frac": 1.0,  # scans every vector, but as 8 codes (64x)
+    }
+    t0 = time.time()
+    got = topk_sets(rerank(shortlist_d2(pq_scan, rerank_r)))
+    results[f"pq_adc_rerank{rerank_r}"] = {
+        "recall_at_10": round(recall(got, gt), 4),
+        "wall_sec": round(time.time() - t0, 2),
+        "scanned_frac": 1.0,
+    }
+
+    # ---- IVF-PQ: coarse pruning + residual ADC shortlist + exact re-rank ---
+    for nprobe in [int(x) for x in args.nprobes.split(",")]:
+        t0 = time.time()
+        probes = q.select(
+            "q_id", "qv",
+            F.explode(F.slice(ranked_cells, 1, nprobe)).alias("p"),
+        ).select("q_id", "qv", F.col("p.cell").alias("cell"))
+        luts = probes.select(
+            "q_id", "cell",
+            *dp._pq_lut_cols(books_res, dp._residual_col(cents, vcol="qv")),
+        )
+        scan = (
+            codes_res.join(F.broadcast(luts), "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id",
+                    dp._pq_adc_from_lut(pq_m).alias("d2_raw"))
+        )
+        got = topk_sets(rerank(shortlist_d2(scan, rerank_r)))
+        wall = time.time() - t0
+        pr = probes.select("q_id", "cell").collect()
+        frac = (sum(cell_sizes.get(r["cell"], 0) for r in pr)
+                / (len({r["q_id"] for r in pr}) * args.n))
+        results[f"ivfpq_nprobe_{nprobe}"] = {
+            "recall_at_10": round(recall(got, gt), 4),
+            "wall_sec": round(wall, 2),
+            "scanned_frac": round(frac, 4),
+        }
+    results["pq_train_wall_sec"] = round(pq_train_wall, 2)
+
     write_report(args, results)
     print(json.dumps({"metric": "ann_recall_at_10", "n": args.n,
                       "queries": args.queries, "results": results}))
@@ -196,7 +296,9 @@ def write_report(args, results: dict) -> None:
 
     rows = []
     order = ["brute_force", "lsh_bucket"] + [
-        k for k in results if k.startswith("ivf_nprobe_")]
+        k for k in results if k.startswith("ivf_nprobe_")] + [
+        k for k in results if k.startswith("pq_adc")] + [
+        k for k in results if k.startswith("ivfpq_nprobe_")]
     for k in order:
         r = results[k]
         rows.append(
@@ -216,8 +318,30 @@ seeded hyperplanes → 256 buckets (ann_lsh_topk).
 |---|---|---|---|
 {body}
 
-IVF training wall: {results['ivf_train_wall_sec']}s (one-off, amortized
+IVF training wall: {results['ivf_train_wall_sec']}s; PQ codebook
+training wall: {results['pq_train_wall_sec']}s (both one-off, amortized
 across every query).
+
+PQ rows use Lloyd-trained per-subspace codebooks at production size
+(pq_train with 8 subspaces x 32 codewords — the GATE keys use 4x8 to
+keep the unrolled DuckDB oracle cheap; identical operators, different
+knobs): each 64-d double vector is stored as 8 five-bit codes — 64x
+less candidate data read per scanned vector (scanned_frac counts
+vectors, not bytes), and ADC is served from per-query lookup tables
+(8 array lookups + 7 adds per candidate, never a per-pair dot).
+`pq_adc_raw` is classic exhaustive PQ over RAW vectors ranked by ADC
+alone — on clustered data the code budget goes to re-describing the
+cluster, so intra-cluster ranks collapse onto tied code tuples: that
+number IS the honest floor of raw-vector PQ, not a bug.
+`pq_adc_rerank100` re-ranks its top-100 ADC shortlist exactly (Jégou
+et al. §VII) but inherits the same raw-code shortlist quality.
+`ivfpq_nprobe_*` is the production composition: PQ trained and encoded
+on cell RESIDUALS (v − centroid, §IV), query residual per probed cell,
+ADC shortlist of 100, exact re-rank — residual encoding spends the
+same bits on within-cell detail, which is why its recall approaches
+the uncompressed ivf_nprobe_k rows at a fraction of the bytes read.
+Close any remaining gap with more codewords (PQ_K), more subspaces
+(PQ_M), or a deeper shortlist.
 
 ## How to read this for tuning
 

@@ -1328,7 +1328,7 @@ def ann_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     return pq_encode(vecs)
 
 
-def _pq_codes_sql_ctes() -> str:
+def _pq_codes_sql_ctes(src: str = "vecs") -> str:
     rows = ", ".join(
         f"({mi}, {j}, {cw!r}::DOUBLE[])"
         for mi, book in enumerate(_pq_codebooks())
@@ -1343,7 +1343,7 @@ def _pq_codes_sql_ctes() -> str:
         SELECT vec_id, m,
                list_slice(v, m * {PQ_SUBDIM} + 1,
                           m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS s
-        FROM vecs, range(0, {PQ_M}) t(m)),
+        FROM {src}, range(0, {PQ_M}) t(m)),
       pq_assign AS (
         SELECT vec_id, m, code FROM (
           SELECT sv.vec_id, sv.m, b.j AS code,
@@ -1363,35 +1363,61 @@ def ann_pq_codes_sql() -> str:
     )
 
 
-def _pq_adc_expr(books: list[list[list[float]]]) -> Column:
-    """The ADC distance expression: Σ_m ||q_m − codeword[m][c_m]||² over
-    columns `qv` (full-precision query) and `c0..c{M-1}` (corpus codes),
-    written as an explicit fixed-order sum (identical-expression rule — a
+def _pq_lut_cols(books: list[list[list[float]]], vec: Column) -> list[Column]:
+    """Per-query ADC lookup tables (Jégou et al. 2011 §V): lut{m}[j] =
+    ||vec_m − codeword[m][j]||², computed ONCE per query row (m×k small
+    dots on the tiny broadcast side), so the corpus-side scan does only
+    M array lookups + M−1 adds per candidate — never a per-pair dot
+    product. Each entry is the SAME fixed-order expression the DuckDB
+    oracle inlines per pair, so factoring the term through a LUT is
+    bit-transparent (identical IEEE ops on identical inputs)."""
+    luts = []
+    for mi, book in enumerate(books):
+        sub = _pq_sub(vec, mi, len(book[0]))
+        entries = []
+        for cw in book:
+            carr = F.array(*[F.lit(x) for x in cw])
+            entries.append(
+                _dot(sub, sub)
+                - 2.0 * _dot(sub, carr)
+                + F.lit(sum(x * x for x in cw))
+            )
+        luts.append(F.array(*entries).alias(f"lut{mi}"))
+    return luts
+
+
+def _pq_adc_from_lut(m: int) -> Column:
+    """ADC distance from the precomputed LUTs: Σ_m lut{m}[c{m}], written
+    as an explicit fixed-order sum (identical-expression rule — a
     commutative re-association would flip near-tie ranks between
     engines)."""
-    terms = []
-    for mi, book in enumerate(books):
-        cw_lit = F.array(*[
-            F.array(*[F.lit(x) for x in cw]) for cw in book
-        ])
-        sq_lit = F.array(*[F.lit(sum(x * x for x in cw)) for cw in book])
-        sub = _pq_sub(F.col("qv"), mi, len(book[0]))
-        idx = F.col(f"c{mi}") + 1
-        terms.append(
-            _dot(sub, sub)
-            - 2.0 * _dot(sub, F.element_at(cw_lit, idx))
-            + F.element_at(sq_lit, idx)
-        )
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
+    out = F.element_at(F.col("lut0"), F.col("c0") + 1)
+    for mi in range(1, m):
+        out = out + F.element_at(F.col(f"lut{mi}"), F.col(f"c{mi}") + 1)
     return out
 
 
-def _pq_adc_sql(books: list[list[list[float]]]) -> str:
-    """SQL mirror of _pq_adc_expr over `q.qv` and `x.c{m}` — the same
-    fixed-order term sum with literal codebook/Σsq arrays indexed by
-    code."""
+def _residual_col(cents: list[list[float]], vcol: str = "v") -> Column:
+    """v − centroid[cell]: the residual a real IVF-PQ index quantizes
+    (Jégou et al. §IV). PQ on RAW vectors wastes its entire code budget
+    re-describing which cluster a vector sits in — information the IVF
+    cell already carries — so intra-cell neighbors collapse onto one code
+    tuple and ADC cannot rank them; encoding the residual spends the same
+    bits on exactly the within-cell detail ADC needs."""
+    cents_lit = F.array(*[
+        F.array(*[F.lit(x) for x in c]) for c in cents
+    ])
+    return F.zip_with(
+        F.col(vcol),
+        F.element_at(cents_lit, F.col("cell") + 1),
+        lambda x, y: x - y,
+    )
+
+
+def _pq_adc_sql(books: list[list[list[float]]], qcol: str = "q.qv") -> str:
+    """SQL mirror of the ADC distance over `qcol` (the full-precision
+    query or its cell residual) and `x.c{m}` — the same fixed-order term
+    sum with literal codebook/Σsq arrays indexed by code."""
     terms = []
     for mi, book in enumerate(books):
         cw_lit = (
@@ -1404,7 +1430,7 @@ def _pq_adc_sql(books: list[list[list[float]]]) -> str:
         )
         lo = mi * PQ_SUBDIM + 1
         hi = mi * PQ_SUBDIM + PQ_SUBDIM
-        sub = f"list_slice(q.qv, {lo}, {hi})"
+        sub = f"list_slice({qcol}, {lo}, {hi})"
         terms.append(
             f"(list_dot_product({sub}, {sub})"
             f" - 2 * list_dot_product({sub}, ({cw_lit})[x.c{mi} + 1])"
@@ -1424,11 +1450,13 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     vecs = _vecs_with_norm(_embs(spark, sf)).select("vec_id", "v")
     codes = pq_encode(vecs, books)
     q = vecs.filter(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        *_pq_lut_cols(books, F.col("v")),
     )
     scored = (
         codes.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", _pq_adc_expr(books).alias("d2_raw"))
+        .select("q_id", "vec_id",
+                _pq_adc_from_lut(len(books)).alias("d2_raw"))
     )
     w = Window.partitionBy("q_id").orderBy("d2_raw", "vec_id")
     return (
@@ -1461,17 +1489,25 @@ def ann_pq_topk_sql() -> str:
 def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ — the production composition (Jégou et al. 2011 §IV): the
     IVF coarse quantizer prunes the corpus to IVF_NPROBE cells per query,
-    PQ codes stand in for the pruned vectors, ADC ranks them. Per query
-    this touches nprobe/ncells of the corpus AND reads only 4 small codes
-    per touched vector — the memory/IO shape that serves billion-vector
-    ANN. Corpus side: one narrow assign+encode pass, partitioned by cell;
-    the probe table broadcasts; never a full-precision corpus scan."""
+    PQ codes of the cell RESIDUALS (v − centroid, see _residual_col)
+    stand in for the pruned vectors, and ADC ranks them via per-query
+    lookup tables over the query's own residual w.r.t. each probed cell.
+    Per query this touches nprobe/ncells of the corpus AND reads only
+    M small codes per touched vector, with M lookups + M−1 adds per
+    candidate — the memory/IO/compute shape that serves billion-vector
+    ANN. Corpus side: one narrow assign+residual+encode pass, partitioned
+    by cell; the probe-LUT table broadcasts; never a full-precision
+    corpus scan."""
     from pyspark.sql.window import Window
 
     books = _pq_codebooks()
-    assigned = _ivf_assign_df(spark, sf)
-    codes = pq_encode(assigned, books, keep=("cell",))
     cents = _centroids()
+    assigned = _ivf_assign_df(spark, sf)
+    codes = pq_encode(
+        assigned.select("vec_id", "cell", _residual_col(cents).alias("v")),
+        books,
+        keep=("cell",),
+    )
     q = assigned.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
@@ -1491,10 +1527,15 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
             F.slice(F.array_sort(F.array(*probe_cols)), 1, IVF_NPROBE)
         ).alias("p"),
     ).select("q_id", "qv", F.col("p.cell").alias("cell"))
+    luts = probes.select(
+        "q_id", "cell",
+        *_pq_lut_cols(books, _residual_col(cents, vcol="qv")),
+    )
     scored = (
-        codes.join(F.broadcast(probes), "cell")
+        codes.join(F.broadcast(luts), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", _pq_adc_expr(books).alias("d2_raw"))
+        .select("q_id", "vec_id",
+                _pq_adc_from_lut(len(books)).alias("d2_raw"))
     )
     w = Window.partitionBy("q_id").orderBy("d2_raw", "vec_id")
     return (
@@ -1505,11 +1546,18 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def ann_ivfpq_topk_sql() -> str:
+    code_cols = ", ".join(f"c.c{mi}" for mi in range(PQ_M))
     return f"""
-      WITH {_SQL_VECS}, {_sql_ivf_assign("ivf")}, {_pq_codes_sql_ctes()},
+      WITH {_SQL_VECS}, {_sql_ivf_assign("ivf")},
+      rvecs AS (
+        SELECT i.vec_id, i.cell,
+               list_transform(range(1, {EMB_DIM} + 1),
+                              j -> i.v[j] - c.c[j]) AS v
+        FROM ivf i JOIN cents c ON c.cell = i.cell),
+      {_pq_codes_sql_ctes(src="rvecs")},
       coded AS (
-        SELECT c.vec_id, c.c0, c.c1, c.c2, c.c3, i.cell
-        FROM codes c JOIN ivf i ON i.vec_id = c.vec_id),
+        SELECT c.vec_id, {code_cols}, r.cell
+        FROM codes c JOIN rvecs r ON r.vec_id = c.vec_id),
       q AS (SELECT vec_id AS q_id, v AS qv FROM vecs
             WHERE vec_id < {ANN_N_QUERIES}),
       probes AS (
@@ -1522,10 +1570,15 @@ def ann_ivfpq_topk_sql() -> str:
                             + list_dot_product(cents.c, cents.c),
                             cents.cell) AS rk
           FROM q CROSS JOIN cents) WHERE rk <= {IVF_NPROBE}),
+      qres AS (
+        SELECT p.q_id, p.cell,
+               list_transform(range(1, {EMB_DIM} + 1),
+                              j -> p.qv[j] - c.c[j]) AS qr
+        FROM probes p JOIN cents c ON c.cell = p.cell),
       scored AS (
         SELECT q.q_id, x.vec_id,
-               {_pq_adc_sql(_pq_codebooks())} AS d2_raw
-        FROM coded x JOIN probes q ON x.cell = q.cell
+               {_pq_adc_sql(_pq_codebooks(), qcol="q.qr")} AS d2_raw
+        FROM coded x JOIN qres q ON x.cell = q.cell
         WHERE x.vec_id != q.q_id),
       ranked AS (
         SELECT q_id, vec_id, d2_raw,
