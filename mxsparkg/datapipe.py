@@ -3880,6 +3880,136 @@ def url_canon_dedup_sql() -> str:
     """
 
 
+# --------------------------------------------------------------- chunking --
+
+CHUNK_W = 32   # tokens per chunk (production: context-length sized, e.g. 2048)
+CHUNK_T = 24   # stride (overlap = W - T = 8 tokens)
+
+
+def txt_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking — the doc→chunk explode every
+    RAG indexer and long-document training pipeline runs before embedding
+    or packing: windows of CHUNK_W whitespace tokens at stride CHUNK_T
+    (last chunk may be short; every doc emits ≥1 chunk). Emits the chunk
+    MANIFEST (offsets + md5 of the chunk text) rather than the text
+    itself — the join-back key a chunk store materializes.
+
+    Scale shape: pure per-row codegen (split once into a column — the
+    generate-inlining pitfall re-evaluates split() per element otherwise —
+    then one explode over a sequence of chunk ids); no shuffle, no Python.
+    Output rows = Σ ceil(tokens/stride): linear in corpus tokens."""
+    toks = _docs(spark, sf).select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select("doc_id", "w", F.size("w").cast("long").alias("n"))
+    n_chunks = F.when(F.col("n") <= CHUNK_W, F.lit(1).cast("long")).otherwise(
+        F.expr(f"(n - {CHUNK_W} + {CHUNK_T} - 1) div {CHUNK_T}") + 1
+    )
+    ids = toks.select(
+        "doc_id", "w", "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"),
+    )
+    start = F.col("chunk_id") * CHUNK_T
+    return ids.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start_tok"),
+        F.least(F.lit(CHUNK_W).cast("long"), F.col("n") - start).alias(
+            "n_tok"),
+        F.md5(
+            F.array_join(F.slice("w", start + 1, F.lit(CHUNK_W)), " ")
+            .cast("binary")
+        ).alias("chunk_fp"),
+    )
+
+
+def txt_chunk_sql() -> str:
+    w, t = CHUNK_W, CHUNK_T
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents),
+      ids AS (
+        SELECT doc_id, w, n,
+               unnest(range(0, CASE WHEN n <= {w} THEN 1
+                            ELSE (n - {w} + {t} - 1) // {t} + 1 END))
+                 AS chunk_id
+        FROM toks)
+      SELECT doc_id, chunk_id, chunk_id * {t} AS start_tok,
+             least({w}, n - chunk_id * {t}) AS n_tok,
+             md5(array_to_string(
+                   list_slice(w, chunk_id * {t} + 1, chunk_id * {t} + {w}),
+                   ' ')) AS chunk_fp
+      FROM ids
+    """
+
+
+# ---------------------------------------------------------------- packing --
+
+PACK_BUDGET = 256  # tokens per packed training sequence (production: 2048+)
+
+
+def txt_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-packing manifest (concat-and-chunk): within each
+    (lang, source) shard, documents are concatenated in doc_id order and
+    cut every PACK_BUDGET tokens — the standard packing step that turns a
+    ragged document corpus into fixed-length training sequences with no
+    padding waste. Emits per doc its token count, its start offset in the
+    shard's token stream, and the first/last sequence ids it lands in
+    (last_seq > first_seq ⇔ the doc spans a cut — the fraction a packing
+    run monitors).
+
+    Scale shape: one window cumsum per shard — shards ((lang, source), or
+    file-sized splits in production) parallelize across the cluster and
+    packing is by construction a per-shard operation (sequences never
+    cross shard boundaries, so shard-local prefix sums are the SEMANTICS,
+    not an approximation). All-integer arithmetic: exact bigint, no ulps.
+    A single global stream at 10^12 docs would instead use the two-phase
+    prefix sum (per-partition totals -> broadcast offsets), same as the
+    dense-id assignment in jobs/kg_tools.py."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf).select(
+        "doc_id", "lang", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).select(
+        "doc_id", "lang", "source", "n_tokens", "start_off",
+        F.expr(f"start_off div {PACK_BUDGET}").alias("first_seq"),
+        F.expr(f"(start_off + n_tokens - 1) div {PACK_BUDGET}").alias(
+            "last_seq"),
+    )
+
+
+def txt_pack_sequences_sql() -> str:
+    s = PACK_BUDGET
+    return f"""
+      WITH d AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT *,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang, source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS start_off
+        FROM d)
+      SELECT doc_id, lang, source, n_tokens, start_off,
+             start_off // {s} AS first_seq,
+             (start_off + n_tokens - 1) // {s} AS last_seq
+      FROM o
+    """
+
+
 def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": dedup_exact,
@@ -3918,6 +4048,8 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bpe_merges": txt_bpe_merges,
         "txt_lm_score": txt_lm_score,
         "txt_sample_stratified": txt_sample_stratified,
+        "txt_chunk": txt_chunk,
+        "txt_pack_sequences": txt_pack_sequences,
         "mm_decode_stub": mm_decode_stub,
         "mm_decode": mm_decode,
         "mm_decode_png": mm_decode_png,
@@ -3963,6 +4095,8 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_bpe_merges": txt_bpe_merges_sql(),
         "txt_lm_score": txt_lm_score_sql(),
         "txt_sample_stratified": txt_sample_stratified_sql(),
+        "txt_chunk": txt_chunk_sql(),
+        "txt_pack_sequences": txt_pack_sequences_sql(),
         "mm_decode_stub": mm_decode_stub_sql(),
         "mm_decode": mm_decode_sql(),
         "mm_decode_png": mm_decode_png_sql(),
