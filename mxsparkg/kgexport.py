@@ -645,9 +645,108 @@ def kg_temporal_diff_sql() -> str:
 
 # ---------------------------------------------------------------- registry --
 
+def bgp_2hop(triples: DataFrame, p1: str, p2: str) -> DataFrame:
+    """SPARQL-style 2-hop basic-graph-pattern match over the unified
+    (subj, pred, obj) triple layout: `?x p1 ?y . ?y p2 ?z` → (x, y, z).
+    The operator a KG query front-end compiles every path pattern to.
+
+    Scale shape: the two pred equality filters reach the triple scan as
+    PushedFilters (in production the triples table is PARTITIONED BY pred,
+    so each leg reads only its predicate's files — partition pruning makes
+    the scan proportional to the matched predicates, not the KG). The hop
+    join is a plain equi-join on the shared variable: sort-merge by
+    default, broadcast when one predicate is dimension-sized (Catalyst/AQE
+    decide from actual leg sizes), AQE skew-split for celebrity hop
+    nodes."""
+    t1 = triples.filter(F.col("pred") == p1).select(
+        F.col("subj").alias("x"), F.col("obj").alias("y")
+    )
+    t2 = triples.filter(F.col("pred") == p2).select(
+        F.col("subj").alias("y"), F.col("obj").alias("z")
+    )
+    return t1.join(t2, "y")
+
+
+def kg_bgp_2hop(spark: SparkSession, sf: str) -> DataFrame:
+    """2-hop BGP over a 4-predicate KG built from customer/supplier/nation:
+    `?x in_nation ?y . ?y in_region ?z`, rolled up to (nation, region,
+    kind-of-x, count). Both entity kinds (cust/supp) flow through hop 1 —
+    the pattern matches them uniformly, which is the point of the triple
+    layout — while the label triples prove the pred filter genuinely
+    prunes (they share the subj/obj columns but never reach the join)."""
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    triples = (
+        cust.select(
+            iri("cust", F.col("c_custkey")).alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            iri("nat", F.col("c_nationkey")).alias("obj"),
+        )
+        .unionByName(supp.select(
+            iri("supp", F.col("s_suppkey")).alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            iri("nat", F.col("s_nationkey")).alias("obj"),
+        ))
+        .unionByName(nat.select(
+            iri("nat", F.col("n_nationkey")).alias("subj"),
+            F.lit("in_region").alias("pred"),
+            iri("reg", F.col("n_regionkey")).alias("obj"),
+        ))
+        .unionByName(nat.select(
+            iri("nat", F.col("n_nationkey")).alias("subj"),
+            F.lit("label").alias("pred"),
+            F.col("n_name").alias("obj"),
+        ))
+    )
+    paths = bgp_2hop(triples, "in_nation", "in_region")
+    kind = F.regexp_extract("x", r"urn:kg:e:([a-z]+):", 1)
+    return (
+        paths.select(kind.alias("kind"), "y", "z")
+        .groupBy("kind", F.col("y").alias("nat"), F.col("z").alias("reg"))
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy("kind", "nat", "reg")
+    )
+
+
+def kg_bgp_2hop_sql() -> str:
+    return f"""
+      WITH triples AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+               'in_nation' AS pred,
+               '<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>' AS obj
+        FROM customer
+        UNION ALL
+        SELECT '<{BASE_E}supp:' || CAST(s_suppkey AS VARCHAR) || '>',
+               'in_nation',
+               '<{BASE_E}nat:' || CAST(s_nationkey AS VARCHAR) || '>'
+        FROM supplier
+        UNION ALL
+        SELECT '<{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR) || '>',
+               'in_region',
+               '<{BASE_E}reg:' || CAST(n_regionkey AS VARCHAR) || '>'
+        FROM nation
+        UNION ALL
+        SELECT '<{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR) || '>',
+               'label', n_name
+        FROM nation),
+      hop1 AS (
+        SELECT subj AS x, obj AS y FROM triples WHERE pred = 'in_nation'),
+      hop2 AS (
+        SELECT subj AS y, obj AS z FROM triples WHERE pred = 'in_region')
+      SELECT regexp_extract(h1.x, 'urn:kg:e:([a-z]+):', 1) AS kind,
+             h1.y AS nat, h2.z AS reg,
+             count(*) AS n_paths
+      FROM hop1 h1 JOIN hop2 h2 ON h1.y = h2.y
+      GROUP BY 1, 2, 3
+      ORDER BY kind, nat, reg
+    """
+
+
 def kgexport_queries() -> dict:
     return {
         "kg_ntriples": kg_ntriples,
+        "kg_bgp_2hop": kg_bgp_2hop,
         "kg_type_check": kg_type_check,
         "kg_temporal_diff": kg_temporal_diff,
         "kg_apply_delta": kg_apply_delta,
@@ -659,6 +758,7 @@ def kgexport_queries() -> dict:
 def kgexport_oracle_sql() -> dict[str, str]:
     return {
         "kg_ntriples": kg_ntriples_sql(),
+        "kg_bgp_2hop": kg_bgp_2hop_sql(),
         "kg_type_check": kg_type_check_sql(),
         "kg_temporal_diff": kg_temporal_diff_sql(),
         "kg_apply_delta": kg_apply_delta_sql(),
