@@ -830,6 +830,95 @@ def graph_bfs_sql() -> str:
     """
 
 
+PMI_MIN_SUPPORT = 3
+PMI_TOP = 50
+
+
+def edge_pmi(inc: DataFrame) -> DataFrame:
+    """Integer-PMI edge-confidence weighting for co-occurrence edges —
+    the scoring step that separates informative KG links from hub noise:
+    raw support favors promiscuous entities (a part in every order
+    co-occurs with everything), while PMI = log p(x,y)/(p(x)p(y))
+    normalizes by both marginals. Quantized to WHOLE BITS via exact
+    integer log2 (length(bin(n)) — identical Spark/DuckDB), the same
+    partition-order-proof move as txt_lm_score and the integer-mass
+    PageRank: pmi_bits = bits(n_xy·N) − bits(n_x·n_y), exact bigint end
+    to end (negative ⇒ anti-correlated beyond hub expectation).
+
+    Input `inc`: the distinct (g, e) group↔entity incidence. Scale
+    shape: pair support and entity marginals are map-side-combinable
+    counts; the marginal table joins back twice on its own key; the
+    scalar N rides a one-row broadcast. Pair generation is the per-group
+    self-join (Σ|group|² — bounded by group size here; cap heavy groups
+    first with the er_jaccard_candidates df-cap mechanics when groups
+    can be hot). Returns (x, y, n_xy, pmi_bits), x < y."""
+    pairs = (
+        inc.select("g", F.col("e").alias("x"))
+        .join(inc.select("g", F.col("e").alias("y")), "g")
+        .filter(F.col("x") < F.col("y"))
+    )
+    sup = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+    deg = inc.groupBy("e").agg(F.count(F.lit(1)).alias("d"))
+    ntot = (
+        inc.select("g").distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_k", F.lit(1))
+    )
+    return (
+        sup.join(deg.select(F.col("e").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("e").alias("y"), F.col("d").alias("dy")), "y")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(ntot), "_k")
+        .select(
+            "x", "y", "n_xy",
+            F.expr("length(bin(n_xy * n)) - length(bin(dx * dy))").alias(
+                "pmi_bits"),
+        )
+    )
+
+
+def kg_edge_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 co-purchase edges by integer-PMI over the full (unsparsified)
+    order↔part incidence, min support 3: the edge-confidence ranking the
+    materialized KG stores alongside raw support (A3)."""
+    li = (
+        _lineitem(spark, sf)
+        .select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("e"))
+        .distinct()
+    )
+    return (
+        edge_pmi(li)
+        .filter(F.col("n_xy") >= PMI_MIN_SUPPORT)
+        .orderBy(F.desc("pmi_bits"), F.desc("n_xy"), "x", "y")
+        .limit(PMI_TOP)
+    )
+
+
+def kg_edge_pmi_sql() -> str:
+    return f"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS p FROM lineitem),
+      pairs AS (
+        SELECT a.g, a.p AS x, b.p AS y
+        FROM li a JOIN li b ON a.g = b.g AND a.p < b.p),
+      sup AS (
+        SELECT x, y, count(*) AS n_xy FROM pairs GROUP BY x, y),
+      degx AS (
+        SELECT p AS x, count(*) AS d FROM li GROUP BY p),
+      ntot AS (SELECT count(DISTINCT g) AS n FROM li)
+      SELECT s.x, s.y, s.n_xy,
+             length(bin(s.n_xy * ntot.n)) - length(bin(d1.d * d2.d))
+               AS pmi_bits
+      FROM sup s
+      JOIN degx d1 ON d1.x = s.x
+      JOIN degx d2 ON d2.x = s.y
+      CROSS JOIN ntot
+      WHERE s.n_xy >= {PMI_MIN_SUPPORT}
+      ORDER BY pmi_bits DESC, s.n_xy DESC, s.x, s.y
+      LIMIT {PMI_TOP}
+    """
+
+
 SSSP_ROUNDS = 3
 SSSP_SEED_MOD = 100
 SSSP_WEIGHT_MOD = 5
@@ -1218,6 +1307,7 @@ def graphquery_queries() -> dict:
         "graph_kcore": graph_kcore,
         "graph_bfs": graph_bfs,
         "graph_sssp": graph_sssp,
+        "kg_edge_pmi": kg_edge_pmi,
         "graph_hits": graph_hits,
         "kg_er_jaccard": kg_er_jaccard,
     }
@@ -1232,6 +1322,7 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_kcore": graph_kcore_sql(),
         "graph_bfs": graph_bfs_sql(),
         "graph_sssp": graph_sssp_sql(),
+        "kg_edge_pmi": kg_edge_pmi_sql(),
         "graph_hits": graph_hits_sql(),
         "kg_er_jaccard": kg_er_jaccard_sql(),
     }
