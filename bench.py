@@ -78,11 +78,16 @@ def headline_queries() -> dict:
     # neighborhood Jaccard (capped incidence self-join), near-dup
     # clustering (LSH pairs + label propagation), and the as-of join
     # (union-window point-in-time lookup)
+    # third round-4 batch: weighted SSSP (Bellman-Ford rounds), the 2-hop
+    # BGP match (pred-pruned triple legs), PMI edge weighting (pair counts
+    # + marginal joins), chunking (explode-heavy), and sequence packing
+    # (per-shard window cumsum)
     for k in ("dedup_minhash_lsh", "txt_quality", "ann_topk_cosine",
               "txt_lm_score", "kg_pagerank", "evt_sessionize",
               "kg_ntriples", "dedup_substring", "txt_bpe_merges",
               "kg_ppr", "graph_hits", "kg_er_jaccard", "dedup_cluster",
-              "evt_asof"):
+              "evt_asof", "graph_sssp", "kg_bgp_2hop", "kg_edge_pmi",
+              "txt_chunk", "txt_pack_sequences"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

@@ -23,6 +23,8 @@ ops:
              snapshot table at --out (--delta-id = exactly-once key;
              --edges seeds v=1 on an empty root; Iceberg MERGE INTO is
              the production equivalent)
+  bgp        2-hop basic-graph-pattern match over the edges table:
+             ?x --p1 ?y --p2 ?z (paths parquet at --out)
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -107,7 +109,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
                     choices=["ntriples", "validate", "infer", "diff",
-                             "embed", "predict", "apply"])
+                             "embed", "predict", "apply", "bgp"])
     ap.add_argument("--delta", default=None,
                     help="state_diff output parquet (op, subj, pred, obj) "
                          "for --op apply")
@@ -121,6 +123,10 @@ def main() -> None:
                     help="embed op's --out dir (ent/ + pred/) for --op predict")
     ap.add_argument("--pred", default=None,
                     help="predicate to predict objects for (--op predict)")
+    ap.add_argument("--p1", default=None,
+                    help="hop-1 predicate for --op bgp")
+    ap.add_argument("--p2", default=None,
+                    help="hop-2 predicate for --op bgp")
     ap.add_argument("--top-k", type=int, default=3)
     ap.add_argument("--edges", required=True,
                     help="pipeline edges parquet (subj, pred, obj, ...)")
@@ -143,6 +149,7 @@ def main() -> None:
         "diff": ["edges_prev"],
         "predict": ["emb", "pred"],
         "apply": ["delta", "delta_id"],
+        "bgp": ["p1", "p2"],
     }
     missing = [
         "--" + f.replace("_", "-")
@@ -197,6 +204,11 @@ def main() -> None:
             spark, args.out, delta, args.delta_id, key_cols=kc,
             base=edges.select(dcols))
         n = res["rows"]
+    elif args.op == "bgp":
+        out_df = kx.bgp_2hop(
+            edges.select("subj", "pred", "obj"), args.p1, args.p2)
+        out_df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
     elif args.op == "predict":
         from mxsparkg import kgembed as ke
 
