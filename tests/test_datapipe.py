@@ -765,3 +765,53 @@ def test_pq_train_reduces_error_and_codes_are_invariant(spark):
     a = sorted(map(tuple, pq_encode(vecs, trained).collect()))
     b = sorted(map(tuple, pq_encode(vecs.repartition(7), trained).collect()))
     assert a == b
+
+
+def test_txt_chunk_covers_every_token(spark, sf001):
+    """Chunk manifest invariants on real docs: chunk 0 starts at 0;
+    consecutive chunks advance by the stride; every token index falls in
+    at least one [start, start+n_tok) window (full coverage); only the
+    last chunk may be short; n_tok never exceeds the window."""
+    from mxsparkg.datapipe import CHUNK_T, CHUNK_W, txt_chunk
+
+    rows = txt_chunk(spark, sf001).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_docs = spark.read.parquet(f"{sf001}/documents.parquet").count()
+    assert len(by_doc) == n_docs  # every doc emits >= 1 chunk
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        n = chunks[-1]["start_tok"] + chunks[-1]["n_tok"]  # doc token count
+        covered = set()
+        for i, c in enumerate(chunks):
+            assert c["chunk_id"] == i and c["start_tok"] == i * CHUNK_T
+            assert 1 <= c["n_tok"] <= CHUNK_W
+            if i < len(chunks) - 1:
+                assert c["n_tok"] == CHUNK_W
+            covered.update(range(c["start_tok"], c["start_tok"] + c["n_tok"]))
+        assert covered == set(range(n))
+
+
+def test_txt_pack_sequences_offsets_are_contiguous(spark, sf001):
+    """Packing manifest invariants per (lang, source) shard: offsets in
+    doc_id order are exactly the running token sum (concat semantics —
+    no gaps, no overlaps), seq ids are the offset floor-divs, and at
+    least one doc spans a cut so the spanning flag is non-vacuous."""
+    from mxsparkg.datapipe import PACK_BUDGET, txt_pack_sequences
+
+    rows = txt_pack_sequences(spark, sf001).collect()
+    shards = {}
+    for r in rows:
+        shards.setdefault((r["lang"], r["source"]), []).append(r)
+    spans = 0
+    for docs in shards.values():
+        docs.sort(key=lambda r: r["doc_id"])
+        acc = 0
+        for r in docs:
+            assert r["start_off"] == acc
+            assert r["first_seq"] == acc // PACK_BUDGET
+            assert r["last_seq"] == (acc + r["n_tokens"] - 1) // PACK_BUDGET
+            spans += r["last_seq"] > r["first_seq"]
+            acc += r["n_tokens"]
+    assert spans > 0

@@ -319,3 +319,57 @@ def test_er_jaccard_exact_values_and_cap(spark):
         for r in er_jaccard_candidates(sp_clean, cap=2).collect()
     }
     assert got == got_clean
+
+
+def test_sssp_unit_weights_equals_bfs(spark):
+    """With every weight = 1, bounded Bellman-Ford IS bounded BFS: the
+    relaxation recurrence degenerates to min-hop. Certifies sssp_relax
+    against the independently-tested bfs_hops on a small random graph."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mxsparkg.graphquery import bfs_hops, sssp_relax
+
+    rnd = random.Random(5)
+    edges = list({(rnd.randrange(40), rnd.randrange(40)) for _ in range(120)})
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (7,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_relax(e.withColumn("w", F.lit(1)), seeds, iters=3).collect()
+    }
+    want = {r["node"]: r["dist"] for r in bfs_hops(e, seeds, iters=3).collect()}
+    assert got == want and len(got) > 2
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    """Two routes 0→3: direct edge of weight 9 vs the 3-edge chain
+    0→1→2→3 of total weight 3 — Bellman-Ford must take the chain once
+    iters allows it, and report the edge cost before that."""
+    from mxsparkg.graphquery import sssp_relax
+
+    e = spark.createDataFrame(
+        [(0, 3, 9), (0, 1, 1), (1, 2, 1), (2, 3, 1)], ["src", "dst", "w"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    one = {r["node"]: r["dist"] for r in sssp_relax(e, seeds, iters=1).collect()}
+    three = {r["node"]: r["dist"] for r in sssp_relax(e, seeds, iters=3).collect()}
+    assert one[3] == 9
+    assert three[3] == 3
+
+
+def test_edge_pmi_exact_small_case(spark):
+    """Hand-checked incidence: 4 groups; x=1,y=2 always co-occur (n_xy=2,
+    d=2 each), hub 9 appears everywhere. pmi_bits = bits(n_xy*N) -
+    bits(dx*dy): informative pair (1,2): bits(2*4)-bits(2*2) = 4-3 = 1;
+    hub pairs (1,9): bits(2*4)-bits(2*4) = 0 — PMI strictly ranks the
+    exclusive pair above the hub pairs even though raw support ties."""
+    from mxsparkg.graphquery import edge_pmi
+
+    inc = [(g, 9) for g in range(4)] + [(0, 1), (0, 2), (1, 1), (1, 2)]
+    df = spark.createDataFrame(inc, ["g", "e"])
+    got = {(r.x, r.y): (r.n_xy, r.pmi_bits) for r in edge_pmi(df).collect()}
+    assert got[(1, 2)] == (2, 1)
+    assert got[(1, 9)] == (2, 0)
+    assert got[(2, 9)] == (2, 0)

@@ -226,3 +226,23 @@ def test_apply_delta_on_real_temporal_states(spark, sf001):
     s2 = _as_of_state(orders, DIFF_T2)
     got = apply_state_delta(s1, state_diff(s1, s2), key_cols=["subj", "pred"])
     assert _rows(got) == _rows(s2)
+
+
+def test_bgp_2hop_matches_and_prunes(spark):
+    """Hand-built 3-predicate KG: the pattern ?x in ?y . ?y part_of ?z
+    must enumerate exactly the chains through the shared variable, and
+    triples of other predicates (label noise sharing the same columns)
+    must never appear as hops."""
+    from mxsparkg.kgexport import bgp_2hop
+
+    triples = spark.createDataFrame(
+        [
+            ("a", "in", "y1"), ("b", "in", "y1"), ("c", "in", "y2"),
+            ("y1", "part_of", "z1"), ("y2", "part_of", "z2"),
+            # noise: same columns, different predicate — must be pruned
+            ("y1", "label", "z9"), ("a", "label", "y2"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    got = {(r.x, r.y, r.z) for r in bgp_2hop(triples, "in", "part_of").collect()}
+    assert got == {("a", "y1", "z1"), ("b", "y1", "z1"), ("c", "y2", "z2")}
