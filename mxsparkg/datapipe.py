@@ -3778,6 +3778,139 @@ def mm_decode_sql() -> str:
     """
 
 
+MM_DS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("out_samples", LongType()),
+        StructField("byte_sum", LongType()),
+    ]
+)
+
+MM_IMG_FACTOR = 2   # thumbnail: every 2nd pixel each axis (4x fewer px)
+MM_AUD_FACTOR = 4   # audio: every 4th PCM sample
+
+
+def downsample_media(media: DataFrame) -> DataFrame:
+    """Real content downsampling over an opaque binary media column — the
+    feature-extraction step after decode in a multimodal training
+    pipeline: BMP → nearest-neighbor thumbnail (every MM_IMG_FACTOR-th
+    pixel per axis, the stride walk a resize kernel does), WAV → every
+    MM_AUD_FACTOR-th PCM sample (the frame-sampling shape for audio/video).
+    Emits output dims plus the integer sum of the SAMPLED bytes —
+    computed from the actual blob bytes at the resampled positions, so a
+    wrong stride, a padding mistake, or an off-by-one in the sample
+    positions changes the answer (unlike metadata-only decode keys).
+
+    Scale posture: mapInPandas over Arrow batches, one narrow Python pass
+    per blob, no shuffle — blobs never leave the partition that read
+    them; output is a few scalars per blob (the thumbnail bytes would be
+    written alongside in production, same partitioning)."""
+
+    def ds(batches):
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                if b[:2] == b"BM":
+                    off, = struct.unpack_from("<I", b, 10)
+                    width, height = struct.unpack_from("<ii", b, 18)
+                    height = abs(height)
+                    stride = (width * 3 + 3) // 4 * 4
+                    out_w = (width + MM_IMG_FACTOR - 1) // MM_IMG_FACTOR
+                    out_h = (height + MM_IMG_FACTOR - 1) // MM_IMG_FACTOR
+                    s = 0
+                    for y in range(out_h):
+                        base = off + y * MM_IMG_FACTOR * stride
+                        for x in range(out_w):
+                            pos = base + x * MM_IMG_FACTOR * 3
+                            s += b[pos] + b[pos + 1] + b[pos + 2]
+                    rows.append({
+                        "doc_id": int(doc_id), "media_type": "image",
+                        "out_w": out_w, "out_h": out_h,
+                        "out_samples": 0, "byte_sum": s,
+                    })
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    data_size, = struct.unpack_from("<I", b, 40)
+                    n = data_size // 2
+                    out_n = (n + MM_AUD_FACTOR - 1) // MM_AUD_FACTOR
+                    s = 0
+                    for i in range(out_n):
+                        pos = 44 + i * MM_AUD_FACTOR * 2
+                        s += b[pos] + 256 * b[pos + 1]
+                    rows.append({
+                        "doc_id": int(doc_id), "media_type": "audio",
+                        "out_w": 0, "out_h": 0,
+                        "out_samples": out_n, "byte_sum": s,
+                    })
+                else:
+                    raise ValueError("unsupported media magic")
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MM_DS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(ds, MM_DS_SCHEMA)
+
+
+def mm_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Thumbnail + audio-frame-sample over the encoded media column. The
+    oracle recomputes the sampled-byte sum in CLOSED FORM from the
+    generators (BMP byte i = (doc_id+i)%256, WAV byte i = (7·doc_id+i)%256)
+    at exactly the resampled offsets — certifying the operator touched
+    precisely the right bytes of the real blobs."""
+    return downsample_media(_media_column_df(spark, sf))
+
+
+def mm_downsample_sql() -> str:
+    f_img, f_aud = MM_IMG_FACTOR, MM_AUD_FACTOR
+    return f"""
+      WITH img AS (
+        SELECT doc_id, 4 + doc_id % 29 AS w, 3 + doc_id % 17 AS h
+        FROM documents WHERE doc_id % 2 = 0),
+      imgdims AS (
+        SELECT doc_id, (w * 3 + 3) // 4 * 4 AS stride,
+               (w + {f_img} - 1) // {f_img} AS out_w,
+               (h + {f_img} - 1) // {f_img} AS out_h
+        FROM img),
+      imgsum AS (
+        SELECT i.doc_id, i.out_w, i.out_h,
+               SUM((i.doc_id + {f_img} * ty.y * i.stride
+                    + {f_img} * 3 * tx.x + tj.j) % 256) AS byte_sum
+        FROM imgdims i,
+             unnest(range(0, i.out_h)) AS ty(y),
+             unnest(range(0, i.out_w)) AS tx(x),
+             unnest([0, 1, 2]) AS tj(j)
+        GROUP BY 1, 2, 3),
+      aud AS (
+        SELECT doc_id, 50 + doc_id % 100 AS n
+        FROM documents WHERE doc_id % 2 = 1),
+      auddims AS (
+        SELECT doc_id, n, (n + {f_aud} - 1) // {f_aud} AS out_n FROM aud),
+      audsum AS (
+        SELECT a.doc_id, a.out_n,
+               SUM((7 * a.doc_id + {2 * f_aud} * ti.i) % 256
+                   + 256 * ((7 * a.doc_id + {2 * f_aud} * ti.i + 1) % 256))
+                 AS byte_sum
+        FROM auddims a, unnest(range(0, a.out_n)) AS ti(i)
+        GROUP BY 1, 2)
+      SELECT doc_id, 'image' AS media_type,
+             CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+             CAST(0 AS BIGINT) AS out_samples,
+             CAST(byte_sum AS BIGINT) AS byte_sum
+      FROM imgsum
+      UNION ALL
+      SELECT doc_id, 'audio', 0, 0, CAST(out_n AS BIGINT),
+             CAST(byte_sum AS BIGINT)
+      FROM audsum
+    """
+
+
 def mm_decode_stub_sql() -> str:
     return """
       SELECT doc_id,
@@ -4050,6 +4183,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_sample_stratified": txt_sample_stratified,
         "txt_chunk": txt_chunk,
         "txt_pack_sequences": txt_pack_sequences,
+        "mm_downsample": mm_downsample,
         "mm_decode_stub": mm_decode_stub,
         "mm_decode": mm_decode,
         "mm_decode_png": mm_decode_png,
@@ -4097,6 +4231,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_sample_stratified": txt_sample_stratified_sql(),
         "txt_chunk": txt_chunk_sql(),
         "txt_pack_sequences": txt_pack_sequences_sql(),
+        "mm_downsample": mm_downsample_sql(),
         "mm_decode_stub": mm_decode_stub_sql(),
         "mm_decode": mm_decode_sql(),
         "mm_decode_png": mm_decode_png_sql(),
