@@ -4098,9 +4098,9 @@ def txt_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     packing is by construction a per-shard operation (sequences never
     cross shard boundaries, so shard-local prefix sums are the SEMANTICS,
     not an approximation). All-integer arithmetic: exact bigint, no ulps.
-    A single global stream at 10^12 docs would instead use the two-phase
-    prefix sum (per-partition totals -> broadcast offsets), same as the
-    dense-id assignment in jobs/kg_tools.py."""
+    A single global stream at 10^12 docs instead uses pack_offsets_global
+    below (two-phase prefix sum — pinned exact-equal to this window's
+    cumsum by test)."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf).select(
@@ -4120,6 +4120,65 @@ def txt_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(f"(start_off + n_tokens - 1) div {PACK_BUDGET}").alias(
             "last_seq"),
     )
+
+
+def pack_offsets_global(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    id_col: str = "doc_id",
+    n_col: str = "n_tokens",
+) -> DataFrame:
+    """GLOBAL-stream packing offsets — the 10^12-doc path the per-shard
+    window of txt_pack_sequences cannot take (one global window = one
+    partition = one task). Two-phase distributed prefix sum, the same
+    mechanics as jobs/kg_tools._dense_entities: range-partition by id,
+    per-partition token totals to the driver (n_partitions longs — the
+    only driver traffic), prefix-sum them into per-partition stream
+    offsets, broadcast back, and add a partition-local window cumsum.
+    Range partitioning guarantees partition p's ids all sort before
+    p+1's, so the result is EXACTLY the single-window cumsum at any
+    parallelism (pytest-pinned against txt_pack_sequences' shape).
+
+    Input: (id_col, n_col) rows. Returns them + start_off/first_seq/
+    last_seq in global id order semantics."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = (
+        docs.repartitionByRange(n_parts, id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_pid"], r["t"])
+        for r in parts.groupBy("_pid").agg(F.sum(n_col).alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in counts:
+        offsets.append((pid, acc))
+        acc += int(t)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], ["_pid", "_off"])
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        parts.withColumn("_local", F.coalesce(F.sum(n_col).over(w), F.lit(0)))
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            id_col, n_col,
+            (F.col("_off") + F.col("_local")).alias("start_off"),
+        )
+        .select(
+            id_col, n_col, "start_off",
+            F.expr(f"start_off div {budget}").alias("first_seq"),
+            F.expr(f"(start_off + {n_col} - 1) div {budget}").alias(
+                "last_seq"),
+        )
+    )
+    return out
 
 
 def txt_pack_sequences_sql() -> str:

@@ -815,3 +815,37 @@ def test_txt_pack_sequences_offsets_are_contiguous(spark, sf001):
             spans += r["last_seq"] > r["first_seq"]
             acc += r["n_tokens"]
     assert spans > 0
+
+
+def test_pack_offsets_global_equals_single_window(spark, sf001):
+    """The two-phase distributed prefix sum must reproduce the single
+    global window cumsum EXACTLY (range partitioning orders partitions),
+    at more than one parallelism."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mxsparkg.datapipe import PACK_BUDGET, _docs, pack_offsets_global
+
+    d = _docs(spark, sf001).select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["doc_id"]: (r["start_off"],
+                      r["start_off"] // PACK_BUDGET,
+                      (r["start_off"] + r["n_tokens"] - 1) // PACK_BUDGET)
+        for r in d.withColumn(
+            "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).collect()
+    }
+    for parts in ("3", "8"):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            got = {
+                r["doc_id"]: (r["start_off"], r["first_seq"], r["last_seq"])
+                for r in pack_offsets_global(d).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert got == want
