@@ -142,3 +142,36 @@ def test_asof_single_exchange_no_python(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Python" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_chunk_zero_exchange_no_python(spark):
+    """txt_chunk is a pure projection + generate: no shuffle at all and
+    no Python — the chunk manifest costs exactly one scan at any scale."""
+    from mxsparkg.datapipe import txt_chunk
+
+    plan = _plan(txt_chunk(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_pack_sequences_single_exchange_no_python(spark):
+    """txt_pack_sequences: the shard cumsum window is the op's ONLY
+    shuffle, and everything stays JVM-side."""
+    from mxsparkg.datapipe import txt_pack_sequences
+
+    plan = _plan(txt_pack_sequences(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_sequence_match_single_exchange_no_python(spark):
+    """evt_sequence_match: one user_id hash Exchange for the ordered
+    collect (map-side partial aggregation applies), zero Python — the
+    regex and the sequence sort run inside codegen."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["evt_sequence_match"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
