@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CACHE = "/tmp/mxs_ann_bench"
 N_CLUSTERS = 64
 ANN_EVAL_K = 10
+PQ_COARSE_K = 64   # IVF-PQ coarse cells: >= corpus mode count (see below)
 
 
 def make_corpus(spark, n: int) -> str:
@@ -189,22 +190,17 @@ def main() -> None:
     # Production-sized PQ for the measurement: 8 subspaces x 32 codewords
     # (the gate keys use 4x8 to keep the unrolled DuckDB oracle cheap —
     # same operators, smaller knobs). 64 doubles -> 8 five-bit codes.
-    # Two codebook sets are trained: RAW-vector books for the exhaustive
-    # classic-PQ rows (the honest floor: on clustered data raw PQ spends
-    # its code budget re-describing the cluster, so intra-cluster ranking
-    # collapses) and RESIDUAL books for the IVF-PQ rows (Jégou et al.
-    # §IV: quantize v − centroid[cell], so the same bits describe exactly
-    # the within-cell detail ADC needs).
+    # RAW-vector books feed the exhaustive classic-PQ rows (the honest
+    # floor: on clustered data raw PQ spends its code budget
+    # re-describing the cluster, so intra-cluster ranking collapses);
+    # the IVF-PQ section below trains RESIDUAL books on its own purer
+    # coarse quantizer (Jégou et al. §IV: quantize v − centroid[cell]).
     pq_m, pq_k = 8, 32
     t0 = time.time()
     books_raw = dp.pq_train(vecs.select("vec_id", "v"), m=pq_m, k=pq_k)
-    res = assigned.select(
-        "vec_id", "cell", dp._residual_col(cents).alias("v"))
-    books_res = dp.pq_train(res.select("vec_id", "v"), m=pq_m, k=pq_k)
     pq_train_wall = time.time() - t0
     codes_raw = dp.pq_encode(vecs.select("vec_id", "v"), books_raw).persist()
-    codes_res = dp.pq_encode(res, books_res, keep=("cell",)).persist()
-    codes_raw.count(); codes_res.count()
+    codes_raw.count()
     w_d2 = Window.partitionBy("q_id").orderBy("d2_raw", F.col("vec_id"))
 
     def topk_d2(scored):
@@ -257,32 +253,89 @@ def main() -> None:
     }
 
     # ---- IVF-PQ: coarse pruning + residual ADC shortlist + exact re-rank ---
+    # PQ quality is set by COARSE-CELL PURITY, not only the code budget:
+    # residuals are unimodal (≈ the within-cluster noise PQ can describe)
+    # only when cells match the corpus modes. The exact-distance IVF rows
+    # above are insensitive to this (granularity only moves scanned_frac;
+    # ranking is exact), so they happily share the 16-cell quantizer —
+    # but 16 cells on a 64-mode corpus leave each residual multimodal at
+    # cluster-center scale and ADC recall collapses to near the random-
+    # shortlist floor (measured 0.11). The IVF-PQ index therefore trains
+    # its own coarse quantizer: k = 64 (rule of thumb: ≥ the corpus mode
+    # count; production uses ~sqrt(n)) with farthest-first init, which
+    # separates all 64 planted modes where the near-origin seeded init
+    # merges ~1 in 6 (purity 1.0 vs 0.78 measured).
+    t0 = time.time()
+    cents_pq, _ = dp._kmeans_train(
+        spark, sf, dp.KMEANS_ITERS, k=PQ_COARSE_K, init="kmeanspp")
+    assigned_pq = dp._assign_df(vecs, cents_pq).persist()
+    pq_cell_sizes = {r["cell"]: r["c"] for r in
+                     assigned_pq.groupBy("cell")
+                     .agg(F.count("*").alias("c")).collect()}
+    res = assigned_pq.select(
+        "vec_id", "cell", dp._residual_col(cents_pq).alias("v"))
+    books_res = dp.pq_train(res.select("vec_id", "v"), m=pq_m, k=pq_k)
+    pq_train_wall += time.time() - t0
+    codes_res = dp.pq_encode(res, books_res, keep=("cell",)).persist()
+    codes_res.count()
+
+    probe_cols_pq = []
+    for ci, c in enumerate(cents_pq):
+        carr = F.array(*[F.lit(x) for x in c])
+        c2 = sum(x * x for x in c)
+        d2 = (dp._dot(F.col("qv"), F.col("qv"))
+              - 2.0 * dp._dot(F.col("qv"), carr) + F.lit(c2))
+        probe_cols_pq.append(F.struct(d2.alias("d2"), F.lit(ci).alias("cell")))
+    ranked_cells_pq = F.array_sort(F.array(*probe_cols_pq))
+
+    # Per-query LUTs are computed DRIVER-side as data (numpy over the
+    # <=800 probe rows) and shipped as a broadcast DataFrame of literal
+    # arrays — the production shape (a query node precomputes its LUTs;
+    # they are not relational expressions). Building them as Column
+    # expressions instead inlines the residual expression — and its
+    # 64x64-double centroid literal — into every one of the 8x32 LUT
+    # entries (CollapseProject re-inlines through any projection), which
+    # measured a 45 MiB task binary and OOMed the executor heap.
+    books_arr = [np.array(b) for b in books_res]
+    cents_arr = np.array(cents_pq)
+    subdim = dp.EMB_DIM // pq_m
+    lut_schema = ("q_id long, cell int, " + ", ".join(
+        f"lut{mi} array<double>" for mi in range(pq_m)))
+
     for nprobe in [int(x) for x in args.nprobes.split(",")]:
         t0 = time.time()
         probes = q.select(
             "q_id", "qv",
-            F.explode(F.slice(ranked_cells, 1, nprobe)).alias("p"),
+            F.explode(F.slice(ranked_cells_pq, 1, nprobe)).alias("p"),
         ).select("q_id", "qv", F.col("p.cell").alias("cell"))
-        luts = probes.select(
-            "q_id", "cell",
-            *dp._pq_lut_cols(books_res, dp._residual_col(cents, vcol="qv")),
-        )
+        pr = probes.collect()
+        lut_rows = []
+        for r in pr:
+            rq = np.array(r["qv"]) - cents_arr[r["cell"]]
+            luts_m = [
+                (((rq[mi * subdim:(mi + 1) * subdim][None, :]
+                   - books_arr[mi]) ** 2).sum(-1)).tolist()
+                for mi in range(pq_m)
+            ]
+            lut_rows.append((r["q_id"], r["cell"], *luts_m))
+        luts = spark.createDataFrame(lut_rows, lut_schema)
         scan = (
             codes_res.join(F.broadcast(luts), "cell")
             .filter(F.col("vec_id") != F.col("q_id"))
             .select("q_id", "vec_id",
                     dp._pq_adc_from_lut(pq_m).alias("d2_raw"))
-        )
-        got = topk_sets(rerank(shortlist_d2(scan, rerank_r)))
-        wall = time.time() - t0
-        pr = probes.select("q_id", "cell").collect()
-        frac = (sum(cell_sizes.get(r["cell"], 0) for r in pr)
+        ).persist()
+        frac = (sum(pq_cell_sizes.get(r["cell"], 0) for r in pr)
                 / (len({r["q_id"] for r in pr}) * args.n))
-        results[f"ivfpq_nprobe_{nprobe}"] = {
-            "recall_at_10": round(recall(got, gt), 4),
-            "wall_sec": round(wall, 2),
-            "scanned_frac": round(frac, 4),
-        }
+        for sl in (rerank_r, 4 * rerank_r):  # shortlist depth = the knob
+            t1 = time.time()
+            got = topk_sets(rerank(shortlist_d2(scan, sl)))
+            results[f"ivfpq_nprobe_{nprobe}_sl{sl}"] = {
+                "recall_at_10": round(recall(got, gt), 4),
+                "wall_sec": round(time.time() - t1, 2),
+                "scanned_frac": round(frac, 4),
+            }
+        scan.unpersist()
     results["pq_train_wall_sec"] = round(pq_train_wall, 2)
 
     write_report(args, results)
@@ -292,7 +345,7 @@ def main() -> None:
 
 
 def write_report(args, results: dict) -> None:
-    from mxsparkg.datapipe import KMEANS_ITERS, N_IVF_CELLS
+    from mxsparkg.datapipe import KMEANS_ITERS, N_IVF_CELLS  # noqa: F401
 
     rows = []
     order = ["brute_force", "lsh_bucket"] + [
@@ -335,13 +388,28 @@ cluster, so intra-cluster ranks collapse onto tied code tuples: that
 number IS the honest floor of raw-vector PQ, not a bug.
 `pq_adc_rerank100` re-ranks its top-100 ADC shortlist exactly (Jégou
 et al. §VII) but inherits the same raw-code shortlist quality.
-`ivfpq_nprobe_*` is the production composition: PQ trained and encoded
-on cell RESIDUALS (v − centroid, §IV), query residual per probed cell,
-ADC shortlist of 100, exact re-rank — residual encoding spends the
-same bits on within-cell detail, which is why its recall approaches
-the uncompressed ivf_nprobe_k rows at a fraction of the bytes read.
-Close any remaining gap with more codewords (PQ_K), more subspaces
-(PQ_M), or a deeper shortlist.
+
+`ivfpq_nprobe_p_slR` is the production composition (Jégou et al. §IV):
+PQ trained and encoded on cell RESIDUALS (v − centroid), query residual
+per probed cell, ADC shortlist of R, exact re-rank of just R full
+vectors. Two lessons are baked into its config, both measured the hard
+way:
+
+1. **Coarse-cell purity gates residual quality.** Residuals are only
+   unimodal — i.e. PQ's code budget goes to within-cluster detail —
+   when the coarse cells match the corpus modes. The IVF-PQ quantizer
+   therefore uses {PQ_COARSE_K} cells (>= the mode count; production
+   rule of thumb ~sqrt(n)) with farthest-first (kmeanspp) init. The
+   16-cell quantizer the exact-IVF rows share is FINE for them (exact
+   ranking; granularity only moves scanned_frac) but collapses IVF-PQ
+   recall to ~0.11, barely above the random-shortlist floor; the
+   near-origin seeded init at k=64 still merges ~1 mode in 6
+   (purity 0.78) and costs ~0.25 recall.
+2. **Shortlist depth is the recall knob once cells are pure** — the
+   sl100 -> sl400 rows buy ~+0.3 recall for 4x the (tiny) re-rank cost;
+   nprobe matters little here because true neighbors are intra-cell.
+   Close any remaining gap with more codewords (PQ_K) or more
+   subspaces (PQ_M).
 
 ## How to read this for tuning
 
