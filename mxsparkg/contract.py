@@ -153,6 +153,99 @@ def join_range(spark, sf):
     return out.select("user_id", "a_id", "b_id")
 
 
+# Deterministic Bloom filter for the runtime-filter join: k hash positions
+# per key from md5 (identical hex in both engines), M bits. Spark itself
+# injects this pattern as `spark.sql.optimizer.runtime.bloomFilter.enabled`
+# (a BloomFilterAggregate on the build side pushed into the probe scan) —
+# the explicit version here is engine-portable and hash-gate-checkable.
+BLOOM_M = 4096  # bit-space size (production: ~10 bits/key, e.g. 2^27 for 10M keys)
+BLOOM_K = 3     # hash functions; FP rate ≈ fill^k
+
+
+def _bloom_pos(key, j: int):
+    """Bit position j for a (stringified) key: first 6 hex digits of a
+    salted md5 → int → mod M. 6 digits (24 bits) >> log2(M), so the mod
+    is uniform; conv() and DuckDB's '0x'-cast agree exactly."""
+    h = F.md5(F.concat(F.lit(f"{j}|"), key).cast("binary"))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % BLOOM_M
+
+
+@reg("join_bloom",
+     f"""WITH bkeys AS (
+       SELECT DISTINCT c_custkey AS k FROM customer
+       WHERE c_mktsegment = 'BUILDING'),
+     pos AS (
+       SELECT ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' ||
+                                  CAST(k AS VARCHAR)), 1, 6))::BIGINT
+                % {BLOOM_M} AS p
+       FROM bkeys, (SELECT unnest(range(0, {BLOOM_K})) AS j) js),
+     bloom AS (SELECT list(DISTINCT p) AS bits FROM pos),
+     passed AS (
+       SELECT o_orderkey, o_custkey FROM orders, bloom
+       WHERE {' AND '.join(
+         f"list_contains(bits, ('0x' || substr(md5('{j}|' || "
+         f"CAST(o_custkey AS VARCHAR)), 1, 6))::BIGINT % {BLOOM_M})"
+         for j in range(BLOOM_K))})
+     SELECT p.o_orderkey, p.o_custkey,
+            CAST(b.k IS NOT NULL AS INT) AS is_member
+     FROM passed p LEFT JOIN bkeys b ON b.k = p.o_custkey""")
+def join_bloom(spark, sf):
+    """Bloom-prefiltered join (runtime-filter semi-join reduction): the
+    100-TB join pattern where the probe side is shuffled ONLY after a
+    broadcast Bloom filter built from the (selective) build side has
+    discarded rows that cannot match. The filter is deterministic — k
+    md5-derived bit positions per key, the bit set materialized as a
+    sorted-agnostic position array and broadcast — so the gate can check
+    the EXACT pass set, false positives included (the is_member flag
+    exposes them: at sf0.01, 302 build keys fill ~20% of 4096 bits →
+    fill^3 ≈ 0.8% key FP rate — 42 false-positive rows survive next to
+    2958 true matches).
+
+    Scale shape: build side is one map-side-combinable distinct + a
+    collect_set of ≤ M integers (the bit array — KBs at any corpus size,
+    independent of key count); probe side evaluates 3 md5s per row in
+    whole-stage codegen against the broadcast array, BEFORE any shuffle
+    or join. The exact verify join that follows touches only the ~20x
+    reduced survivor set. Production Spark: the same effect via
+    spark.sql.optimizer.runtime.bloomFilter (AQE-injected), or a bucketed
+    build table; the explicit form is what you write when the build side
+    is an intermediate result the optimizer can't see through."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    bkeys = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    pos = bkeys.select(
+        F.explode(
+            F.array(*[
+                _bloom_pos(F.col("k").cast("string"), j)
+                for j in range(BLOOM_K)
+            ])
+        ).alias("p")
+    )
+    bloom = pos.agg(F.collect_set("p").alias("bits")).withColumn(
+        "_one", F.lit(1))
+    probe = orders.select("o_orderkey", "o_custkey").withColumn(
+        "_one", F.lit(1))
+    passed = probe.join(F.broadcast(bloom), "_one")
+    for j in range(BLOOM_K):
+        passed = passed.filter(
+            F.array_contains(
+                "bits", _bloom_pos(F.col("o_custkey").cast("string"), j))
+        )
+    return (
+        passed.select("o_orderkey", "o_custkey")
+        .join(F.broadcast(bkeys),
+              F.col("o_custkey") == F.col("k"), "left")
+        .select(
+            "o_orderkey", "o_custkey",
+            F.col("k").isNotNull().cast("int").alias("is_member"),
+        )
+    )
+
+
 # ----------------------------------------------------------- aggregations --
 
 @reg("agg_groupby_count",
@@ -940,6 +1033,45 @@ def agg_percentile(spark, sf):
         F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
         F.round(F.expr("percentile(l_quantity, 0.90)"), 4).alias("p90"),
+    )
+
+
+HIST_BIN_C = 2_500_000  # histogram bin width in integer cents ($25,000)
+
+
+@reg("agg_histogram",
+     f"""SELECT CAST(round(o_totalprice * 100) AS BIGINT) // {HIST_BIN_C}
+              AS bin,
+            (CAST(round(o_totalprice * 100) AS BIGINT) // {HIST_BIN_C})
+              * {HIST_BIN_C // 100} AS bin_lo_usd,
+            CAST(count(*) AS BIGINT) AS n_orders,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS sum_price_c
+     FROM orders GROUP BY 1""")
+def agg_histogram(spark, sf):
+    """Fixed-width histogram — the profiling/EDA aggregate every corpus
+    monitor runs (value→bin is a pure projection, so the whole histogram
+    is ONE map-side-combinable groupBy with at most n_bins groups: the
+    cheapest possible distribution sketch at 100 TB, and the exact one —
+    no equi-depth estimation error). Money goes through integer cents
+    (round(x*100)) before binning and summing: div on exact integers is
+    engine-portable where double division is not."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    return (
+        _t(spark, sf, "orders")
+        .select(cents.alias("c"))
+        .select(F.expr(f"c div {HIST_BIN_C}").alias("bin"), "c")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("c").alias("sum_price_c"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * (HIST_BIN_C // 100)).alias("bin_lo_usd"),
+            "n_orders",
+            "sum_price_c",
+        )
     )
 
 
