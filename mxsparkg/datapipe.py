@@ -2917,6 +2917,207 @@ def txt_sample_stratified_sql() -> str:
     """
 
 
+# ===================================================== model-based filter
+
+# Hashed-feature linear classifier (the fastText-style quality filter tier:
+# CCNet / C4 / LLaMA-data all gate documents on a linear model over hashed
+# word n-grams). The hashing trick: feature → md5 → integer weight index,
+# so the model needs NO vocabulary — any token, any language, fixed memory.
+CLS_W_MOD = 201  # weights in [-100, 100]: hexint(md5) % 201 - 100
+
+
+def _cls_weight(feat: Column) -> Column:
+    """Deterministic per-feature weight standing in for a trained
+    coefficient: first 6 hex digits of md5('w|'||feat) → int → centered
+    mod. Production replaces this single expression with a broadcast
+    (bucket → weight) map lookup of REAL trained weights over the same
+    hashed bucket ids — plan shape unchanged."""
+    h = F.md5(F.concat(F.lit("w|"), feat).cast("binary"))
+    return (
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % CLS_W_MOD - 100
+    )
+
+
+def txt_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style document classification: score = Σ weight(feature)
+    over unigram + word-bigram features (wordNgrams=2), keep = score > 0.
+    Integer weights make the sum exact and partition-order-proof — the
+    same determinism call as txt_lm_score's whole-bit surprisal (a float
+    dot product would drift between local[4] and 1000 executors).
+
+    Scale shape: tokenize once into a column (generate-inlining pitfall),
+    one explode over unigrams++bigrams, one map-side-combinable groupBy
+    sum — the entire classifier is codegen'd JVM expressions, zero
+    Python, no shuffle beyond the per-doc sum. At 10^12 docs this is the
+    cheapest model-based filter shape there is: no vocabulary join, no
+    weight shuffle (hash-derived here; a broadcast map in production)."""
+    d = _docs(spark, sf).select("doc_id", F.split("text", " ").alias("w"))
+    bi = F.expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2),"
+        " i -> concat(w[i], ' ', w[i+1]))"
+        " ELSE array() END"
+    )
+    feats = d.select(
+        "doc_id", F.explode(F.concat(F.col("w"), bi)).alias("f")
+    )
+    return (
+        feats.select("doc_id", _cls_weight(F.col("f")).alias("wt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            F.sum("wt").alias("logit"),
+        )
+        .select(
+            "doc_id", "n_feat", "logit",
+            (F.col("logit") > 0).cast("int").alias("keep"),
+        )
+    )
+
+
+def txt_classify_sql() -> str:
+    w = (
+        f"('0x' || substr(md5('w|' || f), 1, 6))::BIGINT"
+        f" % {CLS_W_MOD} - 100"
+    )
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      feats AS (
+        SELECT doc_id, unnest(list_concat(w,
+                 CASE WHEN len(w) >= 2 THEN
+                   list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i+1])
+                 ELSE [] END)) AS f
+        FROM toks),
+      scored AS (SELECT doc_id, {w} AS wt FROM feats)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+             CAST(sum(wt) AS BIGINT) AS logit,
+             CAST(sum(wt) > 0 AS INT) AS keep
+      FROM scored GROUP BY doc_id
+    """
+
+
+# =================================================== boilerplate removal
+
+# Line-level boilerplate strip — the MassiveText/C4 dedup tier between
+# whole-document dedup and substring dedup: text units repeated across MANY
+# documents (cookie banners, nav bars, license footers) are dropped from
+# every document by document-frequency threshold. The synthetic corpus has
+# no newline structure, so the "line" unit here is a fixed 8-token segment
+# (production splits on '\n' — only the segmentation expression changes;
+# planting PREPENDS the boilerplate so it is segment-aligned, exactly like
+# real line-split text is line-aligned).
+BOILER_SEG_W = 8
+BOILER_DF = 4          # doc-frequency threshold: > this many docs = boilerplate
+BOILER_TEXT = "all rights reserved contact us terms of service"  # 8 tokens
+
+
+def txt_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Strip boilerplate segments by corpus document frequency. Emits per
+    document its segment count, stripped-segment count, and md5 of the
+    cleaned text — the join-back manifest (house pattern: emit the
+    fingerprint, not the text). A known 8-token boilerplate line is
+    planted in-query on every 5th document (like dedup_winnow_pairs'
+    planted overlaps) so the op is non-vacuous at every sf.
+
+    Scale shape: segment df is one map-side-combinable groupBy over
+    segment fingerprints; boilerplate fps (≤ corpus_segments / DF
+    threshold keys — tiny) come back as a BROADCAST left join, not a
+    window (the r2 OOM lesson: never buffer a posting list on one
+    reducer). Reassembly is a per-doc sort_array over collected
+    (seg_id, seg) structs — partition-order-proof, exactly DuckDB's
+    string_agg(... ORDER BY seg_id)."""
+    sw = BOILER_SEG_W
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(BOILER_TEXT + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    toks = d.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select("doc_id", "w", F.size("w").cast("long").alias("n"))
+    segs = toks.select(
+        "doc_id", "w",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.expr(f"(n - 1) div {sw}")
+            )
+        ).alias("seg_id"),
+    ).select(
+        "doc_id", "seg_id",
+        F.array_join(
+            F.slice("w", F.col("seg_id") * sw + 1, F.lit(sw)), " "
+        ).alias("seg"),
+    ).withColumn("fp", F.md5(F.col("seg").cast("binary")))
+    boiler = (
+        segs.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") > BOILER_DF)
+        .select("fp", F.lit(1).alias("_b"))
+    )
+    flagged = segs.join(F.broadcast(boiler), "fp", "left").withColumn(
+        "is_b", F.col("_b").isNotNull()
+    )
+    kept = F.when(
+        ~F.col("is_b"), F.struct(F.col("seg_id"), F.col("seg"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum(F.col("is_b").cast("int")).alias("n_stripped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(kept)),
+                        lambda x: x["seg"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("clean_fp"),
+        )
+    )
+
+
+def txt_boilerplate_sql() -> str:
+    sw = BOILER_SEG_W
+    return f"""
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN '{BOILER_TEXT} ' || text ELSE text END AS text
+        FROM documents),
+      toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM d),
+      segs AS (
+        SELECT doc_id, unnest(range(0, (n - 1) // {sw} + 1)) AS seg_id, w
+        FROM toks),
+      fps AS (
+        SELECT doc_id, seg_id,
+               array_to_string(
+                 list_slice(w, seg_id * {sw} + 1, seg_id * {sw} + {sw}),
+                 ' ') AS seg
+        FROM segs),
+      fps2 AS (SELECT *, md5(seg) AS fp FROM fps),
+      boiler AS (
+        SELECT fp FROM fps2 GROUP BY fp
+        HAVING count(DISTINCT doc_id) > {BOILER_DF}),
+      flag AS (
+        SELECT f.doc_id, f.seg_id, f.seg, b.fp IS NOT NULL AS is_b
+        FROM fps2 f LEFT JOIN boiler b ON b.fp = f.fp)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+             CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stripped,
+             md5(COALESCE(string_agg(seg, ' ' ORDER BY seg_id)
+                            FILTER (WHERE NOT is_b), '')) AS clean_fp
+      FROM flag GROUP BY doc_id
+    """
+
+
 # ====================================================== per-group pandas
 
 GRP_SCHEMA = StructType(
@@ -4240,6 +4441,8 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bpe_merges": txt_bpe_merges,
         "txt_lm_score": txt_lm_score,
         "txt_sample_stratified": txt_sample_stratified,
+        "txt_classify": txt_classify,
+        "txt_boilerplate": txt_boilerplate,
         "txt_chunk": txt_chunk,
         "txt_pack_sequences": txt_pack_sequences,
         "mm_downsample": mm_downsample,
@@ -4288,6 +4491,8 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_bpe_merges": txt_bpe_merges_sql(),
         "txt_lm_score": txt_lm_score_sql(),
         "txt_sample_stratified": txt_sample_stratified_sql(),
+        "txt_classify": txt_classify_sql(),
+        "txt_boilerplate": txt_boilerplate_sql(),
         "txt_chunk": txt_chunk_sql(),
         "txt_pack_sequences": txt_pack_sequences_sql(),
         "mm_downsample": mm_downsample_sql(),
