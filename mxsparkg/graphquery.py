@@ -40,7 +40,7 @@ O(orders × max_items²), never quadratic in parts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # total rank mass in integer units; 10^12 over ≤10^9 nodes still leaves
@@ -1298,6 +1298,178 @@ def kg_er_jaccard_sql() -> str:
     """
 
 
+# ------------------------------------------- strongly connected components -
+
+# log-doubling: Rₖ covers paths of ≤ 2^k hops, so 4 rounds ≥ the gate
+# digraph's provable 15-hop diameter — 4 shuffle rounds instead of 15
+# (the linear-step form measured 66s under the gate; doubling ~4x less)
+SCC_ROUNDS = 4
+
+
+def scc_bounded(edges: DataFrame, rounds: int = SCC_ROUNDS) -> DataFrame:
+    """Strongly connected components by reflexive bounded transitive
+    closure with path doubling: R₀ = identity ∪ edges; Rₖ₊₁ = Rₖ ∪
+    (Rₖ ∘ Rₖ) — Rₖ covers all paths of ≤ 2^k hops. Once the
+    closure has converged (2^rounds ≥ graph diameter), two nodes have the
+    SAME forward-reachable set iff they are in the same SCC — u ∈ R(u) =
+    R(v) means v reaches u, and v ∈ R(v) = R(u) means u reaches v, so
+    equal sets ⇒ mutual reachability, and mutual reachability trivially
+    equalizes the sets. The SCC id is therefore min(node) over the group
+    of nodes sharing a reachable-set fingerprint (md5 of the sorted id
+    list — the same partition-order-proof collect that evt_sequence_match
+    certifies).
+
+    The bounded unroll is the oracle-checkable anchor (house precedent:
+    minlabel_propagate, bfs_hops, sssp_relax are all fixed-iteration).
+    Production SCC at 10^12 edges does NOT materialize closures — it runs
+    FW-BW coloring (pick pivot, intersect forward/backward reachability,
+    recurse on the three remainders) or Orzan's coloring, both iterative
+    join+min-agg rounds with frontier deltas, O(m·diam) work instead of
+    O(n·reach). This closure form is exact and cheap when per-node reach
+    is bounded (here ≤ ~220 nodes by the leveled construction below).
+    Returns (node, scc_id, scc_size)."""
+    edges = edges.select("src", "dst").distinct().persist()  # loop-invariant
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    r = nodes.select(
+        F.col("v").alias("src"), F.col("v").alias("dst")
+    ).union(edges).distinct().persist()
+    for _ in range(rounds):
+        step = (
+            r.join(
+                r.withColumnRenamed("src", "_m").withColumnRenamed(
+                    "dst", "_d"),
+                F.col("dst") == F.col("_m"),
+            )
+            .select("src", F.col("_d").alias("dst"))
+        )
+        nxt = r.union(step).distinct().persist()
+        r.unpersist()
+        r = nxt
+    fp = r.groupBy(F.col("src").alias("node")).agg(
+        F.md5(
+            F.array_join(
+                F.sort_array(F.collect_set("dst")).cast("array<string>"),
+                ",",
+            ).cast("binary")
+        ).alias("f")
+    )
+    w = Window.partitionBy("f")
+    return fp.select(
+        "node",
+        F.min("node").over(w).alias("scc_id"),
+        F.count(F.lit(1)).over(w).alias("scc_size"),
+    )
+
+
+# Gate digraph with a PROVABLE diameter bound: 4 levels × 64 nodes.
+# DAG edges only go level L → L+1 (≤ 3 hops); ring edges stay inside a
+# 4-node block of one level (≤ 3 non-repeating hops per level). Any simple
+# path therefore uses ≤ 3 ring steps per level × 4 levels + 3 level hops
+# = 15 hops, so SCC_ROUNDS = 4 doubling rounds (2⁴ = 16-hop cover) are
+# ALWAYS converged — the bound is by construction, not by luck of the
+# data. Which order-derived ring edges exist is data-dependent (which
+# (level, block) slots urgent orders hit), so complete ring blocks become
+# size-4 SCCs and broken ones decompose into singletons; the region table
+# additionally plants the four x∈[60,63] blocks as ALWAYS-complete rings
+# (region is 5 rows at every sf), so multi-node SCCs exist at any scale.
+_SCC_LVL = "(o_orderkey % 4)"
+_SCC_X = "(o_custkey % 64)"
+
+
+def _scc_edges(spark: SparkSession, sf: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    dag = (
+        o.filter(F.expr(f"{_SCC_LVL} < 3"))
+        .select(
+            F.expr(f"{_SCC_LVL} * 64 + {_SCC_X}").alias("src"),
+            F.expr(
+                f"({_SCC_LVL} + 1) * 64 + (o_custkey * 7 + o_orderkey) % 64"
+            ).alias("dst"),
+        )
+    )
+    ring = (
+        o.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 7 == 0)
+        )
+        .select(
+            F.expr(f"{_SCC_LVL} * 64 + {_SCC_X}").alias("src"),
+            F.expr(
+                f"{_SCC_LVL} * 64 + ({_SCC_X} - o_custkey % 4)"
+                f" + ({_SCC_X} + 1) % 4"
+            ).alias("dst"),
+        )
+    )
+    planted = (
+        spark.read.parquet(f"{sf}/region.parquet")
+        .select(
+            (F.col("r_regionkey") % 4).alias("lvl"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+        )
+        .select(
+            (F.col("lvl") * 64 + 60 + F.col("j")).alias("src"),
+            (F.col("lvl") * 64 + 60 + (F.col("j") + 1) % 4).alias("dst"),
+        )
+    )
+    return dag.union(ring).union(
+        planted.select(
+            F.col("src").cast("long"), F.col("dst").cast("long")
+        )
+    ).distinct()
+
+
+def graph_scc(spark: SparkSession, sf: str) -> DataFrame:
+    """SCC decomposition of the leveled order digraph (see scc_bounded)."""
+    return scc_bounded(_scc_edges(spark, sf), rounds=SCC_ROUNDS)
+
+
+def graph_scc_sql() -> str:
+    # each rᵢ is referenced twice (union + join), so MATERIALIZED is
+    # load-bearing: DuckDB inlines CTEs by default and the re-evaluation
+    # goes exponential in the unroll depth without it
+    rounds = ",\n      ".join(
+        f"r{i} AS MATERIALIZED (SELECT src, dst FROM r{i - 1} UNION "
+        f"SELECT a.src, b.dst FROM r{i - 1} a JOIN r{i - 1} b"
+        f" ON a.dst = b.src)"
+        for i in range(1, SCC_ROUNDS + 1)
+    )
+    return f"""
+      WITH dag AS (
+        SELECT DISTINCT {_SCC_LVL} * 64 + {_SCC_X} AS src,
+               ({_SCC_LVL} + 1) * 64 + (o_custkey * 7 + o_orderkey) % 64
+                 AS dst
+        FROM orders WHERE {_SCC_LVL} < 3),
+      ring AS (
+        SELECT DISTINCT {_SCC_LVL} * 64 + {_SCC_X} AS src,
+               {_SCC_LVL} * 64 + ({_SCC_X} - o_custkey % 4)
+                 + ({_SCC_X} + 1) % 4 AS dst
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0),
+      planted AS (
+        SELECT (r_regionkey % 4) * 64 + 60 + j AS src,
+               (r_regionkey % 4) * 64 + 60 + (j + 1) % 4 AS dst
+        FROM region, (SELECT unnest(range(0, 4)) AS j) js),
+      e AS MATERIALIZED (
+        SELECT src, dst FROM dag UNION SELECT src, dst FROM ring
+        UNION SELECT src, dst FROM planted),
+      nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+      r0 AS MATERIALIZED (
+        SELECT v AS src, v AS dst FROM nodes UNION SELECT src, dst FROM e),
+      {rounds},
+      fp AS (
+        SELECT src AS node,
+               md5(string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst)) AS f
+        FROM r{SCC_ROUNDS} GROUP BY src)
+      SELECT node, min(node) OVER (PARTITION BY f) AS scc_id,
+             count(*) OVER (PARTITION BY f) AS scc_size
+      FROM fp
+    """
+
+
 def graphquery_queries() -> dict:
     return {
         "kg_pagerank": kg_pagerank,
@@ -1310,6 +1482,7 @@ def graphquery_queries() -> dict:
         "kg_edge_pmi": kg_edge_pmi,
         "graph_hits": graph_hits,
         "kg_er_jaccard": kg_er_jaccard,
+        "graph_scc": graph_scc,
     }
 
 
@@ -1325,4 +1498,5 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "kg_edge_pmi": kg_edge_pmi_sql(),
         "graph_hits": graph_hits_sql(),
         "kg_er_jaccard": kg_er_jaccard_sql(),
+        "graph_scc": graph_scc_sql(),
     }

@@ -373,3 +373,108 @@ def test_edge_pmi_exact_small_case(spark):
     assert got[(1, 2)] == (2, 1)
     assert got[(1, 9)] == (2, 0)
     assert got[(2, 9)] == (2, 0)
+
+
+def _tarjan(pairs):
+    """Sequential Tarjan reference: node → scc_id (min member)."""
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    nodes = set()
+    for a, b in pairs:
+        g[a].append(b)
+        nodes.add(a)
+        nodes.add(b)
+    index, low, on, st = {}, {}, set(), []
+    out, counter = {}, [0]
+
+    def strong(v):
+        stack = [(v, iter(g[v]))]
+        index[v] = low[v] = counter[0]
+        counter[0] += 1
+        st.append(v)
+        on.add(v)
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    st.append(w)
+                    on.add(w)
+                    stack.append((w, iter(g[w])))
+                    advanced = True
+                    break
+                elif w in on:
+                    low[node] = min(low[node], index[w])
+            if advanced:
+                continue
+            stack.pop()
+            if stack:
+                parent = stack[-1][0]
+                low[parent] = min(low[parent], low[node])
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = st.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                cid = min(comp)
+                for w in comp:
+                    out[w] = cid
+
+    for v in sorted(nodes):
+        if v not in index:
+            strong(v)
+    return out
+
+
+def test_scc_matches_tarjan_on_crafted_digraph(spark):
+    """scc_bounded == sequential Tarjan on a graph exercising every case:
+    a 4-cycle, a 2-cycle feeding a chain, a DAG tail, an isolated-ish
+    self-reaching pair, and cross-SCC edges that must NOT merge."""
+    from mxsparkg.graphquery import scc_bounded
+
+    pairs = [
+        (0, 1), (1, 2), (2, 3), (3, 0),      # 4-cycle SCC {0,1,2,3}
+        (3, 4), (4, 5),                      # DAG tail: 4, 5 singletons
+        (10, 11), (11, 10),                  # 2-cycle SCC {10,11}
+        (11, 4),                             # cross edge (no merge back)
+        (20, 21), (21, 22),                  # pure chain: all singletons
+        (5, 10),                             # chain into the 2-cycle
+    ]
+    got = {
+        r.node: (r.scc_id, r.scc_size)
+        for r in scc_bounded(_edges(spark, pairs), rounds=4).collect()
+    }
+    ref = _tarjan(pairs)
+    sizes = {}
+    for v, c in ref.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert got == {v: (c, sizes[c]) for v, c in ref.items()}
+
+
+def test_scc_gate_digraph_is_converged_and_partition_invariant(spark):
+    """One extra doubling round must be a no-op on the gate digraph at the
+    test sf (the provable-15-hop-diameter claim, machine-checked), and the
+    result must be identical under repartitioning."""
+    from mxsparkg.graphquery import SCC_ROUNDS, _scc_edges, scc_bounded
+
+    e = _scc_edges(spark, "/root/testdata/sf0.001")
+    base = {
+        r.node: (r.scc_id, r.scc_size)
+        for r in scc_bounded(e, rounds=SCC_ROUNDS).collect()
+    }
+    extra = {
+        r.node: (r.scc_id, r.scc_size)
+        for r in scc_bounded(e, rounds=SCC_ROUNDS + 1).collect()
+    }
+    rep = {
+        r.node: (r.scc_id, r.scc_size)
+        for r in scc_bounded(e.repartition(13), rounds=SCC_ROUNDS).collect()
+    }
+    assert base == extra == rep
+    assert max(s for _, s in base.values()) >= 2  # real multi-node SCCs
