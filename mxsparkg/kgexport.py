@@ -743,9 +743,128 @@ def kg_bgp_2hop_sql() -> str:
     """
 
 
+def to_turtle(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    obj_is_literal: str | None = None,
+) -> DataFrame:
+    """Turtle serialization with predicate-list grouping: one block per
+    subject, `<s> <p1> o1 ;\\n  <p2> o2 .` — the prefix-compressed RDF
+    surface next to to_ntriples' line-per-triple one (real exports offer
+    both; Turtle is what humans and most triple stores ingest). Object
+    literals escape exactly like N-Triples.
+
+    Scale + determinism shape: one map-side-combinable collect per
+    subject; the predicate list is assembled by sort_array over
+    (pred, rendered-object) structs — collect_list order is
+    partition-dependent, so the sort is the determinism guarantee
+    (bit-stable at any parallelism, exactly DuckDB's string_agg ...
+    ORDER BY). Per-subject predicate counts are KG-schema-bounded, so no
+    group can go quadratic. Returns (subj, n_preds, block)."""
+    s, p, o = F.col(subj), F.col(pred), F.col(obj)
+    if obj_is_literal is None:
+        rendered = o
+    else:
+        rendered = F.when(
+            F.col(obj_is_literal),
+            F.concat(F.lit('"'), escape_literal(o), F.lit('"')),
+        ).otherwise(o)
+    entries = triples.select(
+        s.alias("subj"),
+        F.struct(p.alias("p"), rendered.alias("r")).alias("e"),
+    )
+    body = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list("e")),
+            lambda x: F.concat(x["p"], F.lit(" "), x["r"]),
+        ),
+        " ;\n  ",
+    )
+    return entries.groupBy("subj").agg(
+        F.count(F.lit(1)).alias("n_preds"),
+        F.concat(F.col("subj"), F.lit(" "), body, F.lit(" .")).alias(
+            "block"),
+    )
+
+
+def kg_turtle(spark: SparkSession, sf: str) -> DataFrame:
+    """Turtle export of the same deterministic 3-relation KG slice as
+    kg_ntriples (customer→nation, nation→region, planted-escape nation
+    labels) — nations carry all three predicate kinds, so the multi-
+    predicate ';' grouping path is exercised under the hash gate."""
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    t1 = cust.select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        F.lit(f"<{BASE_P}in_nation>").alias("pred"),
+        iri("nat", F.col("c_nationkey")).alias("obj"),
+        F.lit(False).alias("lit"),
+    )
+    t2 = nat.select(
+        iri("nat", F.col("n_nationkey")).alias("subj"),
+        F.lit(f"<{BASE_P}in_region>").alias("pred"),
+        iri("reg", F.col("n_regionkey")).alias("obj"),
+        F.lit(False).alias("lit"),
+    )
+    label = F.concat(
+        F.col("n_name"), F.lit(' "r\\'),
+        F.col("n_regionkey").cast("string"), F.lit('"'),
+    )
+    t3 = nat.select(
+        iri("nat", F.col("n_nationkey")).alias("subj"),
+        F.lit(f"<{BASE_P}label>").alias("pred"),
+        label.alias("obj"),
+        F.lit(True).alias("lit"),
+    )
+    return to_turtle(
+        t1.unionByName(t2).unionByName(t3), obj_is_literal="lit"
+    )
+
+
+def kg_turtle_sql() -> str:
+    esc = (
+        "replace(replace(replace(replace(replace(obj,"
+        " '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'),"
+        " chr(13), '\\r'), chr(9), '\\t')"
+    )
+    return f"""
+      WITH t AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+               '<{BASE_P}in_nation>' AS pred,
+               '<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>' AS obj,
+               FALSE AS lit
+        FROM customer
+        UNION ALL
+        SELECT '<{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR) || '>',
+               '<{BASE_P}in_region>',
+               '<{BASE_E}reg:' || CAST(n_regionkey AS VARCHAR) || '>',
+               FALSE
+        FROM nation
+        UNION ALL
+        SELECT '<{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR) || '>',
+               '<{BASE_P}label>',
+               n_name || ' "r\\' || CAST(n_regionkey AS VARCHAR) || '"',
+               TRUE
+        FROM nation),
+      r AS (
+        SELECT subj, pred,
+               CASE WHEN lit THEN '"' || {esc} || '"' ELSE obj END AS rend
+        FROM t)
+      SELECT subj, CAST(count(*) AS BIGINT) AS n_preds,
+             subj || ' ' ||
+             string_agg(pred || ' ' || rend, ' ;' || chr(10) || '  '
+                        ORDER BY pred, rend)
+             || ' .' AS block
+      FROM r GROUP BY subj
+    """
+
+
 def kgexport_queries() -> dict:
     return {
         "kg_ntriples": kg_ntriples,
+        "kg_turtle": kg_turtle,
         "kg_bgp_2hop": kg_bgp_2hop,
         "kg_type_check": kg_type_check,
         "kg_temporal_diff": kg_temporal_diff,
@@ -758,6 +877,7 @@ def kgexport_queries() -> dict:
 def kgexport_oracle_sql() -> dict[str, str]:
     return {
         "kg_ntriples": kg_ntriples_sql(),
+        "kg_turtle": kg_turtle_sql(),
         "kg_bgp_2hop": kg_bgp_2hop_sql(),
         "kg_type_check": kg_type_check_sql(),
         "kg_temporal_diff": kg_temporal_diff_sql(),
