@@ -849,3 +849,91 @@ def test_pack_offsets_global_equals_single_window(spark, sf001):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
         assert got == want
+
+
+def test_boilerplate_strips_planted_and_preserves_clean(spark, sf001):
+    """Every planted document (doc_id % 5 == 0 — the prepended 8-token
+    boilerplate is shared by 100 docs, far over the df threshold) must
+    strip at least its planted segment; every document with nothing
+    stripped must fingerprint to EXACTLY its original text (the strip
+    path may not perturb clean docs)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mxsparkg.datapipe import _docs, txt_boilerplate
+
+    out = {
+        r["doc_id"]: (r["n_seg"], r["n_stripped"], r["clean_fp"])
+        for r in txt_boilerplate(spark, sf001).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _docs(spark, sf001).select("doc_id", "text").collect()
+    }
+    assert set(out) == set(texts)
+    for doc_id, (n_seg, n_stripped, clean_fp) in out.items():
+        if doc_id % 5 == 0:
+            assert n_stripped >= 1, doc_id
+        if n_stripped == 0:
+            want = hashlib.md5(texts[doc_id].encode()).hexdigest()
+            assert clean_fp == want, doc_id
+    assert any(v[1] == 0 for v in out.values())  # clean docs exist
+
+
+def test_classify_partition_invariant_and_bigrams_counted(spark, sf001):
+    """Integer logits must be bit-identical under repartitioning (the
+    determinism the op certifies), and n_feat must equal unigrams +
+    bigrams = 2·len(w) − 1 per doc."""
+    from pyspark.sql import functions as F
+
+    from mxsparkg.datapipe import _docs, txt_classify
+
+    base = {
+        r["doc_id"]: (r["n_feat"], r["logit"], r["keep"])
+        for r in txt_classify(spark, sf001).collect()
+    }
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in _docs(spark, sf001)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for doc_id, (n_feat, _logit, _keep) in base.items():
+        assert n_feat == 2 * lens[doc_id] - 1, doc_id
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        rep = {
+            r["doc_id"]: (r["n_feat"], r["logit"], r["keep"])
+            for r in txt_classify(spark, sf001).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert rep == base
+
+
+def test_bloom_join_has_no_false_negatives(spark, sf001):
+    """Bloom filters may pass non-members but must NEVER drop a member:
+    the is_member=1 rows of join_bloom must be exactly the orders whose
+    customer is in the build segment."""
+    from pyspark.sql import functions as F
+
+    from mxsparkg.contract import contract_queries, _t
+
+    out = contract_queries()["join_bloom"](spark, sf001)
+    got_members = {
+        (r["o_orderkey"], r["o_custkey"])
+        for r in out.filter("is_member = 1").collect()
+    }
+    cust = _t(spark, sf001, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf001, "orders")
+    want = {
+        (r["o_orderkey"], r["o_custkey"])
+        for r in orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "left_semi"
+        ).collect()
+    }
+    assert got_members == want

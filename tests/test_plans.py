@@ -175,3 +175,65 @@ def test_sequence_match_single_exchange_no_python(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Python" not in plan, plan
+
+
+def test_bloom_join_broadcasts_never_sortmerges(spark):
+    """join_bloom: the bit-set ride-along and the verify join are both
+    broadcasts — the probe side must never plan a SortMergeJoin (the
+    whole point is that survivors, not the full probe, reach any real
+    join), and the filter math stays JVM-side."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["join_bloom"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_histogram_single_exchange_map_side_combined(spark):
+    """agg_histogram: bin assignment is a projection, so the whole
+    histogram is one partial+final hash aggregate around a single
+    Exchange — the cheapest possible distribution profile at 100 TB."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["agg_histogram"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_classify_single_exchange_no_python(spark):
+    """txt_classify: hashing-trick features mean NO vocabulary join — the
+    classifier is one explode + one map-side-combinable sum around a
+    single Exchange, zero Python."""
+    from mxsparkg.datapipe import txt_classify
+
+    plan = _plan(txt_classify(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_boilerplate_broadcasts_boiler_set_no_window(spark):
+    """txt_boilerplate: the df-threshold set comes back as a broadcast
+    join (map-side-combinable count, never a window buffering a posting
+    list), and reassembly stays JVM-side."""
+    from mxsparkg.datapipe import txt_boilerplate
+
+    plan = _plan(txt_boilerplate(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_turtle_single_exchange_no_python(spark):
+    """kg_turtle: one subj hash Exchange for the sorted predicate-list
+    collect; serialization is all codegen string ops."""
+    from mxsparkg.kgexport import kg_turtle
+
+    plan = _plan(kg_turtle(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
