@@ -1036,6 +1036,50 @@ def agg_percentile(spark, sf):
     )
 
 
+_WEEK_US = 7 * 86400 * 1_000_000  # cohort granularity for evt_retention
+
+
+@reg("evt_retention",
+     f"""WITH p AS (
+       SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk
+       FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, min(wk) AS cohort_week FROM p GROUP BY user_id)
+     SELECT c.cohort_week, p.wk - c.cohort_week AS week_offset,
+            CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+     FROM p JOIN c ON c.user_id = p.user_id
+     GROUP BY 1, 2""")
+def evt_retention(spark, sf):
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by their FIRST purchase week, counted as retained in every
+    later week they purchase again (3 cohorts with decaying counts at
+    sf0.01 — offsets are week-active flags, not contiguous streaks).
+    Week indices are exact integer division of the microsecond epoch
+    (the evt_sessionize time base), so the matrix is engine- and
+    partitioning-independent.
+
+    Scale shape: first-purchase is a map-side-combinable min per user;
+    the cohort table joins back on user_id (user-sized, AQE broadcasts
+    it while it fits, shuffle-hash beyond); the matrix agg distinct-
+    counts users per (cohort, offset) cell — at 10^12 events the
+    distinct is the only real shuffle and it is keyed on the cell, not
+    the user."""
+    p = _t(spark, sf, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.expr(f"({_FUNNEL_US}) div {_WEEK_US}").alias("wk"),
+    )
+    c = p.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        p.join(c, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 HIST_BIN_C = 2_500_000  # histogram bin width in integer cents ($25,000)
 
 

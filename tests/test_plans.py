@@ -237,3 +237,19 @@ def test_turtle_single_exchange_no_python(spark):
     plan = _plan(kg_turtle(spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Python" not in plan, plan
+
+
+def test_retention_map_side_combined_no_python(spark):
+    """evt_retention: the first-purchase min and the cell distinct-count
+    both partial-aggregate map-side; the purchase filter reaches the
+    scan; zero Python."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["evt_retention"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "partial_min" in plan, plan
+    import re
+
+    m = re.search(r"PushedFilters: \[[^\]]*\]", plan)
+    assert m and "EqualTo(event_type,purchase)" in m.group(0), plan
+    assert "Python" not in plan, plan
