@@ -25,6 +25,8 @@ ops:
              the production equivalent)
   bgp        2-hop basic-graph-pattern match over the edges table:
              ?x --p1 ?y --p2 ?z (paths parquet at --out)
+  turtle     serialize edges to Turtle subject blocks (sorted ';'-joined
+             predicate lists; every shard independently valid Turtle)
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -108,8 +110,8 @@ def _dense_entities(edges):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
-                    choices=["ntriples", "validate", "infer", "diff",
-                             "embed", "predict", "apply", "bgp"])
+                    choices=["ntriples", "turtle", "validate", "infer",
+                             "diff", "embed", "predict", "apply", "bgp"])
     ap.add_argument("--delta", default=None,
                     help="state_diff output parquet (op, subj, pred, obj) "
                          "for --op apply")
@@ -173,6 +175,16 @@ def main() -> None:
         kx.export_edges_ntriples(edges).select("line").write.mode(
             "overwrite").text(args.out)
         n = spark.read.text(args.out).count()
+    elif args.op == "turtle":
+        kx.export_edges_turtle(edges).select("block").write.mode(
+            "overwrite").text(args.out)
+        # blocks are multi-line ('; '-continuation lines); exactly one
+        # line per block carries the terminal ' .'
+        n = (
+            spark.read.text(args.out)
+            .filter(F.col("value").endswith(" ."))
+            .count()
+        )
     elif args.op == "validate":
         typed = _typed_edges(edges, spark.read.parquet(args.nodes))
         cons = spark.read.parquet(args.constraints)

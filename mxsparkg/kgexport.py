@@ -140,6 +140,23 @@ def export_edges_ntriples(edges: DataFrame) -> DataFrame:
     return to_ntriples(t)
 
 
+def export_edges_turtle(edges: DataFrame) -> DataFrame:
+    """Serialize the pipeline's materialized edges table into Turtle
+    subject blocks (see to_turtle): percent-encoded IRIs like
+    export_edges_ntriples, one `block` per subject with the sorted
+    ';'-joined predicate list. Write with
+    `df.select("block").write.text(dir)` — blocks are self-contained, so
+    every shard is independently valid Turtle and export parallelism is
+    the groupBy's partitioning."""
+    enc = lambda c: F.url_encode(F.col(c))  # noqa: E731
+    t = edges.select(
+        F.concat(F.lit(f"<{BASE_E}"), enc("subj"), F.lit(">")).alias("subj"),
+        F.concat(F.lit(f"<{BASE_P}"), enc("pred"), F.lit(">")).alias("pred"),
+        F.concat(F.lit(f"<{BASE_E}"), enc("obj"), F.lit(">")).alias("obj"),
+    )
+    return to_turtle(t)
+
+
 def negative_sample(
     triples: DataFrame,
     entities: DataFrame,

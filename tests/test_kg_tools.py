@@ -60,3 +60,24 @@ def test_typed_edges_attaches_both_role_types(spark):
     [row] = _typed_edges(edges, nodes).collect()
     assert (row["styp"], row["otyp"]) == ("pers", "org")
     assert row["n_support"] == 3
+
+
+def test_export_edges_turtle_blocks_group_and_escape(spark):
+    """Turtle export: one block per subject, predicates sorted, IRIs
+    url_encoded (form encoding, space → + — same as export_edges_ntriples), terminal ' .' exactly once per block."""
+    from mxsparkg.kgexport import export_edges_turtle
+
+    edges = spark.createDataFrame(
+        [("a b", "p2", "x"), ("a b", "p1", "y"), ("c", "p1", "x")],
+        "subj string, pred string, obj string",
+    )
+    rows = {r["subj"]: r for r in export_edges_turtle(edges).collect()}
+    assert set(rows) == {"<urn:kg:e:a+b>", "<urn:kg:e:c>"}
+    ab = rows["<urn:kg:e:a+b>"]
+    assert ab["n_preds"] == 2
+    # sorted predicate list: p1 before p2, ';'-joined, one terminal dot
+    assert ab["block"] == (
+        "<urn:kg:e:a+b> <urn:kg:p:p1> <urn:kg:e:y> ;\n"
+        "  <urn:kg:p:p2> <urn:kg:e:x> ."
+    )
+    assert rows["<urn:kg:e:c>"]["block"].endswith(" .")
