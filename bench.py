@@ -82,12 +82,18 @@ def headline_queries() -> dict:
     # BGP match (pred-pruned triple legs), PMI edge weighting (pair counts
     # + marginal joins), chunking (explode-heavy), and sequence packing
     # (per-shard window cumsum)
+    # fourth round-4 batch: the bloom-prefiltered join (runtime-filter
+    # shape), hashed-feature classification (explode + sum), boilerplate
+    # strip (segment df + broadcast + reassembly), SCC (doubling closure),
+    # cohort retention, and the fixed-width histogram
     for k in ("dedup_minhash_lsh", "txt_quality", "ann_topk_cosine",
               "txt_lm_score", "kg_pagerank", "evt_sessionize",
               "kg_ntriples", "dedup_substring", "txt_bpe_merges",
               "kg_ppr", "graph_hits", "kg_er_jaccard", "dedup_cluster",
               "evt_asof", "graph_sssp", "kg_bgp_2hop", "kg_edge_pmi",
-              "txt_chunk", "txt_pack_sequences"):
+              "txt_chunk", "txt_pack_sequences", "join_bloom",
+              "txt_classify", "txt_boilerplate", "graph_scc",
+              "evt_retention", "agg_histogram", "kg_turtle"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

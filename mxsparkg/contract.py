@@ -162,12 +162,20 @@ BLOOM_M = 4096  # bit-space size (production: ~10 bits/key, e.g. 2^27 for 10M ke
 BLOOM_K = 3     # hash functions; FP rate ≈ fill^k
 
 
-def _bloom_pos(key, j: int):
-    """Bit position j for a (stringified) key: first 6 hex digits of a
-    salted md5 → int → mod M. 6 digits (24 bits) >> log2(M), so the mod
-    is uniform; conv() and DuckDB's '0x'-cast agree exactly."""
-    h = F.md5(F.concat(F.lit(f"{j}|"), key).cast("binary"))
-    return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % BLOOM_M
+def _bloom_hash(key):
+    """One salted digest per key; the k bit positions are disjoint 6-hex
+    (24-bit) windows of it — one md5 per probe row instead of k (the
+    cheap cousin of the Kirsch–Mitzenmacher two-hash trick; 24 bits >>
+    log2(M) keeps each window's mod uniform)."""
+    return F.md5(F.concat(F.lit("b|"), key).cast("binary"))
+
+
+def _bloom_pos(h, j: int):
+    """Bit position j: hex window j of the digest → int → mod M.
+    conv() and DuckDB's '0x'-cast agree exactly."""
+    return (
+        F.conv(F.substring(h, 6 * j + 1, 6), 16, 10).cast("long") % BLOOM_M
+    )
 
 
 @reg("join_bloom",
@@ -175,16 +183,25 @@ def _bloom_pos(key, j: int):
        SELECT DISTINCT c_custkey AS k FROM customer
        WHERE c_mktsegment = 'BUILDING'),
      pos AS (
-       SELECT ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' ||
-                                  CAST(k AS VARCHAR)), 1, 6))::BIGINT
+       SELECT ('0x' || substr(md5('b|' || CAST(k AS VARCHAR)),
+                              CAST(6 * j + 1 AS INT), 6))::BIGINT
                 % {BLOOM_M} AS p
        FROM bkeys, (SELECT unnest(range(0, {BLOOM_K})) AS j) js),
-     bloom AS (SELECT list(DISTINCT p) AS bits FROM pos),
+     bloom AS (
+       SELECT array_to_string(
+                list_transform(range(0, {BLOOM_M}),
+                  i -> CASE WHEN list_contains(list(DISTINCT p), i)
+                       THEN '1' ELSE '0' END), '') AS bitstr
+       FROM pos),
+     probe AS (
+       SELECT o_orderkey, o_custkey,
+              md5('b|' || CAST(o_custkey AS VARCHAR)) AS h
+       FROM orders),
      passed AS (
-       SELECT o_orderkey, o_custkey FROM orders, bloom
+       SELECT o_orderkey, o_custkey FROM probe, bloom
        WHERE {' AND '.join(
-         f"list_contains(bits, ('0x' || substr(md5('{j}|' || "
-         f"CAST(o_custkey AS VARCHAR)), 1, 6))::BIGINT % {BLOOM_M})"
+         f"substr(bitstr, CAST(('0x' || substr(h, {6 * j + 1}, 6))::BIGINT"
+         f" % {BLOOM_M} + 1 AS INT), 1) = '1'"
          for j in range(BLOOM_K))})
      SELECT p.o_orderkey, p.o_custkey,
             CAST(b.k IS NOT NULL AS INT) AS is_member
@@ -194,22 +211,24 @@ def join_bloom(spark, sf):
     100-TB join pattern where the probe side is shuffled ONLY after a
     broadcast Bloom filter built from the (selective) build side has
     discarded rows that cannot match. The filter is deterministic — k
-    md5-derived bit positions per key, the bit set materialized as a
-    sorted-agnostic position array and broadcast — so the gate can check
-    the EXACT pass set, false positives included (the is_member flag
-    exposes them: at sf0.01, 302 build keys fill ~20% of 4096 bits →
-    fill^3 ≈ 0.8% key FP rate — 42 false-positive rows survive next to
-    2958 true matches).
+    bit positions per key from disjoint 24-bit windows of one salted md5,
+    the bit set packed into M/64 longs — so the gate can check the EXACT
+    pass set, false positives included (the is_member flag exposes them:
+    at sf0.01, 302 build keys fill ~20% of 4096 bits → fill^3 ≈ 0.8% key
+    FP rate — 34 false-positive rows survive next to 2958 true matches).
 
     Scale shape: build side is one map-side-combinable distinct + a
-    collect_set of ≤ M integers (the bit array — KBs at any corpus size,
-    independent of key count); probe side evaluates 3 md5s per row in
-    whole-stage codegen against the broadcast array, BEFORE any shuffle
-    or join. The exact verify join that follows touches only the ~20x
-    reduced survivor set. Production Spark: the same effect via
-    spark.sql.optimizer.runtime.bloomFilter (AQE-injected), or a bucketed
-    build table; the explicit form is what you write when the build side
-    is an intermediate result the optimizer can't see through."""
+    collect_set of ≤ M integers reduced to M/64 packed words (512 bytes
+    at any corpus size, independent of key count) that re-enter the plan
+    as a literal — exactly Spark's own BloomFilterAggregate lifecycle and
+    the k-means-centroid bounded-driver-traffic pattern; probe side
+    evaluates ONE md5 + three O(1) word/bit tests per row in whole-stage
+    codegen, BEFORE any shuffle or join. The exact verify join that
+    follows touches only the ~20x reduced survivor set. Production
+    Spark: the same effect via spark.sql.optimizer.runtime.bloomFilter
+    (AQE-injected), or a bucketed build table; the explicit form is what
+    you write when the build side is an intermediate result the
+    optimizer can't see through."""
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders")
     bkeys = (
@@ -218,23 +237,42 @@ def join_bloom(spark, sf):
         .distinct()
     )
     pos = bkeys.select(
+        _bloom_hash(F.col("k").cast("string")).alias("h")
+    ).select(
         F.explode(
-            F.array(*[
-                _bloom_pos(F.col("k").cast("string"), j)
-                for j in range(BLOOM_K)
-            ])
+            F.array(*[_bloom_pos(F.col("h"), j) for j in range(BLOOM_K)])
         ).alias("p")
     )
-    bloom = pos.agg(F.collect_set("p").alias("bits")).withColumn(
-        "_one", F.lit(1))
-    probe = orders.select("o_orderkey", "o_custkey").withColumn(
-        "_one", F.lit(1))
-    passed = probe.join(F.broadcast(bloom), "_one")
+    # Pack the bit set into M/64 longs and pull that ONE word array
+    # (512 bytes — size independent of key count) to the driver, then
+    # re-inject it as an array literal into the probe filter. This is
+    # exactly what Spark's own runtime bloom filter does (BloomFilter-
+    # Aggregate → driver → literal in the probe's scan filter), the same
+    # bounded driver-traffic pattern as the k-means centroid collect, and
+    # the long[]-words layout IS the real BloomFilter representation.
+    # Two rejected formulations, both measured at sf0.1's 150k-row probe:
+    # riding the bits on a 1-row broadcast join plans a BroadcastNested-
+    # LoopJoin that executes INTERPRETED (5.4s), and substring(bitstr, p)
+    # on a 4096-char literal is O(p) per row in UTF8String char indexing
+    # (1.4s per hash). element_at(word array) + shift + AND is O(1) and
+    # stays in codegen.
+    positions = pos.agg(F.collect_set("p").alias("bits")).head()[0]
+    words = [0] * (BLOOM_M // 64)
+    for p in positions:
+        words[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    words_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    passed = orders.select(
+        "o_orderkey", "o_custkey",
+        _bloom_hash(F.col("o_custkey").cast("string")).alias("_h"),
+    )
     for j in range(BLOOM_K):
-        passed = passed.filter(
-            F.array_contains(
-                "bits", _bloom_pos(F.col("o_custkey").cast("string"), j))
-        )
+        passed = passed.withColumn(f"_p{j}", _bloom_pos(F.col("_h"), j))
+        passed = passed.filter(F.expr(
+            f"(shiftrightunsigned(element_at({words_sql},"
+            f" cast(_p{j} div 64 as int) + 1),"
+            f" cast(_p{j} % 64 as int)) & 1L) = 1L"
+        ))
     return (
         passed.select("o_orderkey", "o_custkey")
         .join(F.broadcast(bkeys),

@@ -178,10 +178,11 @@ def test_sequence_match_single_exchange_no_python(spark):
 
 
 def test_bloom_join_broadcasts_never_sortmerges(spark):
-    """join_bloom: the bit-set ride-along and the verify join are both
-    broadcasts — the probe side must never plan a SortMergeJoin (the
-    whole point is that survivors, not the full probe, reach any real
-    join), and the filter math stays JVM-side."""
+    """join_bloom: the packed bloom words enter the probe as a literal
+    (the BloomFilterAggregate lifecycle) and the verify join broadcasts —
+    the probe side must never plan a SortMergeJoin (the whole point is
+    that survivors, not the full probe, reach any real join), and the
+    filter math stays JVM-side."""
     from mxsparkg.contract import contract_queries
 
     df = contract_queries()["join_bloom"](spark, "/root/testdata/sf0.001")
