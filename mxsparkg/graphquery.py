@@ -1337,6 +1337,7 @@ def scc_bounded(edges: DataFrame, rounds: int = SCC_ROUNDS) -> DataFrame:
     r = nodes.select(
         F.col("v").alias("src"), F.col("v").alias("dst")
     ).union(edges).distinct().persist()
+    n_prev = r.count()
     for _ in range(rounds):
         step = (
             r.join(
@@ -1347,8 +1348,17 @@ def scc_bounded(edges: DataFrame, rounds: int = SCC_ROUNDS) -> DataFrame:
             .select("src", F.col("_d").alias("dst"))
         )
         nxt = r.union(step).distinct().persist()
+        # Rₖ grows monotonically, so equal count ⟺ equal set ⟺ converged:
+        # a sound early exit (dense graphs converge in 2-3 rounds — the
+        # count itself is ~free, it forces the materialization the next
+        # round's self-join needs anyway) AND a runtime witness that the
+        # final fingerprints are computed on a true fixpoint.
+        n_nxt = nxt.count()
         r.unpersist()
         r = nxt
+        if n_nxt == n_prev:
+            break
+        n_prev = n_nxt
     fp = r.groupBy(F.col("src").alias("node")).agg(
         F.md5(
             F.array_join(
