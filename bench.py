@@ -84,15 +84,21 @@ def headline_queries() -> dict:
     # (per-shard window cumsum)
     # fourth round-4 batch: the bloom-prefiltered join (runtime-filter
     # shape), hashed-feature classification (explode + sum), boilerplate
-    # strip (segment df + broadcast + reassembly), SCC (doubling closure),
-    # cohort retention, and the fixed-width histogram
+    # strip (segment df + broadcast + reassembly), cohort retention, and
+    # the fixed-width histogram
+    # graph_scc is deliberately NOT here, for the same reason as
+    # kg_transe: its gate digraph is 256 nodes at EVERY sf (the diameter
+    # bound is by construction), so a timed run measures per-stage
+    # scheduler + codegen latency of the closure rounds (17s cold vs 7s
+    # warm on identical data), not data throughput — the gate + Tarjan
+    # property tests certify it instead
     for k in ("dedup_minhash_lsh", "txt_quality", "ann_topk_cosine",
               "txt_lm_score", "kg_pagerank", "evt_sessionize",
               "kg_ntriples", "dedup_substring", "txt_bpe_merges",
               "kg_ppr", "graph_hits", "kg_er_jaccard", "dedup_cluster",
               "evt_asof", "graph_sssp", "kg_bgp_2hop", "kg_edge_pmi",
               "txt_chunk", "txt_pack_sequences", "join_bloom",
-              "txt_classify", "txt_boilerplate", "graph_scc",
+              "txt_classify", "txt_boilerplate",
               "evt_retention", "agg_histogram", "kg_turtle"):
         if k in q:
             out[k] = q[k]
