@@ -10,6 +10,9 @@ ops:
               graph, top-k entities (+ type/surface forms when --nodes)
   triangles   triangle census + global clustering coefficient (ppm)
   components  convergent CC component-size census (canonicalization QA)
+  scc         strongly connected components of the DIRECTED subj→obj graph
+              (sameAs/redirect cycle discovery; bounded doubling closure
+              with a runtime convergence witness — see graphquery.scc_bounded)
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -28,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
-                    choices=["salience", "triangles", "components"])
+                    choices=["salience", "triangles", "components", "scc"])
     ap.add_argument("--edges", required=True,
                     help="pipeline edges parquet (subj, pred, obj, n_support)")
     ap.add_argument("--nodes", default=None,
@@ -63,6 +66,14 @@ def main() -> None:
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
+        )
+    elif args.op == "scc":
+        out_df = gq.scc_bounded(
+            edges.select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct(),
+            rounds=args.iters,
         )
     else:
         out_df = gq.kg_components(edges)
