@@ -2917,6 +2917,71 @@ def txt_sample_stratified_sql() -> str:
     """
 
 
+# ===================================================== incremental dedup
+
+# Incremental (cross-snapshot) exact dedup — the PRODUCTION ingest mode:
+# a new crawl shard is deduplicated against the digest index of the
+# already-ingested corpus, not against itself. The base/incoming split is
+# doc_id % 3; the incoming shard additionally contains re-fetches of ~1/7
+# of the base docs under NEW doc_ids (planted in-query — same content,
+# new fetch id, exactly what a re-crawl produces), so the dup path is
+# non-vacuous at every sf.
+INCR_REFETCH_OFFSET = 1_000_000_000  # >> any real doc_id at any sf
+
+
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Flag incoming documents whose content digest already exists in the
+    base corpus; dup_of = the keeper (min doc_id) holding that digest.
+    Composes the certified D1 digest groupBy with the equi-join the
+    incremental path needs.
+
+    Scale shape: the base side reduces to ONE row per distinct digest
+    (map-side combined) before the join — at 10^12 docs that digest index
+    is a materialized table maintained by the delta applier
+    (kg_apply_delta), not recomputed; the join is a plain digest
+    equi-join (NOT broadcast: the corpus index outgrows any executor),
+    with the join_bloom runtime-filter as the standard accelerant when
+    the incoming shard is small relative to the index."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 3 != 0)
+    refetch = base.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + INCR_REFETCH_OFFSET).alias("doc_id"), "text"
+    )
+    incoming = d.filter(F.col("doc_id") % 3 == 0).unionByName(refetch)
+    index = (
+        base.select(_md5s(F.col("text")).alias("dg"), "doc_id")
+        .groupBy("dg")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    return (
+        incoming.select("doc_id", _md5s(F.col("text")).alias("dg"))
+        .join(index, "dg", "left")
+        .select(
+            "doc_id", "dg",
+            F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
+def dedup_incremental_sql() -> str:
+    return f"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      incoming AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + {INCR_REFETCH_OFFSET}, text FROM base
+        WHERE doc_id % 7 = 1),
+      idx AS (
+        SELECT md5(text) AS dg, min(doc_id) AS dup_of
+        FROM base GROUP BY 1)
+      SELECT i.doc_id, md5(i.text) AS dg,
+             CAST(idx.dup_of IS NOT NULL AS INT) AS is_dup, idx.dup_of
+      FROM incoming i LEFT JOIN idx ON idx.dg = md5(i.text)
+    """
+
+
 # ===================================================== model-based filter
 
 # Hashed-feature linear classifier (the fastText-style quality filter tier:
@@ -4406,6 +4471,7 @@ def txt_pack_sequences_sql() -> str:
 def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": dedup_exact,
+        "dedup_incremental": dedup_incremental,
         "url_canon_dedup": url_canon_dedup,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -4456,6 +4522,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def datapipe_oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": dedup_exact_sql(),
+        "dedup_incremental": dedup_incremental_sql(),
         "url_canon_dedup": url_canon_dedup_sql(),
         "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
         "dedup_minhash_pairs": dedup_minhash_pairs_sql(),

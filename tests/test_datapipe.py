@@ -937,3 +937,24 @@ def test_bloom_join_has_no_false_negatives(spark, sf001):
         ).collect()
     }
     assert got_members == want
+
+
+def test_incremental_dedup_flags_exactly_the_refetches(spark, sf001):
+    """Every planted re-fetch must be flagged with dup_of pointing at the
+    digest keeper among base docs; every genuinely new doc must be
+    unflagged (no natural cross-shard digest collisions exist in the
+    corpus, so flagged == planted exactly)."""
+    from mxsparkg.datapipe import INCR_REFETCH_OFFSET, dedup_incremental
+
+    out = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in dedup_incremental(spark, sf001).collect()
+    }
+    for doc_id, (is_dup, dup_of) in out.items():
+        if doc_id >= INCR_REFETCH_OFFSET:
+            src = doc_id - INCR_REFETCH_OFFSET
+            assert is_dup == 1 and dup_of is not None, doc_id
+            assert dup_of % 3 != 0 and dup_of <= src, doc_id
+        else:
+            assert is_dup == 0 and dup_of is None, doc_id
+    assert any(d >= INCR_REFETCH_OFFSET for d in out)
