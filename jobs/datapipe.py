@@ -21,6 +21,13 @@ ops:
   txt_vocab            corpus vocabulary (cf/df, top terms)
   txt_lm_score         bigram LM surprisal quality scores (whole-bit exact)
   txt_sample_stratified  deterministic per-language quota sample
+  txt_classify         hashed-feature linear quality classification
+  txt_boilerplate      line-level (segment) boilerplate strip manifest
+  txt_chunk            overlapping token-window chunk manifest
+  txt_pack_sequences   sequence-packing manifest (per-shard offsets)
+  txt_bpe_merges       distributed BPE merge training (fixed unroll)
+  dedup_substring      cross-doc duplicated-run strip manifest
+  dedup_incremental    new-shard dedup vs the base corpus digest index
   mm_decode_stub       multimodal decode-stub features
   decode_media         REAL media decode: --input must be a
                        (doc_id, media binary) parquet (e.g. the fixture
@@ -49,6 +56,10 @@ def main() -> None:
                              "txt_tokens", "txt_fingerprint",
                              "txt_decontam", "txt_tfidf", "txt_vocab",
                              "txt_lm_score", "txt_sample_stratified",
+                             "txt_classify", "txt_boilerplate",
+                             "txt_chunk", "txt_pack_sequences",
+                             "txt_bpe_merges", "dedup_substring",
+                             "dedup_incremental",
                              "mm_decode_stub", "decode_media"])
     ap.add_argument("--input", required=True,
                     help="documents-shaped parquet (doc_id, text, ...); "
@@ -92,6 +103,13 @@ def main() -> None:
                 "txt_vocab": dp.txt_vocab,
                 "txt_lm_score": dp.txt_lm_score,
                 "txt_sample_stratified": dp.txt_sample_stratified,
+                "txt_classify": dp.txt_classify,
+                "txt_boilerplate": dp.txt_boilerplate,
+                "txt_chunk": dp.txt_chunk,
+                "txt_pack_sequences": dp.txt_pack_sequences,
+                "txt_bpe_merges": dp.txt_bpe_merges,
+                "dedup_substring": dp.dedup_substring,
+                "dedup_incremental": dp.dedup_incremental,
                 "mm_decode_stub": dp.mm_decode_stub,
             }[args.op]
             out_df = fn(spark, "")
