@@ -2639,7 +2639,13 @@ def _bpe_pair_counts(seqs: DataFrame) -> DataFrame:
     One explode + one map-side-combinable groupBy — the whole per-
     iteration shuffle; at web scale the input is the DISTINCT-word table
     (vocabulary-sized, not corpus-sized), so each merge round is cheap."""
-    toks = seqs.select("cnt", F.split(F.trim("seq"), "  ").alias("tk"))
+    # single-symbol sequences (a word fully merged, e.g. 'a'+'</w>' after
+    # merge (a, </w>)) contribute no pairs — and MUST be filtered before
+    # indexing: sequence(0, size-2) DESCENDS for size==1 ([0, -1]) and
+    # tk[1] throws under ANSI mode
+    toks = seqs.select(
+        "cnt", F.split(F.trim("seq"), "  ").alias("tk")
+    ).filter(F.size("tk") >= 2)
     pairs = toks.select(
         "cnt",
         F.explode(
@@ -2711,8 +2717,16 @@ def txt_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train(_docs(spark, sf), BPE_MERGES).orderBy("step")
 
 
-def txt_bpe_merges_sql() -> str:
-    k = [""]  # rendered CTE pieces
+def _bpe_train_ctes(n_merges: int) -> str:
+    """The shared merge-training CTE chain (words → seq0 → pairs/best/seq
+    per round) both txt_bpe_merges_sql and txt_bpe_encode_sql compose —
+    a named helper, not string surgery on a rendered query, so a change
+    to either final SELECT can't silently corrupt the other oracle.
+    best{{i}} is MATERIALIZED: the encode oracle references every best
+    twice (apply chain + final), and DuckDB inlines multiply-referenced
+    CTEs, which re-evaluates the whole history-dependent prefix per
+    reference (the graph_scc exponential-inlining lesson)."""
+    k = []
 
     def pair_cte(i: int) -> str:
         return f"""pairs{i} AS (
@@ -2724,7 +2738,7 @@ def txt_bpe_merges_sql() -> str:
           FROM (SELECT cnt, string_split(trim(seq), '  ') AS tk
                 FROM seq{i - 1}))
         GROUP BY u.lhs, u.rhs),
-      best{i} AS (
+      best{i} AS MATERIALIZED (
         SELECT lhs, rhs, pc FROM pairs{i}
         ORDER BY pc DESC, lhs, rhs LIMIT 1)"""
 
@@ -2735,17 +2749,12 @@ def txt_bpe_merges_sql() -> str:
                        ' ' || p.lhs || p.rhs || ' ') AS seq
         FROM seq{i - 1} s CROSS JOIN best{i} p)"""
 
-    for i in range(1, BPE_MERGES + 1):
+    for i in range(1, n_merges + 1):
         k.append(pair_cte(i))
-        if i < BPE_MERGES:
+        if i < n_merges:
             k.append(apply_cte(i))
-    ctes = ",\n      ".join(k[1:])
-    finals = "\n      UNION ALL ".join(
-        f"SELECT {i} AS step, lhs, rhs, pc AS pair_count FROM best{i}"
-        for i in range(1, BPE_MERGES + 1)
-    )
-    return f"""
-      WITH words AS (
+    ctes = ",\n      ".join(k)
+    return f"""words AS (
         SELECT word, count(*) AS cnt FROM (
           SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         GROUP BY word),
@@ -2755,8 +2764,135 @@ def txt_bpe_merges_sql() -> str:
                  list_append(string_split(word, ''), '{BPE_EOW}'), '  ')
                || ' ' AS seq
         FROM words),
-      {ctes}
+      {ctes}"""
+
+
+def txt_bpe_merges_sql() -> str:
+    finals = "\n      UNION ALL ".join(
+        f"SELECT {i} AS step, lhs, rhs, pc AS pair_count FROM best{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+      WITH {_bpe_train_ctes(BPE_MERGES)}
       SELECT * FROM ({finals}) ORDER BY step
+    """
+
+
+# ------------------------------------------------------------- BPE encode --
+
+def bpe_encode(docs: DataFrame, merges: DataFrame, n_merges: int) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus — the ENCODE half of
+    the tokenizer lifecycle bpe_train() is the TRAIN half of (the same
+    train→serve pairing as the k-means IVF trainer + trained-IVF probe).
+
+    The whole document is rendered as ONE symbol stream in the
+    double-space encoding (per-word char split + {BPE_EOW}, word streams
+    concatenated). Concatenation is SAFE: the boundary pair is always
+    (x{BPE_EOW}, first-symbol-of-next-word), and no trained merge's lhs
+    can end with {BPE_EOW} — the end-of-word marker is word-final by
+    construction, so any symbol containing it is word-final too and
+    never has a within-word right neighbour during training. Hence every
+    merge replace() on the doc stream rewrites exactly the same
+    occurrences as per-word application (property-tested vs a pure-Python
+    reference encoder, including the 'a b' two-word vs 'ab' one-word
+    discrimination).
+
+    Merges apply in training order (each replace sees the previous
+    round's stream — later merges may consume earlier merges' output
+    symbols). Each merge row arrives as a 1-row broadcast join, never a
+    collect; at web scale the trained merge table is tokenizer-sized
+    (30-50k rows) and the production loop would batch it through the
+    same localCheckpoint-every-8 discipline as bpe_train.
+
+    Output per doc: token count, tokens-per-word in exact milli units,
+    and md5 of the final stream — the value hash certifies every merge
+    was applied at every position of every document."""
+    stream = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "),
+            F.expr(
+                "array_join(transform(split(text, ' '), w -> "
+                f"array_join(concat(split(w, ''), array('{BPE_EOW}')), "
+                "'  ')), '  ')"
+            ),
+            F.lit(" "),
+        ).alias("s"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+    )
+    for i in range(1, n_merges + 1):
+        b = (
+            merges.filter(F.col("step") == i)
+            .select(F.col("lhs").alias("_l"), F.col("rhs").alias("_r"))
+            .withColumn("_one", F.lit(1))
+        )
+        stream = (
+            stream.withColumn("_one", F.lit(1))
+            .join(F.broadcast(b), "_one")
+            .select(
+                "doc_id", "n_words",
+                F.expr(
+                    "replace(s, ' ' || _l || '  ' || _r || ' ', "
+                    "' ' || _l || _r || ' ')"
+                ).alias("s"),
+            )
+        )
+        if i % 8 == 0:
+            stream = stream.localCheckpoint(eager=False)
+    return stream.select(
+        "doc_id",
+        "n_words",
+        F.size(F.split(F.trim("s"), "  ")).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "(size(split(trim(s), '  ')) * cast(1000 as bigint)) div n_words"
+        ).alias("tokens_per_word_milli"),
+        F.md5("s").alias("tok_fp"),
+    )
+
+
+def txt_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: train BPE_MERGES merges on the documents corpus IN-PLAN
+    (the txt_bpe_merges chain) and encode the same corpus with them —
+    end-to-end train→encode under one value hash, so a wrong merge, a
+    wrong application order, or a single missed occurrence in any
+    document fails the key."""
+    docs = _docs(spark, sf)
+    return (
+        bpe_encode(docs, bpe_train(docs, BPE_MERGES), BPE_MERGES)
+        .orderBy("doc_id")
+    )
+
+
+def txt_bpe_encode_sql() -> str:
+    rep = "s.s"
+    for i in range(1, BPE_MERGES + 1):
+        rep = (
+            f"replace({rep}, ' ' || b{i}.lhs || '  ' || b{i}.rhs || ' ', "
+            f"' ' || b{i}.lhs || b{i}.rhs || ' ')"
+        )
+    crosses = " ".join(
+        f"CROSS JOIN best{i} b{i}" for i in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+      WITH {_bpe_train_ctes(BPE_MERGES)},
+      seq_docs AS (
+        SELECT doc_id,
+               ' ' || array_to_string(list_transform(
+                 string_split(text, ' '),
+                 w -> array_to_string(
+                   list_append(string_split(w, ''), '{BPE_EOW}'), '  ')),
+                 '  ') || ' ' AS s,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM documents),
+      enc AS (
+        SELECT s.doc_id, s.n_words, {rep} AS s
+        FROM seq_docs s {crosses})
+      SELECT doc_id, n_words,
+             CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_tokens,
+             CAST(len(string_split(trim(s), '  ')) AS BIGINT) * 1000
+               // n_words AS tokens_per_word_milli,
+             md5(s) AS tok_fp
+      FROM enc ORDER BY doc_id
     """
 
 
@@ -4505,6 +4641,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tfidf": txt_tfidf,
         "txt_vocab": txt_vocab,
         "txt_bpe_merges": txt_bpe_merges,
+        "txt_bpe_encode": txt_bpe_encode,
         "txt_lm_score": txt_lm_score,
         "txt_sample_stratified": txt_sample_stratified,
         "txt_classify": txt_classify,
@@ -4556,6 +4693,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_tfidf": txt_tfidf_sql(),
         "txt_vocab": txt_vocab_sql(),
         "txt_bpe_merges": txt_bpe_merges_sql(),
+        "txt_bpe_encode": txt_bpe_encode_sql(),
         "txt_lm_score": txt_lm_score_sql(),
         "txt_sample_stratified": txt_sample_stratified_sql(),
         "txt_classify": txt_classify_sql(),

@@ -620,6 +620,69 @@ def test_bpe_train_on_real_corpus_prefix_stable(spark):
     assert m5[:3] == m3
 
 
+def _bpe_reference_encode(texts, merges):
+    """Pure-Python encode with a trained merge list: per word, char split
+    + </w>, then each merge applied greedy left-to-right IN TRAINING
+    ORDER — the per-word semantics the doc-stream replace() must equal."""
+    out = []
+    for t in texts:
+        syms = []
+        for w in t.split(" "):
+            s = list(w) + ["</w>"]
+            for a, b, _ in merges:
+                nxt, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        nxt.append(a + b)
+                        i += 2
+                    else:
+                        nxt.append(s[i])
+                        i += 1
+                s = nxt
+            syms.extend(s)
+        out.append(syms)
+    return out
+
+
+def test_bpe_encode_matches_single_node_reference(spark):
+    """Distributed train→encode == pure-Python train→encode, token for
+    token (via the stream md5). The corpus plants the cross-word trap:
+    after (a, n) and (an, a) train as merges, 'ban ana' (two words) must
+    NOT fuse across the boundary while 'banana' (one word) does — the
+    lhs-never-ends-with-</w> safety argument, exercised."""
+    import hashlib
+
+    from mxsparkg.datapipe import bpe_encode, bpe_train
+
+    texts = [
+        "banana bandana banana banana",
+        "ban ana ban ana banana",
+        "low lower lowest low low",
+        "a b ab ab ab aaa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    n = 5
+    merges = _bpe_reference(texts, n)
+    want_rows = []
+    for i, syms in enumerate(_bpe_reference_encode(texts, merges)):
+        stream = " " + "  ".join(syms) + " "
+        want_rows.append(
+            (i, len(syms), hashlib.md5(stream.encode()).hexdigest())
+        )
+    got = [
+        (r.doc_id, r.n_tokens, r.tok_fp)
+        for r in bpe_encode(docs, bpe_train(docs, n), n)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == want_rows
+    # the trap is live: 'an'+'a' merged within 'banana' but doc 1's
+    # two-word 'ban ana' keeps its boundary (more tokens than one word)
+    assert ("a", "n") in [(a, b) for a, b, _ in merges]
+
+
 def test_dedup_cluster_merges_chains_and_keeps_reps(spark):
     """Near-dup relations chain: A≈B (last word dropped) and B≈C (first
     word also dropped) must land in ONE cluster even if A–C alone were
