@@ -596,25 +596,33 @@ def graph_minlabel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def graph_minlabel_sql() -> str:
+def _minlabel_ctes() -> tuple[str, str]:
+    """The shared sparsified-co-purchase + unrolled-propagation CTE chain
+    (li → e → sym → l0 → rounds), returned as (ctes, final_label_cte) —
+    composed by graph_minlabel_sql and graph_modularity_sql (the same
+    named-helper discipline as _bpe_train_ctes). `e` and the final round
+    are MATERIALIZED: the modularity oracle references each 2-3 times,
+    and DuckDB re-evaluates inlined multi-reference CTEs — for the
+    history-dependent propagation chain that is exponential (the
+    graph_scc lesson)."""
     rounds = []
     prev = "l0"
     for i in range(1, MINLABEL_ITERS + 1):
+        mat = " MATERIALIZED" if i == MINLABEL_ITERS else ""
         rounds.append(
             f"""nm{i} AS (
         SELECT e.dst AS src, min(p.label) AS nl
         FROM sym e JOIN {prev} p ON p.src = e.src GROUP BY e.dst),
-      l{i} AS (
+      l{i} AS{mat} (
         SELECT p.src, least(p.label, coalesce(m.nl, p.label)) AS label
         FROM {prev} p LEFT JOIN nm{i} m ON m.src = p.src)"""
         )
         prev = f"l{i}"
     chain = ",\n      ".join(rounds)
-    return f"""
-      WITH li AS (
+    ctes = f"""li AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-        WHERE l_orderkey % 50 = 0),
-      e AS (
+        WHERE l_orderkey % {MINLABEL_ORDER_MOD} = 0),
+      e AS MATERIALIZED (
         SELECT DISTINCT a.p AS u, b.p AS v
         FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
       sym AS (
@@ -622,9 +630,130 @@ def graph_minlabel_sql() -> str:
         UNION ALL SELECT v AS src, u AS dst FROM e),
       nodes AS (SELECT DISTINCT src FROM sym),
       l0 AS (SELECT src, src AS label FROM nodes),
-      {chain}
-      SELECT label, count(*) AS n_members FROM {prev}
+      {chain}"""
+    return ctes, prev
+
+
+def graph_minlabel_sql() -> str:
+    ctes, fin = _minlabel_ctes()
+    return f"""
+      WITH {ctes}
+      SELECT label, count(*) AS n_members FROM {fin}
       GROUP BY label ORDER BY n_members DESC, label LIMIT 20
+    """
+
+
+def modularity_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Exact integer Newman modularity of a community assignment over
+    oriented distinct (u, v) edges — the quality score that turns G5's
+    label propagation into a MEASURED community detector (is this
+    partition better than that one?).
+
+    Q = Σ_c [e_c/m − (d_c/2m)²] is all ratios, and float division is
+    engine- and partition-order-dependent — so, as with the integer-mass
+    PageRank, the score is kept EXACT by multiplying through by 4m²:
+    per community q_num_4m2 = 4·m·e_c − d_c² (bigint), and
+    Q = Σ q_num_4m2 / 4m² whenever a human wants the decimal. No
+    floating point, no division (q_num can be negative, and Spark's div
+    truncates toward zero while DuckDB's // floors — another reason the
+    quotient never appears in gated output), bit-identical at any
+    parallelism.
+
+    Scale posture: intra-edge counts are one edge⋈label⋈label hash join
+    (labels broadcast when they fit, AQE decides) + a map-side-combinable
+    groupBy; degree sums ride _endpoint_degrees' explode; m and the
+    global total are 1-row ride-alongs on a constant-key equi-join
+    (BHJ — never the interpreted BNLJ). `edges`/`labels`/the
+    per-community table are persisted: each is referenced 2-3 times
+    downstream."""
+    e = edges.select("u", "v").persist()
+    lab = labels.persist()
+    lu = lab.select(F.col("src").alias("u"), F.col("label").alias("lu"))
+    lv = lab.select(F.col("src").alias("v"), F.col("label").alias("lv"))
+    intra = (
+        e.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    deg = _endpoint_degrees(e)
+    comm = (
+        lab.join(deg, lab["src"] == deg["x"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    k = F.lit(1).alias("_k")
+    m = e.agg(F.count(F.lit(1)).alias("m_edges")).select(k, "m_edges")
+    per = (
+        comm.join(intra, "label", "left")
+        .select(
+            k,
+            "label", "n_members", "degree_sum",
+            F.coalesce("intra_edges", F.lit(0).cast("bigint")).alias(
+                "intra_edges"),
+        )
+        .join(F.broadcast(m), "_k")
+        .select(
+            "label", "n_members", "degree_sum", "intra_edges", "m_edges",
+            F.expr(
+                "4 * m_edges * intra_edges - degree_sum * degree_sum"
+            ).alias("q_num_4m2"),
+        )
+        .persist()
+    )
+    total = per.agg(
+        F.sum("q_num_4m2").cast("bigint").alias("q_total_4m2")
+    ).select(k, "q_total_4m2")
+    return (
+        per.select(k, "*")
+        .join(F.broadcast(total), "_k")
+        .drop("_k")
+        .orderBy(F.col("n_members").desc(), "label")
+        .limit(20)
+    )
+
+
+def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: integer modularity of the 3-round min-label communities
+    on the sparsified co-purchase graph — top-20 communities by size with
+    their exact per-community numerators plus the partition-wide total
+    (computed over ALL communities BEFORE the limit, so the value hash
+    certifies the full sum, not just the visible rows)."""
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    lab = minlabel_propagate(_symmetrize(und, "u", "v"), iters=MINLABEL_ITERS)
+    return modularity_stats(und, lab)
+
+
+def graph_modularity_sql() -> str:
+    ctes, fin = _minlabel_ctes()
+    return f"""
+      WITH {ctes},
+      deg AS (SELECT src AS x, count(*) AS d FROM sym GROUP BY src),
+      comm AS (
+        SELECT p.label, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(d.d) AS BIGINT) AS degree_sum
+        FROM {fin} p JOIN deg d ON d.x = p.src GROUP BY p.label),
+      intra AS (
+        SELECT a.label, CAST(count(*) AS BIGINT) AS intra_edges
+        FROM e JOIN {fin} a ON a.src = e.u JOIN {fin} b ON b.src = e.v
+        WHERE a.label = b.label GROUP BY a.label),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e),
+      per AS MATERIALIZED (
+        SELECT c.label, c.n_members, c.degree_sum,
+               CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+               m.m_edges,
+               4 * m.m_edges * CAST(COALESCE(i.intra_edges, 0) AS BIGINT)
+                 - c.degree_sum * c.degree_sum AS q_num_4m2
+        FROM comm c LEFT JOIN intra i ON i.label = c.label CROSS JOIN m)
+      SELECT p.label, p.n_members, p.degree_sum, p.intra_edges, p.m_edges,
+             p.q_num_4m2, t.q_total_4m2
+      FROM per p CROSS JOIN (
+        SELECT CAST(sum(q_num_4m2) AS BIGINT) AS q_total_4m2 FROM per) t
+      ORDER BY n_members DESC, label LIMIT 20
     """
 
 
@@ -1486,6 +1615,7 @@ def graphquery_queries() -> dict:
         "kg_ppr": kg_ppr,
         "graph_triangles": graph_triangles,
         "graph_minlabel": graph_minlabel,
+        "graph_modularity": graph_modularity,
         "graph_kcore": graph_kcore,
         "graph_bfs": graph_bfs,
         "graph_sssp": graph_sssp,
@@ -1502,6 +1632,7 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "kg_ppr": kg_ppr_sql(),
         "graph_triangles": graph_triangles_sql(),
         "graph_minlabel": graph_minlabel_sql(),
+        "graph_modularity": graph_modularity_sql(),
         "graph_kcore": graph_kcore_sql(),
         "graph_bfs": graph_bfs_sql(),
         "graph_sssp": graph_sssp_sql(),

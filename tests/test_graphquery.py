@@ -478,3 +478,61 @@ def test_scc_gate_digraph_is_converged_and_partition_invariant(spark):
     }
     assert base == extra == rep
     assert max(s for _, s in base.values()) >= 2  # real multi-node SCCs
+
+
+def test_modularity_exact_on_two_triangles_bridge(spark):
+    """The textbook case: two triangles joined by one bridge edge, each
+    triangle its own community. m=7; per triangle e_c=3 and d_c=7, so
+    q_num_4m2 = 4*7*3 - 49 = 35 each, Q = 70/196 = 0.357... — checked in
+    exact integer units, plus the bridge must appear in NO community's
+    intra count."""
+    from mxsparkg.graphquery import modularity_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        ["u", "v"],
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        ["src", "label"],
+    )
+    rows = {
+        r.label: r
+        for r in modularity_stats(edges, labels).collect()
+    }
+    assert set(rows) == {10, 20}
+    for lbl in (10, 20):
+        r = rows[lbl]
+        assert (r.n_members, r.degree_sum, r.intra_edges, r.m_edges) == (
+            3, 7, 3, 7)
+        assert r.q_num_4m2 == 4 * 7 * 3 - 7 * 7 == 35
+        assert r.q_total_4m2 == 70  # Q = 70 / (4*49) ≈ 0.357
+    # ... and a WORSE partition scores lower: everything in one community
+    one = spark.createDataFrame(
+        [(i, 1) for i in range(1, 7)], ["src", "label"]
+    )
+    total_one = modularity_stats(edges, one).collect()[0].q_total_4m2
+    assert total_one == 4 * 7 * 7 - 14 * 14  # = 0: all-in-one is Q=0
+    assert total_one < 70
+
+
+def test_modularity_gate_key_partition_invariant(spark):
+    """graph_modularity's exact integer output must be bit-identical
+    under input repartitioning — the determinism claim the integer
+    formulation exists for."""
+    from mxsparkg.graphquery import (
+        MINLABEL_ITERS, MINLABEL_ORDER_MOD, _copurchase_edges, _symmetrize,
+        minlabel_propagate, modularity_stats)
+
+    sf = "/root/testdata/sf0.001"
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    lab = minlabel_propagate(_symmetrize(und, "u", "v"),
+                             iters=MINLABEL_ITERS)
+    a = [tuple(r) for r in modularity_stats(und, lab).collect()]
+    b = [
+        tuple(r)
+        for r in modularity_stats(
+            und.repartition(13), lab.repartition(7)
+        ).collect()
+    ]
+    assert a == b and len(a) > 0
