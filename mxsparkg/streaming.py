@@ -259,6 +259,40 @@ def streaming_edge_support(
     )
 
 
+def streaming_content_dedup(
+    pages: DataFrame,
+    base_digests: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The streaming form of datapipe.dedup_incremental: a continuous
+    crawl feed deduplicated by CONTENT against (a) the digest index of
+    the already-ingested corpus and (b) itself across micro-batches.
+
+    Two layers, each the scale-appropriate mechanism:
+    - the corpus index is a STATIC table (maintained by the X8 delta
+      applier between stream restarts), joined stream-static LEFT ANTI —
+      per micro-batch Spark plans a plain hash join against it, no
+      streaming state at all, so the already-ingested side can be
+      arbitrarily large (it shuffles/broadcasts by the join's own rules,
+      with the join_bloom runtime filter as the standard accelerant);
+    - re-fetches of the SAME NEW content within the stream (two crawlers
+      hitting mirrored urls minutes apart) are dropped with
+      dropDuplicatesWithinWatermark on the digest — watermark-bounded
+      state, unlike dropDuplicates on a non-event-time key which grows
+      forever (the dedup_late_fetches lesson).
+
+    Emits the fetches that are genuinely new content — exactly the rows
+    dedup_incremental's batch form keeps (stream == batch asserted in
+    tests/test_streaming.py, including the cross-micro-batch case)."""
+    d = pages.withColumn("digest", F.md5("text"))
+    fresh = d.join(
+        base_digests.select("digest").distinct(), "digest", "left_anti"
+    )
+    return fresh.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["digest"]
+    )
+
+
 def hourly_ingest_stats(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling-window ingest metrics (streaming-native agg): pages and
     hosts per hour of crawl time, watermark-bounded."""

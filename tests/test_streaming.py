@@ -304,3 +304,84 @@ def test_stateful_sessions_match_batch_minus_open(spark):
         # final session stays OPEN (not emitted: watermark never reaches it)
         expected.update(sessions)
     assert got == expected, (sorted(got), sorted(expected))
+
+
+def test_streaming_content_dedup_matches_batch_incremental(spark):
+    """streaming_content_dedup == the batch dedup_incremental keep-set on
+    the same data: base-corpus content is dropped by the stream-static
+    anti join, a re-fetch of NEW content in a LATER micro-batch is
+    dropped by the watermark-bounded digest state, and each new content
+    survives exactly once."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from mxsparkg.streaming import PAGES_SCHEMA, streaming_content_dedup
+
+    base_t = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def page(url, text, minutes):
+        return (url, base_t + dt.timedelta(minutes=minutes), None, text, "en")
+
+    # already-ingested corpus: two documents
+    base = spark.createDataFrame(
+        [("b1", "shared boilerplate page"), ("b2", "old corpus doc")],
+        ["doc_id", "text"],
+    ).select("doc_id", F.md5("text").alias("digest"))
+
+    # micro-batch 1: one re-fetch of base content, two new docs
+    mb1 = [
+        page("u1", "shared boilerplate page", 0),   # dup of base b1 -> drop
+        page("u2", "fresh doc alpha", 1),            # new -> keep
+        page("u3", "fresh doc beta", 2),             # new -> keep
+    ]
+    # micro-batch 2: re-fetch of mb1's new content + one more new doc
+    mb2 = [
+        page("u4", "fresh doc alpha", 10),           # dup of u2 -> drop
+        page("u5", "old corpus doc", 11),            # dup of base b2 -> drop
+        page("u6", "fresh doc gamma", 12),           # new -> keep
+    ]
+    src = f"{ROOT}/incdedup_src"
+    shutil.rmtree(src, ignore_errors=True)
+    for rows in (mb1, mb2):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    # maxFilesPerTrigger=1 forces the two files into separate micro-batches,
+    # so the u2/u4 duplicate pair genuinely crosses a state-store boundary
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_content_dedup(stream, base)
+        .writeStream.format("memory")
+        .queryName("inc_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", f"{ROOT}/incdedup_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.text for r in spark.sql("SELECT text FROM inc_dedup").collect()
+    )
+    assert got == ["fresh doc alpha", "fresh doc beta", "fresh doc gamma"]
+    # batch equivalence: same keep-set as a batch anti-join + first-per-digest
+    all_pages = spark.read.parquet(src)
+    batch_keep = sorted(
+        r.text
+        for r in all_pages.withColumn("digest", F.md5("text"))
+        .join(base.select("digest"), "digest", "left_anti")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("digest").orderBy("warc_ts", "url")
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    assert got == batch_keep
