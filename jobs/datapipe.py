@@ -26,6 +26,8 @@ ops:
   txt_chunk            overlapping token-window chunk manifest
   txt_pack_sequences   sequence-packing manifest (per-shard offsets)
   txt_bpe_merges       distributed BPE merge training (fixed unroll)
+  bpe_encode           train --merges merges, then encode the corpus
+                       (per-doc token counts + stream digest)
   dedup_substring      cross-doc duplicated-run strip manifest
   dedup_incremental    new-shard dedup vs the base corpus digest index
   mm_decode_stub       multimodal decode-stub features
@@ -58,14 +60,17 @@ def main() -> None:
                              "txt_lm_score", "txt_sample_stratified",
                              "txt_classify", "txt_boilerplate",
                              "txt_chunk", "txt_pack_sequences",
-                             "txt_bpe_merges", "dedup_substring",
-                             "dedup_incremental",
+                             "txt_bpe_merges", "bpe_encode",
+                             "dedup_substring", "dedup_incremental",
                              "mm_decode_stub", "decode_media"])
     ap.add_argument("--input", required=True,
                     help="documents-shaped parquet (doc_id, text, ...); "
                          "for decode_media a (doc_id, media binary) parquet")
     ap.add_argument("--out", required=True)
     ap.add_argument("--min-est-jaccard", type=float, default=0.5)
+    ap.add_argument("--merges", type=int, default=None,
+                    help="bpe_encode: number of merges to train (default "
+                         "the gate constant BPE_MERGES)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -87,6 +92,11 @@ def main() -> None:
             out_df = dp.minhash_candidate_pairs(sig, args.min_est_jaccard)
         elif args.op == "decode_media":
             out_df = dp.decode_media(docs)
+        elif args.op == "bpe_encode":
+            n_merges = args.merges or dp.BPE_MERGES
+            out_df = dp.bpe_encode(
+                docs, dp.bpe_train(docs, n_merges), n_merges
+            )
         else:
             fn = {
                 "dedup_exact": dp.dedup_exact,

@@ -13,6 +13,9 @@ ops:
   scc         strongly connected components of the DIRECTED subj→obj graph
               (sameAs/redirect cycle discovery; bounded doubling closure
               with a runtime convergence witness — see graphquery.scc_bounded)
+  modularity  exact integer modularity of --iters-round min-label
+              communities on the undirected subj/obj graph — per-community
+              q_num_4m2 plus the global total (see modularity_stats)
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -31,7 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
-                    choices=["salience", "triangles", "components", "scc"])
+                    choices=["salience", "triangles", "components", "scc",
+                             "modularity"])
     ap.add_argument("--edges", required=True,
                     help="pipeline edges parquet (subj, pred, obj, n_support)")
     ap.add_argument("--nodes", default=None,
@@ -75,6 +79,19 @@ def main() -> None:
             .distinct(),
             rounds=args.iters,
         )
+    elif args.op == "modularity":
+        und = (
+            edges.select(
+                F.least("subj", "obj").alias("u"),
+                F.greatest("subj", "obj").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        lab = gq.minlabel_propagate(
+            gq._symmetrize(und, "u", "v"), iters=args.iters
+        )
+        out_df = gq.modularity_stats(und, lab, top_k=args.top_k)
     else:
         out_df = gq.kg_components(edges)
     out_df.write.mode("overwrite").parquet(args.out)

@@ -643,7 +643,9 @@ def graph_minlabel_sql() -> str:
     """
 
 
-def modularity_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def modularity_stats(
+    edges: DataFrame, labels: DataFrame, top_k: int = 20
+) -> DataFrame:
     """Exact integer Newman modularity of a community assignment over
     oriented distinct (u, v) edges — the quality score that turns G5's
     label propagation into a MEASURED community detector (is this
@@ -713,7 +715,7 @@ def modularity_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .join(F.broadcast(total), "_k")
         .drop("_k")
         .orderBy(F.col("n_members").desc(), "label")
-        .limit(20)
+        .limit(top_k)
     )
 
 
