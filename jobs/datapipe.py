@@ -8,6 +8,8 @@ ops:
   dedup_exact          keeper per content hash
   dedup_minhash_pairs  MinHash+LSH near-dup candidate PAIRS (the actual
                        dedup decision table; bucket-join, never O(n²))
+  dedup_minhash_quality  estimate-vs-exact Jaccard calibration per
+                       candidate pair (tune --min-est-jaccard with this)
   dedup_simhash        16-bit fingerprints
   txt_quality          quality-score table (filtering input)
   txt_langid           language-ID table
@@ -53,6 +55,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
                     choices=["dedup_exact", "dedup_minhash_pairs",
+                             "dedup_minhash_quality",
                              "dedup_simhash", "txt_quality", "txt_langid",
                              "txt_winnow", "txt_repetition", "txt_redact",
                              "txt_tokens", "txt_fingerprint",
@@ -90,6 +93,8 @@ def main() -> None:
         if args.op == "dedup_minhash_pairs":
             sig = dp.minhash_signatures(docs)
             out_df = dp.minhash_candidate_pairs(sig, args.min_est_jaccard)
+        elif args.op == "dedup_minhash_quality":
+            out_df = dp.minhash_pair_quality(docs, args.min_est_jaccard)
         elif args.op == "decode_media":
             out_df = dp.decode_media(docs)
         elif args.op == "bpe_encode":

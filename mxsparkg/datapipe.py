@@ -356,7 +356,7 @@ def _minhash_pairs_ctes() -> str:
         FROM (SELECT doc_id, string_split(text, ' ') AS w
               FROM documents WHERE doc_id < 50)),
       toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
-      shingles AS (
+      shingles AS MATERIALIZED (
         SELECT DISTINCT doc_id, sh FROM (
           SELECT doc_id,
                  unnest(list_transform(range(1, len(w) - 1),
@@ -366,7 +366,7 @@ def _minhash_pairs_ctes() -> str:
       buckets AS ({bands}),
       ok AS (SELECT band_id, band_hash FROM buckets
              GROUP BY 1, 2 HAVING count(*) <= {MAX_LSH_BUCKET_SIZE}),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
                ({matches}) / {float(N_MINHASH)} AS est_jaccard
         FROM buckets a
@@ -381,6 +381,103 @@ def dedup_minhash_pairs_sql() -> str:
         "      SELECT a_id, b_id, est_jaccard FROM pairs"
         " WHERE est_jaccard >= 0.5"
     )
+
+
+def minhash_pair_quality(
+    docs: DataFrame, min_est_jaccard: float = 0.5
+) -> DataFrame:
+    """MinHash ESTIMATE vs EXACT shingle Jaccard per LSH candidate pair —
+    the calibration table a user tunes min_est_jaccard / the band config
+    with, extending the measurement discipline the ANN layer already has
+    (BENCH/ANN.md recall curves) to the dedup layer: an estimator you
+    never measure is an estimator you can't trust at a new corpus.
+
+    Exact Jaccard is computed ONLY for candidate pairs (|pairs| ≪ n²; the
+    quadratic risk stays inside the capped bucket join), as two integer
+    counts: n_common via a (pair ⋈ shingles ⋈ shingles) equi-join whose
+    work is Σ per-pair shingle counts, and n_union = |A| + |B| − n_common
+    from the per-doc size table. Every similarity is integer ppm —
+    est_ppm is exact because 8-hash agreement fractions are multiples of
+    1/8 (exactly representable, so the ×10⁶ cast is the same integer in
+    both engines); exact_ppm is a nonneg integer floor-division. err_ppm
+    = |est − exact| is the number the tuning decision reads."""
+    sh = _shingles(docs).persist()  # referenced 3x: sizes + both pair sides
+    sig = minhash_signatures(docs)
+    cand = minhash_candidate_pairs(
+        sig, min_est_jaccard=min_est_jaccard
+    ).persist()
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    common = (
+        cand.select("a_id", "b_id")
+        .join(sh.select(F.col("doc_id").alias("a_id"), "sh"), "a_id")
+        .join(
+            sh.select(F.col("doc_id").alias("b_id"), "sh"), ["b_id", "sh"]
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    out = (
+        cand.join(common, ["a_id", "b_id"])  # inner: est>=0.5 ⇒ n_common>=1
+        .join(sizes.select(F.col("doc_id").alias("a_id"),
+                           F.col("n").alias("n_a")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"),
+                           F.col("n").alias("n_b")), "b_id")
+        .select(
+            "a_id", "b_id",
+            (F.col("est_jaccard") * 1000000).cast("bigint").alias("est_ppm"),
+            "n_common",
+            (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias("n_union"),
+        )
+        .select(
+            "a_id", "b_id", "est_ppm", "n_common", "n_union",
+            F.expr("n_common * 1000000 div n_union").alias("exact_ppm"),
+        )
+        .select(
+            "*",
+            F.abs(F.col("est_ppm") - F.col("exact_ppm")).alias("err_ppm"),
+        )
+    )
+    return out.orderBy("a_id", "b_id")
+
+
+def dedup_minhash_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: minhash_pair_quality over documents + the deterministic
+    near-dup plants — every planted pair's estimate, exact Jaccard, and
+    error in exact ppm under one value hash."""
+    return minhash_pair_quality(_docs_with_plants(spark, sf))
+
+
+def dedup_minhash_quality_sql() -> str:
+    return f"""
+      WITH {_minhash_pairs_ctes()},
+      cand AS MATERIALIZED (
+        SELECT a_id, b_id, est_jaccard FROM pairs
+        WHERE est_jaccard >= 0.5),
+      sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM shingles GROUP BY doc_id),
+      common AS (
+        SELECT p.a_id, p.b_id, CAST(count(*) AS BIGINT) AS n_common
+        FROM cand p
+        JOIN shingles sa ON sa.doc_id = p.a_id
+        JOIN shingles sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+        GROUP BY p.a_id, p.b_id),
+      q AS (
+        SELECT c.a_id, c.b_id,
+               CAST(c.est_jaccard * 1000000 AS BIGINT) AS est_ppm,
+               m.n_common,
+               sa.n + sb.n - m.n_common AS n_union
+        FROM cand c
+        JOIN common m ON m.a_id = c.a_id AND m.b_id = c.b_id
+        JOIN sizes sa ON sa.doc_id = c.a_id
+        JOIN sizes sb ON sb.doc_id = c.b_id)
+      SELECT a_id, b_id, est_ppm, n_common, n_union,
+             n_common * 1000000 // n_union AS exact_ppm,
+             abs(est_ppm - n_common * 1000000 // n_union) AS err_ppm
+      FROM q ORDER BY a_id, b_id
+    """
 
 
 DEDUP_CLUSTER_ITERS = 3
@@ -4611,6 +4708,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon_dedup": url_canon_dedup,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_minhash_quality": dedup_minhash_quality,
         "dedup_cluster": dedup_cluster,
         "mm_decode_jpeg": mm_decode_jpeg,
         "ann_pq_codes": ann_pq_codes,
@@ -4663,6 +4761,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "url_canon_dedup": url_canon_dedup_sql(),
         "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
         "dedup_minhash_pairs": dedup_minhash_pairs_sql(),
+        "dedup_minhash_quality": dedup_minhash_quality_sql(),
         "dedup_cluster": dedup_cluster_sql(),
         "mm_decode_jpeg": mm_decode_jpeg_sql(),
         "ann_pq_codes": ann_pq_codes_sql(),

