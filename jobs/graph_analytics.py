@@ -16,6 +16,9 @@ ops:
   modularity  exact integer modularity of --iters-round min-label
               communities on the undirected subj/obj graph — per-community
               q_num_4m2 plus the global total (see modularity_stats)
+  linkpred    top --top-k predicted links: non-edges at distance 2 ranked
+              by common non-hub neighbors + exact-ppm Jaccard (the
+              structural complement to kg_tools --op predict)
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -35,7 +38,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
                     choices=["salience", "triangles", "components", "scc",
-                             "modularity"])
+                             "modularity", "linkpred"])
     ap.add_argument("--edges", required=True,
                     help="pipeline edges parquet (subj, pred, obj, n_support)")
     ap.add_argument("--nodes", default=None,
@@ -92,6 +95,16 @@ def main() -> None:
             gq._symmetrize(und, "u", "v"), iters=args.iters
         )
         out_df = gq.modularity_stats(und, lab, top_k=args.top_k)
+    elif args.op == "linkpred":
+        und = (
+            edges.select(
+                F.least("subj", "obj").alias("u"),
+                F.greatest("subj", "obj").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        out_df = gq.linkpred_common_neighbors(und, top_k=args.top_k)
     else:
         out_df = gq.kg_components(edges)
     out_df.write.mode("overwrite").parquet(args.out)

@@ -596,6 +596,22 @@ def graph_minlabel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _copurchase_ctes() -> str:
+    """The shared sparsified co-purchase CTEs (li → e → sym), `e`
+    MATERIALIZED (consumers reference it 2-3 times, and DuckDB
+    re-evaluates inlined multi-reference CTEs) — composed by the
+    minlabel/modularity chain and graph_linkpred_sql."""
+    return f"""li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey % {MINLABEL_ORDER_MOD} = 0),
+      e AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      sym AS (
+        SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v AS src, u AS dst FROM e)"""
+
+
 def _minlabel_ctes() -> tuple[str, str]:
     """The shared sparsified-co-purchase + unrolled-propagation CTE chain
     (li → e → sym → l0 → rounds), returned as (ctes, final_label_cte) —
@@ -619,15 +635,7 @@ def _minlabel_ctes() -> tuple[str, str]:
         )
         prev = f"l{i}"
     chain = ",\n      ".join(rounds)
-    ctes = f"""li AS (
-        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-        WHERE l_orderkey % {MINLABEL_ORDER_MOD} = 0),
-      e AS MATERIALIZED (
-        SELECT DISTINCT a.p AS u, b.p AS v
-        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
-      sym AS (
-        SELECT u AS src, v AS dst FROM e
-        UNION ALL SELECT v AS src, u AS dst FROM e),
+    ctes = f"""{_copurchase_ctes()},
       nodes AS (SELECT DISTINCT src FROM sym),
       l0 AS (SELECT src, src AS label FROM nodes),
       {chain}"""
@@ -756,6 +764,103 @@ def graph_modularity_sql() -> str:
       FROM per p CROSS JOIN (
         SELECT CAST(sum(q_num_4m2) AS BIGINT) AS q_total_4m2 FROM per) t
       ORDER BY n_members DESC, label LIMIT 20
+    """
+
+
+LINKPRED_WEDGE_CAP = 64
+LINKPRED_TOP = 50
+
+
+def linkpred_common_neighbors(
+    edges: DataFrame,
+    wedge_cap: int | None = LINKPRED_WEDGE_CAP,
+    top_k: int = LINKPRED_TOP,
+) -> DataFrame:
+    """Structural link prediction over oriented distinct (u, v) edges —
+    the classic common-neighbors / Jaccard heuristic: score every
+    NON-edge pair at distance 2 by how many neighbors it shares. The
+    structural complement to the TransE link predictor (X6): no training,
+    and the two disagree exactly where embeddings add value.
+
+    Candidate generation is the wedge join (same Σ deg(w)² shape as the
+    triangle census), with the house hub discipline: wedges CENTERED on
+    nodes with degree > wedge_cap are dropped via a map-side-combinable
+    degree count + broadcast anti-join before the self-join — a single
+    celebrity node would otherwise contribute deg² candidate rows while
+    adding near-zero signal (a shared hub neighbor is weak evidence by
+    definition). cn therefore counts common NON-HUB neighbors (documented
+    estimator, cap-tunable); deg_u/deg_v are true degrees, so jac_ppm =
+    cn·10⁶ div (deg_u + deg_v − cn) is a deterministic integer
+    lower-bound score. Existing edges are removed with a LEFT ANTI join
+    against the edge table itself."""
+    sym = _symmetrize(edges, "u", "v").persist()
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .persist()
+    )
+    wsrc = sym
+    if wedge_cap is not None:
+        hot = deg.filter(F.col("d") > wedge_cap).select("src")
+        wsrc = sym.join(F.broadcast(hot), "src", "left_anti")
+    e1 = wsrc.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    e2 = wsrc.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    cand = (
+        e1.join(e2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+        .join(edges.select("u", "v"), ["u", "v"], "left_anti")
+    )
+    return (
+        cand.join(
+            deg.select(F.col("src").alias("u"), F.col("d").alias("deg_u")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("src").alias("v"), F.col("d").alias("deg_v")),
+            "v",
+        )
+        .select(
+            "u", "v", "cn", "deg_u", "deg_v",
+            F.expr("cn * 1000000 div (deg_u + deg_v - cn)").alias("jac_ppm"),
+        )
+        .orderBy(F.col("cn").desc(), "u", "v")
+        .limit(top_k)
+    )
+
+
+def graph_linkpred(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: top-{LINKPRED_TOP} predicted links (non-edges ranked by
+    common non-hub neighbors, Jaccard in exact ppm) on the sparsified
+    co-purchase graph."""
+    return linkpred_common_neighbors(
+        _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    )
+
+
+def graph_linkpred_sql() -> str:
+    return f"""
+      WITH {_copurchase_ctes()},
+      deg AS MATERIALIZED (
+        SELECT src, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src),
+      cold AS MATERIALIZED (
+        SELECT s.src, s.dst FROM sym s
+        JOIN deg d ON d.src = s.src AND d.d <= {LINKPRED_WEDGE_CAP}),
+      cand AS (
+        SELECT a.dst AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS cn
+        FROM cold a JOIN cold b ON a.src = b.src AND a.dst < b.dst
+        GROUP BY a.dst, b.dst),
+      nonedge AS (
+        SELECT c.u, c.v, c.cn FROM cand c
+        LEFT JOIN e ON e.u = c.u AND e.v = c.v
+        WHERE e.u IS NULL)
+      SELECT n.u, n.v, n.cn, du.d AS deg_u, dv.d AS deg_v,
+             n.cn * 1000000 // (du.d + dv.d - n.cn) AS jac_ppm
+      FROM nonedge n
+      JOIN deg du ON du.src = n.u
+      JOIN deg dv ON dv.src = n.v
+      ORDER BY cn DESC, u, v LIMIT {LINKPRED_TOP}
     """
 
 
@@ -1618,6 +1723,7 @@ def graphquery_queries() -> dict:
         "graph_triangles": graph_triangles,
         "graph_minlabel": graph_minlabel,
         "graph_modularity": graph_modularity,
+        "graph_linkpred": graph_linkpred,
         "graph_kcore": graph_kcore,
         "graph_bfs": graph_bfs,
         "graph_sssp": graph_sssp,
@@ -1635,6 +1741,7 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_triangles": graph_triangles_sql(),
         "graph_minlabel": graph_minlabel_sql(),
         "graph_modularity": graph_modularity_sql(),
+        "graph_linkpred": graph_linkpred_sql(),
         "graph_kcore": graph_kcore_sql(),
         "graph_bfs": graph_bfs_sql(),
         "graph_sssp": graph_sssp_sql(),

@@ -536,3 +536,47 @@ def test_modularity_gate_key_partition_invariant(spark):
         ).collect()
     ]
     assert a == b and len(a) > 0
+
+
+def test_linkpred_square_graph_hand_values(spark):
+    """Square 1-2-3-4 (no diagonals): the only distance-2 non-edges are
+    the diagonals (1,3) and (2,4), each with BOTH opposite corners as
+    common neighbors (cn=2) and Jaccard 2/(2+2-2) = 1 exactly."""
+    from mxsparkg.graphquery import linkpred_common_neighbors
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (3, 4)], ["u", "v"]
+    )
+    rows = {
+        (r.u, r.v): r
+        for r in linkpred_common_neighbors(edges, wedge_cap=None).collect()
+    }
+    assert set(rows) == {(1, 3), (2, 4)}
+    for p, r in rows.items():
+        assert (r.cn, r.deg_u, r.deg_v, r.jac_ppm) == (2, 2, 2, 1000000)
+
+
+def test_linkpred_hub_cap_drops_celebrity_wedges(spark):
+    """A hub connected to everything manufactures distance-2 candidates
+    through itself; with the cap at its degree-1 those wedges vanish and
+    only the genuine square diagonals remain (scored on true degrees)."""
+    from mxsparkg.graphquery import linkpred_common_neighbors
+
+    sq = [(1, 2), (2, 3), (1, 4), (3, 4)]
+    hub = [(i, 9) for i in (1, 2, 3, 4)] + [(5, 9), (6, 9)]
+    edges = spark.createDataFrame(sq + hub, ["u", "v"])
+    uncapped = {
+        (r.u, r.v)
+        for r in linkpred_common_neighbors(edges, wedge_cap=None).collect()
+    }
+    # hub wedges create e.g. (1, 5) via center 9
+    assert (1, 5) in uncapped
+    capped = {
+        (r.u, r.v): r
+        for r in linkpred_common_neighbors(edges, wedge_cap=5).collect()
+    }
+    assert set(capped) == {(1, 3), (2, 4)}
+    for p, r in capped.items():
+        # cn counts non-hub common neighbors (2), degrees are TRUE (3)
+        assert (r.cn, r.deg_u, r.deg_v) == (2, 3, 3)
+        assert r.jac_ppm == 2 * 1000000 // (3 + 3 - 2)
