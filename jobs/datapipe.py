@@ -99,9 +99,7 @@ def main() -> None:
             out_df = dp.decode_media(docs)
         elif args.op == "bpe_encode":
             n_merges = args.merges or dp.BPE_MERGES
-            out_df = dp.bpe_encode(
-                docs, dp.bpe_train(docs, n_merges), n_merges
-            )
+            out_df = dp.bpe_encode(docs, dp.bpe_train(docs, n_merges))
         else:
             fn = {
                 "dedup_exact": dp.dedup_exact,

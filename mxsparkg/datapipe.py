@@ -2762,13 +2762,18 @@ def _bpe_pair_counts(seqs: DataFrame) -> DataFrame:
 def bpe_train(docs: DataFrame, n_merges: int) -> DataFrame:
     """Full distributed BPE merge training: returns the merge table
     (step, lhs, rhs, pair_count) for n_merges iterations. Each iteration
-    is one pair-count groupBy + one broadcast of the single winning pair
-    back onto the vocabulary table (1-row broadcast join on a constant
-    key — never a collect of corpus data; the winner row itself is the
-    only driver traffic, via the guarded limit(1)). Lineage grows one
-    replace() per merge; localCheckpoint every 8 merges keeps the plan
-    bounded for real vocabularies (the same Catalyst-depth discipline as
-    the TransE trainer)."""
+    is one pair-count groupBy; the single winning row comes back to the
+    DRIVER (one tiny row per round — the k-means-Lloyd driver-in-the-loop
+    shape, k×dim there, 1×3 here) and re-enters the plan as replace()
+    LITERALS. Literals, not a 1-row ride-along join: a constant-key join
+    constant-folds its condition away and Spark plans the INTERPRETED
+    BroadcastNestedLoopJoin — measured 36µs/row on the join_bloom
+    lifecycle, which over a vocabulary table every round is real money;
+    the literal replace stays inside whole-stage codegen. Lineage grows
+    one replace() per merge; localCheckpoint every 8 merges keeps the
+    plan bounded for real vocabularies (the same Catalyst-depth
+    discipline as the TransE trainer)."""
+    spark = docs.sparkSession
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -2776,33 +2781,30 @@ def bpe_train(docs: DataFrame, n_merges: int) -> DataFrame:
         .persist()  # every merge round's lineage re-enters here: scan once
     )
     seqs = _bpe_seq0(words)
-    out = None
+    merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
-        best = (
+        r = (
             _bpe_pair_counts(seqs)
             .orderBy(F.col("pc").desc(), "lhs", "rhs")
             .limit(1)
-            .select(
-                F.lit(step).alias("step"), "lhs", "rhs",
-                F.col("pc").alias("pair_count"),
-            )
+            .first()
         )
-        out = best if out is None else out.unionByName(best)
-        b = best.select("lhs", "rhs")
-        seqs = (
-            seqs.withColumn("_one", F.lit(1))
-            .join(F.broadcast(b.withColumn("_one", F.lit(1))), on="_one")
-            .select(
-                "cnt",
-                F.expr(
-                    "replace(seq, ' ' || lhs || '  ' || rhs || ' ', "
-                    "' ' || lhs || rhs || ' ')"
-                ).alias("seq"),
-            )
+        if r is None:  # vocabulary fully merged — nothing left to count
+            break
+        merges.append((step, r["lhs"], r["rhs"], int(r["pc"])))
+        seqs = seqs.select(
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {r['lhs']}  {r['rhs']} "),
+                F.lit(f" {r['lhs']}{r['rhs']} "),
+            ).alias("seq"),
         )
         if step % 8 == 0:
             seqs = seqs.localCheckpoint(eager=False)
-    return out
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count bigint"
+    )
 
 
 def txt_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
@@ -2877,7 +2879,7 @@ def txt_bpe_merges_sql() -> str:
 
 # ------------------------------------------------------------- BPE encode --
 
-def bpe_encode(docs: DataFrame, merges: DataFrame, n_merges: int) -> DataFrame:
+def bpe_encode(docs: DataFrame, merges: DataFrame) -> DataFrame:
     """Apply a trained BPE merge table to the corpus — the ENCODE half of
     the tokenizer lifecycle bpe_train() is the TRAIN half of (the same
     train→serve pairing as the k-means IVF trainer + trained-IVF probe).
@@ -2896,14 +2898,22 @@ def bpe_encode(docs: DataFrame, merges: DataFrame, n_merges: int) -> DataFrame:
 
     Merges apply in training order (each replace sees the previous
     round's stream — later merges may consume earlier merges' output
-    symbols). Each merge row arrives as a 1-row broadcast join, never a
-    collect; at web scale the trained merge table is tokenizer-sized
-    (30-50k rows) and the production loop would batch it through the
-    same localCheckpoint-every-8 discipline as bpe_train.
+    symbols) as a guarded_collect of the model-sized merge table (the
+    broadcast-a-model pattern: same as the detection trie and the
+    k-means centroids) folded into LITERAL replace() calls — all
+    whole-stage codegen over the corpus; a per-merge 1-row ride-along
+    join would constant-fold into the interpreted
+    BroadcastNestedLoopJoin on every corpus row. Real 30-50k-merge
+    tokenizers don't chain 50k replaces: production swaps the expression
+    chain for an Arrow-batched pandas UDF holding the compiled merge
+    ranks (mapInPandas, model broadcast), plan shape otherwise unchanged.
 
     Output per doc: token count, tokens-per-word in exact milli units,
     and md5 of the final stream — the value hash certifies every merge
     was applied at every position of every document."""
+    from mxsparkg.mining import guarded_collect
+
+    rows = guarded_collect(merges.orderBy("step"), "bpe merge table")
     stream = docs.select(
         "doc_id",
         F.concat(
@@ -2917,25 +2927,14 @@ def bpe_encode(docs: DataFrame, merges: DataFrame, n_merges: int) -> DataFrame:
         ).alias("s"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
     )
-    for i in range(1, n_merges + 1):
-        b = (
-            merges.filter(F.col("step") == i)
-            .select(F.col("lhs").alias("_l"), F.col("rhs").alias("_r"))
-            .withColumn("_one", F.lit(1))
+    col = F.col("s")
+    for r in rows:
+        col = F.replace(
+            col,
+            F.lit(f" {r['lhs']}  {r['rhs']} "),
+            F.lit(f" {r['lhs']}{r['rhs']} "),
         )
-        stream = (
-            stream.withColumn("_one", F.lit(1))
-            .join(F.broadcast(b), "_one")
-            .select(
-                "doc_id", "n_words",
-                F.expr(
-                    "replace(s, ' ' || _l || '  ' || _r || ' ', "
-                    "' ' || _l || _r || ' ')"
-                ).alias("s"),
-            )
-        )
-        if i % 8 == 0:
-            stream = stream.localCheckpoint(eager=False)
+    stream = stream.select("doc_id", "n_words", col.alias("s"))
     return stream.select(
         "doc_id",
         "n_words",
@@ -2948,16 +2947,13 @@ def bpe_encode(docs: DataFrame, merges: DataFrame, n_merges: int) -> DataFrame:
 
 
 def txt_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
-    """Gate key: train BPE_MERGES merges on the documents corpus IN-PLAN
-    (the txt_bpe_merges chain) and encode the same corpus with them —
+    """Gate key: train BPE_MERGES merges on the documents corpus (the
+    txt_bpe_merges chain) and encode the same corpus with them —
     end-to-end train→encode under one value hash, so a wrong merge, a
     wrong application order, or a single missed occurrence in any
     document fails the key."""
     docs = _docs(spark, sf)
-    return (
-        bpe_encode(docs, bpe_train(docs, BPE_MERGES), BPE_MERGES)
-        .orderBy("doc_id")
-    )
+    return bpe_encode(docs, bpe_train(docs, BPE_MERGES)).orderBy("doc_id")
 
 
 def txt_bpe_encode_sql() -> str:

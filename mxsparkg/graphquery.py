@@ -672,10 +672,13 @@ def modularity_stats(
     Scale posture: intra-edge counts are one edge⋈label⋈label hash join
     (labels broadcast when they fit, AQE decides) + a map-side-combinable
     groupBy; degree sums ride _endpoint_degrees' explode; m and the
-    global total are 1-row ride-alongs on a constant-key equi-join
-    (BHJ — never the interpreted BNLJ). `edges`/`labels`/the
-    per-community table are persisted: each is referenced 2-3 times
-    downstream."""
+    global total come back to the driver as ONE bigint each and re-enter
+    as literals — a constant-key 1-row ride-along join constant-folds
+    its condition away and plans the INTERPRETED
+    BroadcastNestedLoopJoin over every probe row (the join_bloom
+    lifecycle lesson; the community table is node-scale in the
+    all-singletons worst case). `edges`/`labels`/the per-community table
+    are persisted: each is referenced 2-3 times downstream."""
     e = edges.select("u", "v").persist()
     lab = labels.persist()
     lu = lab.select(F.col("src").alias("u"), F.col("label").alias("lu"))
@@ -696,32 +699,27 @@ def modularity_stats(
             F.sum("d").cast("bigint").alias("degree_sum"),
         )
     )
-    k = F.lit(1).alias("_k")
-    m = e.agg(F.count(F.lit(1)).alias("m_edges")).select(k, "m_edges")
+    m_edges = int(e.agg(F.count(F.lit(1))).first()[0])
     per = (
         comm.join(intra, "label", "left")
         .select(
-            k,
             "label", "n_members", "degree_sum",
             F.coalesce("intra_edges", F.lit(0).cast("bigint")).alias(
                 "intra_edges"),
         )
-        .join(F.broadcast(m), "_k")
         .select(
-            "label", "n_members", "degree_sum", "intra_edges", "m_edges",
+            "label", "n_members", "degree_sum", "intra_edges",
+            F.lit(m_edges).cast("bigint").alias("m_edges"),
             F.expr(
-                "4 * m_edges * intra_edges - degree_sum * degree_sum"
+                f"4 * cast({m_edges} as bigint) * intra_edges"
+                " - degree_sum * degree_sum"
             ).alias("q_num_4m2"),
         )
         .persist()
     )
-    total = per.agg(
-        F.sum("q_num_4m2").cast("bigint").alias("q_total_4m2")
-    ).select(k, "q_total_4m2")
+    q_total = int(per.agg(F.sum("q_num_4m2")).first()[0] or 0)
     return (
-        per.select(k, "*")
-        .join(F.broadcast(total), "_k")
-        .drop("_k")
+        per.withColumn("q_total_4m2", F.lit(q_total).cast("bigint"))
         .orderBy(F.col("n_members").desc(), "label")
         .limit(top_k)
     )

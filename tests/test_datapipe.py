@@ -673,7 +673,7 @@ def test_bpe_encode_matches_single_node_reference(spark):
         )
     got = [
         (r.doc_id, r.n_tokens, r.tok_fp)
-        for r in bpe_encode(docs, bpe_train(docs, n), n)
+        for r in bpe_encode(docs, bpe_train(docs, n))
         .orderBy("doc_id")
         .collect()
     ]

@@ -254,3 +254,45 @@ def test_retention_map_side_combined_no_python(spark):
     m = re.search(r"PushedFilters: \[[^\]]*\]", plan)
     assert m and "EqualTo(event_type,purchase)" in m.group(0), plan
     assert "Python" not in plan, plan
+
+
+def test_bpe_train_and_encode_no_interpreted_join_no_python(spark):
+    """The BPE lifecycle must stay in whole-stage codegen: merge winners
+    and the trained table re-enter as replace() LITERALS, so the plans
+    contain NO BroadcastNestedLoopJoin (a constant-key 1-row ride-along
+    folds its condition away and Spark falls back to the INTERPRETED
+    BNLJ over every corpus row) and no Python."""
+    from mxsparkg.datapipe import txt_bpe_encode, txt_bpe_merges
+
+    for fn in (txt_bpe_merges, txt_bpe_encode):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "EvalPython" not in plan, fn.__name__
+
+
+def test_modularity_no_interpreted_join_scalar_literals(spark):
+    """graph_modularity's m and global total ride as driver literals —
+    no BroadcastNestedLoopJoin anywhere (the community-table probe side
+    is node-scale in the all-singletons worst case), no Python, and the
+    top-k is TakeOrderedAndProject, not a full sort."""
+    from mxsparkg.graphquery import graph_modularity
+
+    plan = _plan(graph_modularity(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_linkpred_hub_cap_is_broadcast_anti_no_python(spark):
+    """graph_linkpred's hub-wedge cap returns as a broadcast LEFT ANTI
+    join (the map-side-count + anti-join mechanic, same as the LSH
+    bucket cap), the plan has no interpreted join and no Python, and
+    the top-k is TakeOrderedAndProject."""
+    from mxsparkg.graphquery import graph_linkpred
+
+    plan = _plan(graph_linkpred(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
