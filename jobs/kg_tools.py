@@ -19,6 +19,9 @@ ops:
   predict    link prediction with trained embeddings (--emb = embed's
              --out): top-k candidate objects per subject of --pred,
              candidates = the objects observed for that predicate
+  snapshot   time-travel read of a version-dir table written by --op
+             apply (--snapshots root, --version N, default latest) —
+             the in-sandbox `VERSION AS OF`
   apply      idempotent merge of a --op diff delta into a version-dir
              snapshot table at --out (--delta-id = exactly-once key;
              --edges seeds v=1 on an empty root; Iceberg MERGE INTO is
@@ -111,7 +114,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
                     choices=["ntriples", "turtle", "validate", "infer",
-                             "diff", "embed", "predict", "apply", "bgp"])
+                             "diff", "embed", "predict", "apply", "bgp",
+                             "snapshot"])
     ap.add_argument("--delta", default=None,
                     help="state_diff output parquet (op, subj, pred, obj) "
                          "for --op apply")
@@ -130,8 +134,15 @@ def main() -> None:
     ap.add_argument("--p2", default=None,
                     help="hop-2 predicate for --op bgp")
     ap.add_argument("--top-k", type=int, default=3)
-    ap.add_argument("--edges", required=True,
-                    help="pipeline edges parquet (subj, pred, obj, ...)")
+    ap.add_argument("--edges", default=None,
+                    help="pipeline edges parquet (subj, pred, obj, ...); "
+                         "required for every op except snapshot")
+    ap.add_argument("--snapshots", default=None,
+                    help="version-dir root written by --op apply, for "
+                         "--op snapshot")
+    ap.add_argument("--version", type=int, default=None,
+                    help="snapshot version to time-travel to "
+                         "(--op snapshot; default latest)")
     ap.add_argument("--edges-prev", default=None,
                     help="previous snapshot for --op diff")
     ap.add_argument("--nodes", default=None,
@@ -152,7 +163,11 @@ def main() -> None:
         "predict": ["emb", "pred"],
         "apply": ["delta", "delta_id"],
         "bgp": ["p1", "p2"],
+        "snapshot": ["snapshots"],
     }
+    if args.op != "snapshot":
+        required.setdefault(args.op, [])
+        required[args.op] = ["edges"] + list(required[args.op])
     missing = [
         "--" + f.replace("_", "-")
         for f in required.get(args.op, ())
@@ -170,8 +185,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.time()
 
-    edges = spark.read.parquet(args.edges)
-    if args.op == "ntriples":
+    edges = spark.read.parquet(args.edges) if args.edges else None
+    if args.op == "snapshot":
+        out_df = kx.read_snapshot(spark, args.snapshots, args.version)
+        out_df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    elif args.op == "ntriples":
         kx.export_edges_ntriples(edges).select("line").write.mode(
             "overwrite").text(args.out)
         n = spark.read.text(args.out).count()

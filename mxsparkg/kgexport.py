@@ -535,17 +535,7 @@ def merge_snapshot(
     import os
 
     os.makedirs(root, exist_ok=True)
-
-    def committed():
-        out = []
-        for d in sorted(os.listdir(root)):
-            marker = os.path.join(root, d, "_DELTA_ID")
-            if d.startswith("v=") and os.path.exists(marker):
-                with open(marker) as fh:
-                    out.append((int(d[2:]), fh.read().strip()))
-        return out
-
-    versions = committed()
+    versions = snapshot_versions(root)
     for v, did in versions:
         if did == delta_id:
             n = spark.read.parquet(os.path.join(root, f"v={v}", "data")).count()
@@ -566,6 +556,51 @@ def merge_snapshot(
     with open(os.path.join(vdir, "_DELTA_ID"), "w") as fh:
         fh.write(delta_id)
     return {"version": new_v, "rows": n, "applied": True}
+
+
+def snapshot_versions(root: str) -> list[tuple[int, str]]:
+    """Committed (version, delta_id) pairs of a version-directory table,
+    ascending. Only dirs with a `_DELTA_ID` commit marker count — a torn
+    write (data without marker) is invisible, same as an uncommitted
+    Iceberg snapshot."""
+    import os
+
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for d in sorted(os.listdir(root)):
+        marker = os.path.join(root, d, "_DELTA_ID")
+        if d.startswith("v=") and os.path.exists(marker):
+            with open(marker) as fh:
+                out.append((int(d[2:]), fh.read().strip()))
+    return sorted(out)
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read over the version-directory table merge_snapshot
+    maintains — the in-sandbox `SELECT ... VERSION AS OF n` (Iceberg /
+    Delta time travel): read the committed snapshot `version`, or the
+    latest when None. Reading an uncommitted or unknown version is a
+    hard error listing what exists — silently reading a torn write is
+    how a resumed pipeline doubles its edges. Each version is one
+    directory scan; no delta replay at read time (merge_snapshot
+    materializes full snapshots, the read-optimized trade Iceberg calls
+    copy-on-write)."""
+    import os
+
+    versions = [v for v, _ in snapshot_versions(root)]
+    if not versions:
+        raise ValueError(f"no committed snapshots under {root}")
+    if version is None:
+        version = max(versions)
+    if version not in versions:
+        raise ValueError(
+            f"version {version} is not committed under {root}; "
+            f"available: {versions}"
+        )
+    return spark.read.parquet(os.path.join(root, f"v={version}", "data"))
 
 
 def kg_apply_delta(spark: SparkSession, sf: str) -> DataFrame:

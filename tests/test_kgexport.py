@@ -246,3 +246,47 @@ def test_bgp_2hop_matches_and_prunes(spark):
     )
     got = {(r.x, r.y, r.z) for r in bgp_2hop(triples, "in", "part_of").collect()}
     assert got == {("a", "y1", "z1"), ("b", "y1", "z1"), ("c", "y2", "z2")}
+
+
+def test_read_snapshot_time_travel(spark, tmp_path):
+    """Time-travel reads over the version chain: every committed version
+    stays readable as-of, latest is the default, an uncommitted (torn)
+    dir is invisible, and an unknown version is a hard error."""
+    import os
+
+    import pytest as _pytest
+
+    from mxsparkg.kgexport import (
+        merge_snapshot, read_snapshot, snapshot_versions, state_diff,
+    )
+
+    root = str(tmp_path / "tt")
+    s0 = spark.createDataFrame([("a", "p", "x"), ("b", "p", "y")],
+                               ["subj", "pred", "obj"])
+    s1 = spark.createDataFrame([("a", "p", "x"), ("b", "p", "z")],
+                               ["subj", "pred", "obj"])
+    merge_snapshot(spark, root, state_diff(s0, s1), "d1",
+                   key_cols=["subj", "pred"], base=s0)
+    merge_snapshot(
+        spark, root,
+        state_diff(s1, s1.limit(1)), "d2", key_cols=["subj", "pred"],
+    )
+    assert [v for v, _ in snapshot_versions(root)] == [1, 2]
+    assert _rows(read_snapshot(spark, root, 1)) == _rows(s1)
+    assert _rows(read_snapshot(spark, root)) == _rows(
+        read_snapshot(spark, root, 2))
+    # torn write: data without a _DELTA_ID marker is invisible
+    torn = os.path.join(root, "v=3", "data")
+    s1.write.mode("overwrite").parquet(torn)
+    assert [v for v, _ in snapshot_versions(root)] == [1, 2]
+    assert _rows(read_snapshot(spark, root)) == _rows(
+        read_snapshot(spark, root, 2))
+    with _pytest.raises(ValueError, match="not committed"):
+        read_snapshot(spark, root, 3)
+    # ... and committing the next delta SKIPS over the torn dir? No:
+    # merge_snapshot numbers from the committed max, so the torn v=3 is
+    # overwritten by the real v=3 — the torn write never resurrects.
+    r3 = merge_snapshot(spark, root, state_diff(s1, s0), "d3",
+                        key_cols=["subj", "pred"])
+    assert r3["version"] == 3 and r3["applied"]
+    assert _rows(read_snapshot(spark, root, 3)) != _rows(s1)
