@@ -1118,6 +1118,58 @@ def evt_retention(spark, sf):
     )
 
 
+@reg("evt_transitions",
+     """WITH p AS (
+       SELECT lag(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+              event_type AS to_type
+       FROM events),
+     c AS (
+       SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       FROM p WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+     t AS (
+       SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
+       FROM c GROUP BY from_type)
+     SELECT c.from_type, c.to_type, c.n, t.from_total,
+            c.n * 1000000 // t.from_total AS p_ppm
+     FROM c JOIN t ON t.from_type = c.from_type
+     ORDER BY c.from_type, c.to_type""")
+def evt_transitions(spark, sf):
+    """Event-type transition matrix — the first-order Markov model of the
+    clickstream (what follows what, and how often): per user, consecutive
+    event-type pairs in (ts, event_id) order via ONE lag window, then a
+    map-side-combinable pair count and per-source totals, transition
+    probability in exact integer ppm (nonneg floor division — engine- and
+    partition-order-independent). The companion to sessionize (T14') /
+    funnel (T15') / sequence-match (T20'): those answer point questions,
+    this one summarizes the whole process. At 10^12 events: one shuffle
+    on user_id for the lag (hot users bound the window buffer — same
+    salting note as sessionize), then aggregates over a
+    |types|²-row table."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    c = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("from_type").agg(F.sum("n").cast("bigint").alias(
+        "from_total"))
+    return (
+        c.join(t, "from_type")
+        .select(
+            "from_type", "to_type", "n", "from_total",
+            F.expr("n * 1000000 div from_total").alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 HIST_BIN_C = 2_500_000  # histogram bin width in integer cents ($25,000)
 
 
