@@ -2606,8 +2606,12 @@ def txt_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     Scale posture: tf is a (doc_id, term) groupBy (map-side combined,
     keys bounded per doc); df is a term groupBy over distinct (doc, term);
     the df side joins back BROADCAST when the vocabulary is small, and the
-    corpus-size scalar N rides a one-row broadcast join — no corpus-wide
-    sort; the per-doc top-k is a row_number window partitioned by doc_id."""
+    corpus-size scalar N comes back to the driver as one bigint and
+    re-enters the idf expression as a literal — a 1-row ride-along join
+    constant-folds into the interpreted BroadcastNestedLoopJoin over the
+    (doc, term) stream (plan-asserted BNLJ-free in tests/test_plans.py);
+    no corpus-wide sort; the per-doc top-k is a row_number window
+    partitioned by doc_id."""
     from pyspark.sql import Window
 
     toks = (
@@ -2618,23 +2622,18 @@ def txt_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     df = (
         tf.groupBy("term").agg(F.count("*").alias("df"))
     )
-    n_docs = (
-        _docs(spark, sf).agg(F.count("*").alias("n_docs"))
-        .withColumn("_k", F.lit(1))
-    )
+    n_docs = int(_docs(spark, sf).count())
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     scored = (
         tf.join(df, "term")
-        .withColumn("_k", F.lit(1))
-        .join(F.broadcast(n_docs), "_k")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TFIDF_TOP)
     )
     score = F.round(
         F.col("tf")
-        * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 6
+        * (F.log(F.lit(n_docs + 1) / (F.col("df") + 1)) + 1), 6
     )
     return scored.select(
         "doc_id", "term", "tf", "df", score.alias("tfidf"), "rn"
@@ -3025,19 +3024,25 @@ def txt_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "o.w1", "o.bg")
     bgc = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     hist = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = (
+    # vocabulary size V: one bigint to the driver, re-entering as a
+    # literal — as a 1-row ride-along join the constant key folds away
+    # and Spark plans the interpreted BroadcastNestedLoopJoin over the
+    # per-bigram occ table, i.e. the CORPUS (the join_bloom lifecycle
+    # lesson; plan-asserted BNLJ-free in tests/test_plans.py)
+    v = int(
         d.select(F.explode("w").alias("t"))
-        .agg(F.count_distinct("t").alias("v"))
-        .withColumn("_k", F.lit(1))
+        .agg(F.count_distinct("t"))
+        .first()[0]
     )
     scored = (
         occ.join(bgc, "bg")
         .join(hist, "w1")
-        .withColumn("_k", F.lit(1))
-        .join(F.broadcast(vocab), "_k")
         .select(
             "doc_id",
-            F.expr("length(bin(c1 + v)) - length(bin(c12 + 1))").alias("bits"),
+            F.expr(
+                f"length(bin(c1 + cast({v} as bigint)))"
+                " - length(bin(c12 + 1))"
+            ).alias("bits"),
             F.when(F.col("c12") == 1, 1).otherwise(0).alias("unseen"),
         )
     )

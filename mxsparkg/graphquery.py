@@ -1082,7 +1082,10 @@ def edge_pmi(inc: DataFrame) -> DataFrame:
     Input `inc`: the distinct (g, e) group↔entity incidence. Scale
     shape: pair support and entity marginals are map-side-combinable
     counts; the marginal table joins back twice on its own key; the
-    scalar N rides a one-row broadcast. Pair generation is the per-group
+    scalar N comes back to the driver as one bigint and re-enters the
+    pmi expression as a literal (a 1-row ride-along join constant-folds
+    into the interpreted BroadcastNestedLoopJoin over the pair-support
+    table — the Σ|group|²-scale side). Pair generation is the per-group
     self-join (Σ|group|² — bounded by group size here; cap heavy groups
     first with the er_jaccard_candidates df-cap mechanics when groups
     can be hot). Returns (x, y, n_xy, pmi_bits), x < y."""
@@ -1093,20 +1096,16 @@ def edge_pmi(inc: DataFrame) -> DataFrame:
     )
     sup = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
     deg = inc.groupBy("e").agg(F.count(F.lit(1)).alias("d"))
-    ntot = (
-        inc.select("g").distinct()
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("_k", F.lit(1))
-    )
+    n = int(inc.select("g").distinct().count())
     return (
         sup.join(deg.select(F.col("e").alias("x"), F.col("d").alias("dx")), "x")
         .join(deg.select(F.col("e").alias("y"), F.col("d").alias("dy")), "y")
-        .withColumn("_k", F.lit(1))
-        .join(F.broadcast(ntot), "_k")
         .select(
             "x", "y", "n_xy",
-            F.expr("length(bin(n_xy * n)) - length(bin(dx * dy))").alias(
-                "pmi_bits"),
+            F.expr(
+                f"length(bin(n_xy * cast({n} as bigint)))"
+                " - length(bin(dx * dy))"
+            ).alias("pmi_bits"),
         )
     )
 

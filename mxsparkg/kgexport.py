@@ -399,28 +399,40 @@ def kg_type_check(spark: SparkSession, sf: str) -> DataFrame:
     """Ontology domain/range validation over typed triples, with a planted
     wrong-type triple every TYPECHECK_BAD_MOD-th customer (in_region used
     with a cust→nat signature) so the violation set is non-empty and the
-    broadcast anti-join is certified value-exactly."""
+    broadcast anti-join is certified value-exactly.
+
+    styp/otyp are DERIVED from the IRI namespace after the union — the
+    production path (types live in the ids), and also what keeps the
+    anti-join a BroadcastHashJoin: per-branch literal type columns
+    constant-fold the equi-condition into constant comparisons and Spark
+    falls back to the interpreted BroadcastNestedLoopJoin over the full
+    triple stream (plan-asserted in tests/test_plans.py)."""
     cust = _t(spark, sf, "customer")
     nat = _t(spark, sf, "nation")
     good1 = cust.select(
         iri("cust", F.col("c_custkey")).alias("subj"),
         F.lit("in_nation").alias("pred"),
         iri("nat", F.col("c_nationkey")).alias("obj"),
-        F.lit("cust").alias("styp"), F.lit("nat").alias("otyp"),
     )
     good2 = nat.select(
         iri("nat", F.col("n_nationkey")).alias("subj"),
         F.lit("in_region").alias("pred"),
         iri("reg", F.col("n_regionkey")).alias("obj"),
-        F.lit("nat").alias("styp"), F.lit("reg").alias("otyp"),
     )
     bad = cust.filter(F.col("c_custkey") % TYPECHECK_BAD_MOD == 0).select(
         iri("cust", F.col("c_custkey")).alias("subj"),
         F.lit("in_region").alias("pred"),
         iri("nat", F.col("c_nationkey")).alias("obj"),
-        F.lit("cust").alias("styp"), F.lit("nat").alias("otyp"),
     )
-    triples = good1.unionByName(good2).unionByName(bad)
+    kind = lambda c: F.regexp_extract(F.col(c), r":e:([a-z]+):", 1)  # noqa: E731
+    triples = (
+        good1.unionByName(good2)
+        .unionByName(bad)
+        .select(
+            "subj", "pred", "obj",
+            kind("subj").alias("styp"), kind("obj").alias("otyp"),
+        )
+    )
     constraints = spark.createDataFrame(
         [("in_nation", "cust", "nat"), ("in_region", "nat", "reg")],
         ["pred", "styp", "otyp"],

@@ -296,3 +296,30 @@ def test_linkpred_hub_cap_is_broadcast_anti_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_scale_scalar_joins_are_literal_not_bnlj(spark):
+    """Every key whose 1-row scalar used to ride a constant-key join over
+    a corpus-scale probe side now injects the scalar as a driver literal:
+    plans must be BroadcastNestedLoopJoin-free. (Keys where BNLJ is the
+    SEMANTICS — ann brute-force all-pairs — or where the probe side is
+    1-row/model-scale — funnel step counts, transe CTE composition — are
+    classified in BENCH/PLANS.md and deliberately unchanged.)"""
+    from mxsparkg.datapipe import txt_lm_score, txt_tfidf
+    from mxsparkg.graphquery import kg_edge_pmi
+    from mxsparkg.kgexport import kg_type_check
+
+    for fn in (txt_lm_score, txt_tfidf, kg_edge_pmi, kg_type_check):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_type_check_anti_join_is_hash_after_derived_types(spark):
+    """kg_type_check's domain/range anti-join must be a
+    BroadcastHashJoin LeftAnti: literal per-branch type columns would
+    constant-fold the equi-condition away and interpret the whole triple
+    stream — types are derived from the IRI namespace instead."""
+    from mxsparkg.kgexport import kg_type_check
+
+    plan = _plan(kg_type_check(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
