@@ -19,6 +19,8 @@ ops:
   linkpred    top --top-k predicted links: non-edges at distance 2 ranked
               by common non-hub neighbors + exact-ppm Jaccard (the
               structural complement to kg_tools --op predict)
+  assortativity  one-row exact degree-correlation moments of the
+              undirected subj/obj graph (r = r_num/r_den offline)
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -38,7 +40,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
                     choices=["salience", "triangles", "components", "scc",
-                             "modularity", "linkpred"])
+                             "modularity", "linkpred", "assortativity"])
     ap.add_argument("--edges", required=True,
                     help="pipeline edges parquet (subj, pred, obj, n_support)")
     ap.add_argument("--nodes", default=None,
@@ -105,6 +107,16 @@ def main() -> None:
             .distinct()
         )
         out_df = gq.linkpred_common_neighbors(und, top_k=args.top_k)
+    elif args.op == "assortativity":
+        und = (
+            edges.select(
+                F.least("subj", "obj").alias("u"),
+                F.greatest("subj", "obj").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        out_df = gq.assortativity_sums(und)
     else:
         out_df = gq.kg_components(edges)
     out_df.write.mode("overwrite").parquet(args.out)

@@ -765,6 +765,78 @@ def graph_modularity_sql() -> str:
     """
 
 
+def assortativity_sums(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity moment sums over oriented distinct (u, v)
+    edges — the one-row diagnostic that says whether a graph wires
+    hub-to-hub (social, r>0) or hub-to-leaf (web/biology, r<0), which
+    decides salting and partitioning strategy before any iterative op.
+
+    Newman's r is a Pearson correlation = pure ratios of sums, so (the
+    modularity move) only the EXACT bigint moments are emitted, over the
+    symmetrized edge list where each directed copy contributes
+    (deg(src), deg(dst)): m_sym = 2m, s_x = Σ deg(src) (= Σ deg(dst) by
+    symmetry), s_xx = Σ deg(src)² (= Σ deg(dst)²), s_xy = Σ
+    deg(src)·deg(dst), plus the assembled r_num = m_sym·s_xy − s_x² and
+    r_den = m_sym·s_xx − s_x² (r = r_num/r_den, possibly negative — so
+    no in-engine division, ever: Spark div truncates, DuckDB // floors).
+    Scale shape: one degree groupBy (map-side combined) + two joins of
+    the degree table back onto the edges + one global sum — all hash
+    equi-joins, no window, no sort."""
+    sym = _symmetrize(edges, "u", "v")
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    j = (
+        sym.join(deg.select(F.col("src").alias("_s"),
+                            F.col("d").alias("dx")),
+                 F.col("src") == F.col("_s"))
+        .join(deg.select(F.col("src").alias("_t"), F.col("d").alias("dy")),
+              F.col("dst") == F.col("_t"))
+    )
+    sums = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_sym"),
+        F.sum("dx").cast("bigint").alias("s_x"),
+        F.sum(F.expr("dx * dx")).cast("bigint").alias("s_xx"),
+        F.sum(F.expr("dx * dy")).cast("bigint").alias("s_xy"),
+    )
+    return sums.select(
+        "m_sym", "s_x", "s_xx", "s_xy",
+        F.expr("m_sym * s_xy - s_x * s_x").alias("r_num"),
+        F.expr("m_sym * s_xx - s_x * s_x").alias("r_den"),
+    )
+
+
+def graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: exact degree-assortativity moments of the sparsified
+    co-purchase graph (one row; r = r_num/r_den offline)."""
+    return assortativity_sums(
+        _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    )
+
+
+def graph_assortativity_sql() -> str:
+    return f"""
+      WITH {_copurchase_ctes()},
+      deg AS MATERIALIZED (
+        SELECT src, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src),
+      j AS (
+        SELECT dx.d AS dx, dy.d AS dy
+        FROM sym s
+        JOIN deg dx ON dx.src = s.src
+        JOIN deg dy ON dy.src = s.dst),
+      sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS m_sym,
+               CAST(sum(dx) AS BIGINT) AS s_x,
+               CAST(sum(dx * dx) AS BIGINT) AS s_xx,
+               CAST(sum(dx * dy) AS BIGINT) AS s_xy
+        FROM j)
+      SELECT m_sym, s_x, s_xx, s_xy,
+             m_sym * s_xy - s_x * s_x AS r_num,
+             m_sym * s_xx - s_x * s_x AS r_den
+      FROM sums
+    """
+
+
 LINKPRED_WEDGE_CAP = 64
 LINKPRED_TOP = 50
 
@@ -1721,6 +1793,7 @@ def graphquery_queries() -> dict:
         "graph_minlabel": graph_minlabel,
         "graph_modularity": graph_modularity,
         "graph_linkpred": graph_linkpred,
+        "graph_assortativity": graph_assortativity,
         "graph_kcore": graph_kcore,
         "graph_bfs": graph_bfs,
         "graph_sssp": graph_sssp,
@@ -1739,6 +1812,7 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_minlabel": graph_minlabel_sql(),
         "graph_modularity": graph_modularity_sql(),
         "graph_linkpred": graph_linkpred_sql(),
+        "graph_assortativity": graph_assortativity_sql(),
         "graph_kcore": graph_kcore_sql(),
         "graph_bfs": graph_bfs_sql(),
         "graph_sssp": graph_sssp_sql(),

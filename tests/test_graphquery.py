@@ -580,3 +580,19 @@ def test_linkpred_hub_cap_drops_celebrity_wedges(spark):
         # cn counts non-hub common neighbors (2), degrees are TRUE (3)
         assert (r.cn, r.deg_u, r.deg_v) == (2, 3, 3)
         assert r.jac_ppm == 2 * 1000000 // (3 + 3 - 2)
+
+
+def test_assortativity_star_is_minus_one_and_cycle_degenerate(spark):
+    """Hand cases: the star K1,3 is PERFECTLY disassortative (r = -1:
+    r_num == -r_den), and a constant-degree cycle has zero variance
+    (r_den == 0 — the caller's divide-guard case)."""
+    from mxsparkg.graphquery import assortativity_sums
+
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["u", "v"])
+    r = assortativity_sums(star).collect()[0]
+    assert (r.m_sym, r.s_x, r.s_xx, r.s_xy) == (6, 12, 30, 18)
+    assert r.r_num == -36 and r.r_den == 36  # r = -1 exactly
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["u", "v"])
+    c = assortativity_sums(cyc).collect()[0]
+    assert c.r_num == 0 and c.r_den == 0
