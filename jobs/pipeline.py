@@ -28,6 +28,10 @@ from mxsparkg.pipeline import run_pipeline, triples_for_eval  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True)
+    ap.add_argument("--pages-format", default="parquet",
+                    choices=["parquet", "iceberg", "warc"],
+                    help="warc: --pages is a dir/glob of .warc/.warc.gz "
+                         "crawl files (raw Common-Crawl-style ingest)")
     ap.add_argument("--entity-dict", required=True)
     ap.add_argument("--aliases", required=True)
     ap.add_argument("--checkpoint", required=True)
@@ -111,6 +115,7 @@ def main() -> None:
         incremental=args.incremental,
         reliable_checkpoint_dir=args.reliable_checkpoint,
         checkpoint_stages=ck_stages,
+        pages_format=args.pages_format,
     )
     if args.light_summary:
         import json as _json

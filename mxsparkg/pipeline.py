@@ -67,6 +67,7 @@ def run_pipeline(
     incremental: bool = False,
     overlap_stages: bool = True,
     reliable_checkpoint_dir: str | None = None,
+    pages_format: str = "parquet",
 ) -> dict[str, DataFrame]:
     ck = Checkpointer(spark, checkpoint_root)
     model_bc = broadcast_model(spark, rules, pred_patterns)
@@ -90,7 +91,20 @@ def run_pipeline(
                                (time.time() - t0) * 1000.0)
         return out
 
-    pages = read_table(spark, pages_path)
+    if pages_format == "warc":
+        # raw crawl ingest: WARC files → the pages frame directly (one
+        # task per WARC file; see mxsparkg/warc.py). text/lang are not in
+        # a crawl — ingest-side language ID (datapipe.txt_langid) is the
+        # production prefilter when --langs is wanted on raw WARC.
+        from mxsparkg.warc import read_warc
+
+        pages = read_warc(spark, pages_path).select(
+            "url", "warc_ts", "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    else:
+        pages = read_table(spark, pages_path, fmt=pages_format)
     if langs:
         # P2: declared BEFORE any UDF so Catalyst pushes it into the scan
         # (parquet row-group stats skip non-matching groups; asserted in

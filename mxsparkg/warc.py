@@ -1,0 +1,182 @@
+"""WARC source connector — raw Common-Crawl-style crawl ingest.
+
+The pipeline's input_hint table (url, warc_ts, html, text, lang) assumes
+someone already landed the crawl as parquet; in production the crawl
+arrives as WARC files (ISO 28500: framed records with named headers),
+usually .warc.gz with one gzip MEMBER per record so ranges are seekable.
+This module turns a directory of .warc / .warc.gz files into exactly
+that pages table, pure stdlib:
+
+  read_warc(spark, path)  →  (url, warc_ts, html, rec_type, warc_file)
+
+Execution shape: `binaryFile` gives one row per WARC file (content =
+whole file — the standard unit; CC shards are ~1 GB and the task
+per-file granularity is exactly how every production WARC reader
+parallelizes, Spark's maxPartitionBytes does not split binaryFile rows),
+then ONE `mapInPandas` pass walks records with Content-Length framing —
+no regex over payloads, no per-row Python beyond the Arrow batch loop.
+Multi-member gzip is handled by zlib streaming decompression
+(decompressobj per member, unused_data chaining), which accepts both
+per-record members (CC layout) and whole-file gzip.
+
+Only `response` records carry pages; `request`/`warcinfo`/`metadata`
+records are counted but not emitted (rec_type column carries the
+breakdown when keep_all=True). The HTTP response head (status line +
+headers) is stripped so `html` is the raw entity body — byte-identical
+input to the U1 extractor.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, rec_type string, "
+    "warc_file string"
+)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (the CC per-record layout) or
+    a single whole-file member; plain (non-gzip) bytes pass through."""
+    if len(data) < 2 or data[:2] != b"\x1f\x8b":
+        return data
+    out = io.BytesIO()
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        out.write(d.decompress(rest))
+        if not d.eof:  # truncated member: stop at what we have
+            break
+        rest = d.unused_data
+        if not rest:
+            break
+    return out.getvalue()
+
+
+def _iter_records(raw: bytes):
+    """Walk WARC/1.x records by Content-Length framing: header block up
+    to CRLFCRLF, `Content-Length` bytes of payload, CRLFCRLF separator.
+    Yields (headers: dict lower-cased, payload: bytes)."""
+    pos, n = 0, len(raw)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and raw[pos : pos + 2] in (b"\r\n", b"\n\n"):
+            pos += 2
+        if pos >= n or not raw[pos : pos + 5] == b"WARC/":
+            break
+        he = raw.find(b"\r\n\r\n", pos)
+        if he < 0:
+            break
+        headers = {}
+        for line in raw[pos:he].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("ascii", "replace")] = (
+                v.strip().decode("utf-8", "replace")
+            )
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break  # unframed record: cannot continue safely
+        body = raw[he + 4 : he + 4 + clen]
+        yield headers, body
+        pos = he + 4 + clen
+
+
+def _strip_http_head(body: bytes) -> bytes:
+    """Drop the HTTP status line + headers from a response payload so the
+    result is the raw entity body. Non-HTTP payloads pass through."""
+    if body[:5] in (b"HTTP/",):
+        sep = body.find(b"\r\n\r\n")
+        if sep >= 0:
+            return body[sep + 4 :]
+    return body
+
+
+def parse_warc_bytes(name: str, data: bytes, keep_all: bool = False):
+    """Pure-Python record iterator for one WARC file's bytes → tuples of
+    (url, warc_ts_iso, html, rec_type, warc_file). Response records get
+    their HTTP head stripped; others emit html=None (and only when
+    keep_all). Shared by the Spark reader and the tests (the byte-level
+    oracle)."""
+    raw = _gunzip_members(data)
+    for headers, body in _iter_records(raw):
+        rtype = headers.get("warc-type", "")
+        if rtype != "response" and not keep_all:
+            continue
+        yield (
+            headers.get("warc-target-uri"),
+            headers.get("warc-date"),
+            _strip_http_head(body) if rtype == "response" else None,
+            rtype,
+            name,
+        )
+
+
+def read_warc(
+    spark: SparkSession, path: str, keep_all: bool = False
+) -> DataFrame:
+    """Directory (or glob) of .warc / .warc.gz → the input_hint pages
+    frame (url, warc_ts, html, rec_type, warc_file). One task per WARC
+    file; one Arrow-batched Python pass; warc_ts parsed from the ISO
+    WARC-Date. Compose with detect_pages()/extract for the full
+    crawl→KG path (tests drive exactly that)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for name, data in zip(b["path"], b["content"]):
+                rows.extend(parse_warc_bytes(name, data, keep_all=keep_all))
+            df = pd.DataFrame(
+                rows,
+                columns=["url", "warc_ts", "html", "rec_type", "warc_file"],
+            )
+            # WARC-Date is ISO-8601 Zulu; parse as UTC then drop the tz
+            # (the pages schema is a naive timestamp, like the fixtures)
+            df["warc_ts"] = pd.to_datetime(
+                df["warc_ts"], utc=True, errors="coerce", format="ISO8601"
+            ).dt.tz_localize(None)
+            yield df
+
+    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+def write_warc(path: str, records, gzip_members: bool = False) -> int:
+    """Tiny WARC writer for fixtures/tests (the encode half that makes
+    the parser testable without external data): records are dicts with
+    url, date (ISO), body (bytes), rec_type, http (bool — wrap body in
+    an HTTP/1.1 200 response head). Returns the byte size written.
+    gzip_members=True writes one gzip member per record (the CC
+    layout)."""
+    import gzip as _gzip
+
+    out = io.BytesIO()
+    for r in records:
+        body = r["body"]
+        if r.get("http", True) and r.get("rec_type", "response") == "response":
+            head = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            )
+            body = head + body
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: " + r.get("rec_type", "response").encode() + b"\r\n"
+            b"WARC-Target-URI: " + r["url"].encode() + b"\r\n"
+            b"WARC-Date: " + r["date"].encode() + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        )
+        rec = hdr + body + b"\r\n\r\n"
+        out.write(_gzip.compress(rec) if gzip_members else rec)
+    data = out.getvalue()
+    with open(path, "wb") as fh:
+        fh.write(data)
+    return len(data)
