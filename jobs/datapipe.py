@@ -24,6 +24,8 @@ ops:
   txt_lm_score         bigram LM surprisal quality scores (whole-bit exact)
   txt_sample_stratified  deterministic per-language quota sample
   txt_classify         hashed-feature linear quality classification
+  txt_filter_gate      composite keep/drop decision table (reason bitmask
+                       over quality/langid/repetition/classifier)
   txt_boilerplate      line-level (segment) boilerplate strip manifest
   txt_chunk            overlapping token-window chunk manifest
   txt_pack_sequences   sequence-packing manifest (per-shard offsets)
@@ -61,7 +63,8 @@ def main() -> None:
                              "txt_tokens", "txt_fingerprint",
                              "txt_decontam", "txt_tfidf", "txt_vocab",
                              "txt_lm_score", "txt_sample_stratified",
-                             "txt_classify", "txt_boilerplate",
+                             "txt_classify", "txt_filter_gate",
+                             "txt_boilerplate",
                              "txt_chunk", "txt_pack_sequences",
                              "txt_bpe_merges", "bpe_encode",
                              "dedup_substring", "dedup_incremental",
@@ -117,6 +120,7 @@ def main() -> None:
                 "txt_lm_score": dp.txt_lm_score,
                 "txt_sample_stratified": dp.txt_sample_stratified,
                 "txt_classify": dp.txt_classify,
+                "txt_filter_gate": dp.txt_filter_gate,
                 "txt_boilerplate": dp.txt_boilerplate,
                 "txt_chunk": dp.txt_chunk,
                 "txt_pack_sequences": dp.txt_pack_sequences,

@@ -2694,6 +2694,97 @@ def txt_vocab_sql() -> str:
     """
 
 
+# ----------------------------------------------------- composite filter gate
+
+# Thresholds chosen against the corpus distributions so EVERY rule fires
+# on a real minority at the gate SFs (a gate that never fires certifies
+# nothing): tokens p05≈16, stopword p25≈0.04, 'und' ≈9%, dup p90≈0.68,
+# top-bigram p95≈0.087, logit p10≈−1800. All comparisons are against
+# round(,6) doubles or exact integers — identical in both engines.
+FILTER_MIN_TOKENS = 20
+FILTER_MIN_STOPWORD = 0.02
+FILTER_MAX_DUP = 0.65
+FILTER_MAX_TOPBI = 0.08
+FILTER_MIN_LOGIT = -1800
+
+# rule bits, LSB first: the reason bitmask a curation run reports on
+_FILTER_RULES = "too_short(1) low_stopword(2) not_en(4) repetitive(8) classifier(16)"
+
+
+def txt_filter_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """The composite corpus-filter DECISION table — what a curation
+    pipeline actually materializes: every certified screen (quality
+    T2', language-ID T1', Gopher repetition T6', hashed-feature
+    classifier T21') joined per doc and folded into one integer reason
+    BITMASK ({rules}) with keep = (reasons == 0). The bitmask, not a
+    boolean, because the first question after any filter run is 'what
+    did we lose and WHY' — per-reason counts fall out of a groupBy.
+
+    Composition, not reimplementation: the four inputs are the exact
+    gate-certified operators, joined on doc_id (AQE picks broadcast
+    while the per-doc signal tables fit; at 10^12 docs these are four
+    co-partitionable hash joins on the same key — in production you'd
+    compute the signals in one pass, which Catalyst already does here:
+    common subexpressions share the scan). Thresholds fire on a real
+    minority of the corpus at every gate SF, so each bit is live under
+    the value hash.""".format(rules=_FILTER_RULES)
+    q = txt_quality(spark, sf).select(
+        "doc_id", "n_tokens", "stopword_ratio")
+    l = txt_langid(spark, sf).select("doc_id", "pred_lang")
+    r = txt_repetition(spark, sf).select(
+        "doc_id", "dup_token_ratio", "top_bigram_ratio")
+    c = txt_classify(spark, sf).select("doc_id", "logit")
+    j = q.join(l, "doc_id").join(r, "doc_id").join(c, "doc_id")
+    bit = lambda cond, b: F.when(cond, F.lit(b)).otherwise(F.lit(0))  # noqa: E731
+    reasons = (
+        bit(F.col("n_tokens") < FILTER_MIN_TOKENS, 1)
+        + bit(F.col("stopword_ratio") < FILTER_MIN_STOPWORD, 2)
+        + bit(F.col("pred_lang") != "en", 4)
+        + bit(
+            (F.col("dup_token_ratio") > FILTER_MAX_DUP)
+            | (F.col("top_bigram_ratio") > FILTER_MAX_TOPBI), 8)
+        + bit(F.col("logit") <= FILTER_MIN_LOGIT, 16)
+    ).cast("bigint")
+    return (
+        j.select(
+            "doc_id", "n_tokens", "pred_lang",
+            reasons.alias("reasons"),
+        )
+        .select(
+            "*", (F.col("reasons") == 0).cast("int").alias("keep")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def txt_filter_gate_sql() -> str:
+    return f"""
+      WITH q AS ({txt_quality_sql()}),
+      l AS ({txt_langid_sql()}),
+      r AS ({txt_repetition_sql()}),
+      c AS ({txt_classify_sql()}),
+      j AS (
+        SELECT q.doc_id, q.n_tokens, l.pred_lang,
+          CAST(
+            (CASE WHEN q.n_tokens < {FILTER_MIN_TOKENS} THEN 1 ELSE 0 END)
+          + (CASE WHEN q.stopword_ratio < {FILTER_MIN_STOPWORD}
+             THEN 2 ELSE 0 END)
+          + (CASE WHEN l.pred_lang <> 'en' THEN 4 ELSE 0 END)
+          + (CASE WHEN r.dup_token_ratio > {FILTER_MAX_DUP}
+                  OR r.top_bigram_ratio > {FILTER_MAX_TOPBI}
+             THEN 8 ELSE 0 END)
+          + (CASE WHEN c.logit <= {FILTER_MIN_LOGIT} THEN 16 ELSE 0 END)
+          AS BIGINT) AS reasons
+        FROM q
+        JOIN l ON l.doc_id = q.doc_id
+        JOIN r ON r.doc_id = q.doc_id
+        JOIN c ON c.doc_id = q.doc_id)
+      SELECT doc_id, n_tokens, pred_lang, reasons,
+             CAST(reasons = 0 AS INT) AS keep
+      FROM j ORDER BY doc_id
+    """
+
+
 # ------------------------------------------------------------ BPE training --
 
 # Distributed BPE merge training (Sennrich et al. 2016) — the tokenizer-
@@ -4744,6 +4835,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lm_score": txt_lm_score,
         "txt_sample_stratified": txt_sample_stratified,
         "txt_classify": txt_classify,
+        "txt_filter_gate": txt_filter_gate,
         "txt_boilerplate": txt_boilerplate,
         "txt_chunk": txt_chunk,
         "txt_pack_sequences": txt_pack_sequences,
@@ -4797,6 +4889,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_lm_score": txt_lm_score_sql(),
         "txt_sample_stratified": txt_sample_stratified_sql(),
         "txt_classify": txt_classify_sql(),
+        "txt_filter_gate": txt_filter_gate_sql(),
         "txt_boilerplate": txt_boilerplate_sql(),
         "txt_chunk": txt_chunk_sql(),
         "txt_pack_sequences": txt_pack_sequences_sql(),

@@ -1049,3 +1049,29 @@ def test_minhash_quality_exact_on_identical_and_hand_pair(spark):
         assert (hand.n_common, hand.n_union) == (2, 6)
         assert hand.exact_ppm == 2 * 1000000 // 6
         assert hand.err_ppm == abs(hand.est_ppm - hand.exact_ppm)
+
+
+def test_filter_gate_every_rule_fires_and_mask_consistent(spark):
+    """The composite filter's five reason bits must each fire on a real
+    subset at the gate SF (a rule that never fires certifies nothing),
+    keep must equal (reasons == 0), and the mask must agree with the
+    underlying certified screens (spot: the classifier bit == logit
+    threshold)."""
+    import pyspark.sql.functions as F
+
+    from mxsparkg.datapipe import (
+        FILTER_MIN_LOGIT, txt_classify, txt_filter_gate,
+    )
+
+    g = txt_filter_gate(spark, SF).persist()
+    fired = {
+        b: g.filter(F.col("reasons").bitwiseAND(b) > 0).count()
+        for b in (1, 2, 4, 8, 16)
+    }
+    assert all(n > 0 for n in fired.values()), fired
+    assert g.filter(
+        (F.col("keep") == 1) != (F.col("reasons") == 0)
+    ).count() == 0
+    logit = {r.doc_id: r.logit for r in txt_classify(spark, SF).collect()}
+    for r in g.collect():
+        assert ((r.reasons & 16) > 0) == (logit[r.doc_id] <= FILTER_MIN_LOGIT)
