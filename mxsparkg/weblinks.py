@@ -1,0 +1,123 @@
+"""Hyperlink-graph extraction — the OTHER graph a web crawl yields.
+
+The KG pipeline materializes the ENTITY graph; every production crawl
+pipeline also materializes the HYPERLINK graph from the same pages
+(it feeds PageRank-style authority, crawl frontier scheduling, spam
+neighborhoods, and the inter-host edges the salience queries join
+against). This module extracts it from the same (url, html) frame the
+detect stage reads — WARC-sourced or parquet-sourced alike:
+
+  extract_links(pages)  →  (src, dst, anchor)   one row per resolved href
+  host_graph(links)     →  (src_host, dst_host, n_links)
+
+Execution shape: ONE mapInPandas Arrow pass over (url, html) — href
+scanning and RFC-3986 resolution are stdlib (html.parser + urljoin), no
+per-row Python beyond the batch loop, and the fat html column never
+shuffles (links are extracted before any exchange, the same narrow-
+output discipline as the fused detect stage). The host rollup is a
+map-side-combinable groupBy on parse_url(HOST) — JVM-side.
+
+Filtering: only http(s) targets survive (mailto:, javascript:, data:,
+fragments-only hrefs are dropped); fragments are stripped from resolved
+URLs so the graph keys match url_canon_dedup's canonical space.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LINKS_SCHEMA = "src string, dst string, anchor string"
+
+
+def iter_links(base_url: str, html_text: str):
+    """Pure-Python href extraction + resolution for ONE page — the unit
+    the tests pin byte-for-byte. html.parser (stdlib, tolerant of broken
+    markup — real crawl HTML is broken) yields (resolved_url, anchor
+    text) for every <a href>; non-http(s) schemes are dropped and
+    fragments stripped."""
+    from html.parser import HTMLParser
+    from urllib.parse import urldefrag, urljoin
+
+    out: list[tuple[str, str]] = []
+
+    class P(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__()
+            self._href: str | None = None
+            self._text: list[str] = []
+
+        def _emit(self) -> None:
+            if self._href is None:
+                return
+            try:
+                url = urldefrag(urljoin(base_url, self._href)).url
+            except ValueError:
+                url = ""
+            if url.startswith(("http://", "https://")):
+                out.append((url, " ".join("".join(self._text).split())))
+            self._href = None
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                # a new <a> implicitly closes an unclosed one — real
+                # crawl HTML leaves anchors dangling constantly
+                self._emit()
+                self._href, self._text = dict(attrs).get("href"), []
+
+        def handle_data(self, data):
+            if self._href is not None:
+                self._text.append(data)
+
+        def handle_endtag(self, tag):
+            if tag == "a":
+                self._emit()
+
+    p = P()
+    try:
+        p.feed(html_text)
+        p.close()
+    except Exception:
+        pass  # truncated/hostile markup: keep what was parsed
+    p._emit()  # EOF with an anchor still open: flush it
+    return out
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(url, html, ...) → (src, dst, anchor): the resolved hyperlink
+    edge list, one Arrow pass, html never shuffles."""
+    import pandas as pd
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for url, html in zip(b["url"], b["html"]):
+                if html is None:
+                    continue
+                text = bytes(html).decode("utf-8", "replace")
+                rows.extend(
+                    (url, dst, anchor)
+                    for dst, anchor in iter_links(url, text)
+                )
+            yield pd.DataFrame(rows, columns=["src", "dst", "anchor"])
+
+    return pages.select("url", "html").mapInPandas(parse, LINKS_SCHEMA)
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """Edge list → weighted inter-host graph (self-host edges dropped):
+    the table PageRank/HITS/salience consume. One map-side-combinable
+    groupBy; host extraction is the JVM parse_url, not Python."""
+    hosts = links.select(
+        F.parse_url("src", F.lit("HOST")).alias("src_host"),
+        F.parse_url("dst", F.lit("HOST")).alias("dst_host"),
+    ).filter(
+        F.col("src_host").isNotNull()
+        & F.col("dst_host").isNotNull()
+        & (F.col("src_host") != F.col("dst_host"))
+    )
+    return hosts.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
