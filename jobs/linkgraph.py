@@ -10,6 +10,8 @@ ops:
           html never shuffles
   hosts   weighted inter-host graph (src_host, dst_host, n_links)
   rank    integer-mass PageRank over the host graph (authority table)
+  aliases anchor-text alias candidates per destination (distinct-source
+          support, min 2, top 5 per dst) — feeds the pipeline --aliases
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -31,7 +33,7 @@ def main() -> None:
     ap.add_argument("--pages-format", default="parquet",
                     choices=["parquet", "warc"])
     ap.add_argument("--op", default="hosts",
-                    choices=["links", "hosts", "rank"])
+                    choices=["links", "hosts", "rank", "aliases"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", required=True)
     ap.add_argument("--master", default=None)
@@ -55,6 +57,10 @@ def main() -> None:
         out_df = links
     elif args.op == "hosts":
         out_df = host_graph(links)
+    elif args.op == "aliases":
+        from mxsparkg.weblinks import anchor_aliases
+
+        out_df = anchor_aliases(links)
     else:
         from pyspark.sql import functions as F
 

@@ -106,6 +106,42 @@ def extract_links(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(parse, LINKS_SCHEMA)
 
 
+def anchor_aliases(
+    links: DataFrame, min_support: int = 2, top_k_per_dst: int = 5
+) -> DataFrame:
+    """Anchor-text alias mining — the classic web-scale alias source for
+    entity linking (the text people USE to link to a page is what they
+    call the thing behind it; Wikipedia anchors bootstrapped half the
+    published EL systems): per (dst, normalized anchor), the number of
+    DISTINCT source pages using it, kept above min_support and top-k per
+    destination by (support desc, alias asc). Feeds the pipeline's alias
+    input (the --aliases table G2 canonicalizes with) from the crawl
+    itself instead of a hand-curated list.
+
+    Scale shape: normalize + filter in codegen, one map-side-combinable
+    distinct-count groupBy on (dst, alias), per-dst top-k as a
+    row_number window over the already-aggregated (small) table. Empty/
+    whitespace anchors and anchors longer than 80 chars (navigation
+    junk) are dropped before the shuffle."""
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("anchor")), r"\s+", " "))
+    cand = (
+        links.select("src", "dst", norm.alias("alias"))
+        .filter((F.length("alias") > 0) & (F.length("alias") <= 80))
+        .groupBy("dst", "alias")
+        .agg(F.count_distinct("src").alias("n_sources"))
+        .filter(F.col("n_sources") >= min_support)
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_sources").desc(), F.col("alias").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k_per_dst)
+    )
+
+
 def host_graph(links: DataFrame) -> DataFrame:
     """Edge list → weighted inter-host graph (self-host edges dropped):
     the table PageRank/HITS/salience consume. One map-side-combinable

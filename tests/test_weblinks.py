@@ -100,3 +100,33 @@ def test_extract_links_and_host_graph_and_pagerank(spark):
     pr = pagerank_exact(edges.select("src", "dst"), iters=5)
     top = pr.orderBy(pr.pr.desc()).first()
     assert top.src == "authority.com"
+
+
+def test_anchor_aliases_support_and_topk(spark):
+    """Alias mining: distinct-SOURCE support (the same page linking
+    twice is one vote), min_support filter, case/space normalization,
+    and deterministic per-dst top-k."""
+    from mxsparkg.weblinks import anchor_aliases
+
+    rows = [
+        # 3 distinct pages call T 'acme corp' (one with case/space noise)
+        ("http://a.com/1", "http://t.com/", "Acme Corp"),
+        ("http://b.com/1", "http://t.com/", "  acme   corp "),
+        ("http://c.com/1", "http://t.com/", "acme corp"),
+        # one page links twice with 'acme' -> support 1, filtered
+        ("http://a.com/1", "http://t.com/", "acme"),
+        ("http://a.com/1", "http://t.com/", "acme"),
+        # two pages call it 'the acme company'
+        ("http://b.com/1", "http://t.com/", "the acme company"),
+        ("http://c.com/1", "http://t.com/", "the acme company"),
+        # junk: empty + over-long anchors never reach the shuffle
+        ("http://a.com/1", "http://t.com/", ""),
+        ("http://a.com/1", "http://t.com/", "x" * 200),
+    ]
+    links = spark.createDataFrame(rows, ["src", "dst", "anchor"])
+    got = [
+        (r.alias, r.n_sources, r.rank)
+        for r in anchor_aliases(links, min_support=2)
+        .orderBy("rank").collect()
+    ]
+    assert got == [("acme corp", 3, 1), ("the acme company", 2, 2)]
