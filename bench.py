@@ -97,6 +97,7 @@ def headline_queries() -> dict:
               "kg_ntriples", "dedup_substring", "txt_bpe_merges",
               "txt_bpe_encode", "graph_modularity", "graph_linkpred",
               "evt_transitions", "graph_assortativity", "txt_filter_gate",
+              "graph_path",
               "kg_ppr", "graph_hits", "kg_er_jaccard", "dedup_cluster",
               "evt_asof", "graph_sssp", "kg_bgp_2hop", "kg_edge_pmi",
               "txt_chunk", "txt_pack_sequences", "join_bloom",

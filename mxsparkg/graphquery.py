@@ -1101,6 +1101,125 @@ def graph_bfs(spark: SparkSession, sf: str) -> DataFrame:
     return bfs_hops(sym, seeds, iters=BFS_ROUNDS)
 
 
+def shortest_paths_traced(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = BFS_ROUNDS,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Bounded multi-source shortest paths WITH path reconstruction —
+    the provenance query G7's hop counts can't answer: not just how far
+    an entity is from the seed set but THROUGH WHAT ('why are these two
+    connected' is the first question a KG UI gets). Returns (node, dist,
+    path) where path is the '>'-joined node chain from the nearest seed.
+
+    Distributed path choice must be deterministic or two runs (or two
+    engines) return different valid paths and every hash gate breaks.
+    The trick: encode the per-node state as ONE string key
+    `lpad(dist, 2, '0') || '|' || path` — min(key) is then exactly the
+    (dist, path)-lexicographic minimum (zero-padded dist compares
+    numerically; ties broken by path string, arbitrary but total), and
+    string min is a map-side-combinable aggregate with identical
+    byte-wise semantics in Spark and DuckDB. Same round shape as
+    bfs_hops: edge⋈state equi-join + groupBy(min) — no frontier on the
+    driver, no adjacency arrays; path strings grow with hop count
+    (bounded by iters), not graph size."""
+    edges = edges.select("src", "dst").persist()
+    cur = seeds.select(
+        "node",
+        F.concat(F.lit("00|"), F.col("node").cast("string")).alias("k"),
+    )
+    for i in range(iters):
+        nbr = (
+            edges.join(
+                cur.withColumnRenamed("node", "_s"),
+                F.col("src") == F.col("_s"),
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.concat(
+                    F.lpad(
+                        (F.substring("k", 1, 2).cast("int") + 1).cast(
+                            "string"), 2, "0"),
+                    F.lit("|"),
+                    F.expr("substring(k, 4)"),
+                    F.lit(">"),
+                    F.col("dst").cast("string"),
+                ).alias("k"),
+            )
+        )
+        cur = (
+            cur.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("k").alias("k"))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            cur = cur.localCheckpoint(eager=True)
+    return cur.select(
+        "node",
+        F.substring("k", 1, 2).cast("int").alias("dist"),
+        F.expr("substring(k, 4)").alias("path"),
+    )
+
+
+def graph_path(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: traced shortest paths from the graph_bfs seed set on the
+    sparsified co-purchase graph — every reached node's distance AND its
+    deterministic witness path under one value hash (a wrong frontier,
+    a lost tie-break, or a corrupted path string anywhere fails it)."""
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    sym = _symmetrize(und, "u", "v")
+    seeds = (
+        sym.select(F.col("src").alias("node"))
+        .filter(F.col("node") % BFS_SEED_MOD == 0)
+        .distinct()
+    )
+    return shortest_paths_traced(sym, seeds, iters=BFS_ROUNDS).orderBy(
+        "node")
+
+
+def graph_path_sql() -> str:
+    rounds, mod = BFS_ROUNDS, BFS_SEED_MOD
+    steps = []
+    prev = "p0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""n{i} AS (
+        SELECT e.dst AS node,
+               min(lpad(CAST(CAST(substr(p.k, 1, 2) AS INT) + 1 AS VARCHAR),
+                        2, '0')
+                   || '|' || substr(p.k, 4) || '>' || CAST(e.dst AS VARCHAR))
+               AS k
+        FROM edges e JOIN {prev} p ON p.node = e.src GROUP BY e.dst),
+      p{i} AS (
+        SELECT node, min(k) AS k FROM (
+          SELECT node, k FROM {prev}
+          UNION ALL SELECT node, k FROM n{i})
+        GROUP BY node)"""
+        )
+        prev = f"p{i}"
+    chain = ",\n      ".join(steps)
+    return f"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey % {MINLABEL_ORDER_MOD} = 0),
+      e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      edges AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM e0
+        UNION ALL SELECT v AS src, u AS dst FROM e0),
+      seeds AS (
+        SELECT DISTINCT src AS node FROM edges WHERE src % {mod} = 0),
+      p0 AS (
+        SELECT node, '00|' || CAST(node AS VARCHAR) AS k FROM seeds),
+      {chain}
+      SELECT node, CAST(substr(k, 1, 2) AS INT) AS dist,
+             substr(k, 4) AS path
+      FROM {prev} ORDER BY node
+    """
+
+
 def graph_bfs_sql() -> str:
     rounds, mod = BFS_ROUNDS, BFS_SEED_MOD
     steps = []
@@ -1796,6 +1915,7 @@ def graphquery_queries() -> dict:
         "graph_assortativity": graph_assortativity,
         "graph_kcore": graph_kcore,
         "graph_bfs": graph_bfs,
+        "graph_path": graph_path,
         "graph_sssp": graph_sssp,
         "kg_edge_pmi": kg_edge_pmi,
         "graph_hits": graph_hits,
@@ -1815,6 +1935,7 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_assortativity": graph_assortativity_sql(),
         "graph_kcore": graph_kcore_sql(),
         "graph_bfs": graph_bfs_sql(),
+        "graph_path": graph_path_sql(),
         "graph_sssp": graph_sssp_sql(),
         "kg_edge_pmi": kg_edge_pmi_sql(),
         "graph_hits": graph_hits_sql(),

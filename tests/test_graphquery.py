@@ -596,3 +596,49 @@ def test_assortativity_star_is_minus_one_and_cycle_degenerate(spark):
         [(1, 2), (2, 3), (3, 4), (1, 4)], ["u", "v"])
     c = assortativity_sums(cyc).collect()[0]
     assert c.r_num == 0 and c.r_den == 0
+
+
+def test_traced_paths_hand_case_and_tie_break(spark):
+    """Diamond 1→{2,3}→4 with seed {1}: node 4 is at dist 2 and the
+    deterministic witness is the (dist, path)-lexicographic minimum —
+    through 2, not 3. Unreached node absent."""
+    from mxsparkg.graphquery import shortest_paths_traced
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (9, 10)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: (r.dist, r.path)
+           for r in shortest_paths_traced(edges, seeds, iters=3).collect()}
+    assert got == {
+        1: (0, "1"), 2: (1, "1>2"), 3: (1, "1>3"), 4: (2, "1>2>4"),
+    }
+
+
+def test_traced_paths_agree_with_bfs_and_are_valid_walks(spark):
+    """On the gate graph: traced dist == bfs_hops dist for EVERY node,
+    every path starts at a seed, ends at its node, and every consecutive
+    pair is a real (symmetric) edge."""
+    from mxsparkg.graphquery import (
+        BFS_ROUNDS, BFS_SEED_MOD, MINLABEL_ORDER_MOD, _copurchase_edges,
+        _symmetrize, bfs_hops, graph_path)
+
+    sf = "/root/testdata/sf0.001"
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    sym = _symmetrize(und, "u", "v")
+    seeds_df = (
+        sym.select(F.col("src").alias("node"))
+        .filter(F.col("node") % BFS_SEED_MOD == 0)
+        .distinct()
+    )
+    seeds = {r.node for r in seeds_df.collect()}
+    eset = {(r.src, r.dst) for r in sym.collect()}
+    bfs = {r.node: r.dist
+           for r in bfs_hops(sym, seeds_df, iters=BFS_ROUNDS).collect()}
+    traced = graph_path(spark, sf).collect()
+    assert {r.node: r.dist for r in traced} == bfs and len(bfs) > 0
+    for r in traced:
+        hops = [int(x) for x in r.path.split(">")]
+        assert hops[0] in seeds and hops[-1] == r.node
+        assert len(hops) == r.dist + 1
+        assert all((a, b) in eset for a, b in zip(hops, hops[1:]))
