@@ -111,3 +111,40 @@ def test_read_warc_dataframe_and_detect_composition(spark, tiny_fixtures):
            "obj"]
     assert got.count() == want.count() > 0
     assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+
+
+def test_parse_warc_bytes_hostile_inputs_never_raise():
+    """Crawl data is hostile: truncated records, lying Content-Length,
+    garbage between records, truncated gzip members. The parser must
+    never raise and must keep every record it can frame."""
+    import gzip
+
+    from mxsparkg.warc import parse_warc_bytes, write_warc
+
+    good = {
+        "url": "http://ok.com/", "date": "2026-01-01T00:00:00Z",
+        "body": b"<html>fine</html>", "rec_type": "response",
+    }
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".warc") as f:
+        write_warc(f.name, [good])
+        blob = open(f.name, "rb").read()
+
+    # 1. truncated mid-payload: framing fails for the cut record only
+    assert list(parse_warc_bytes("t", blob[: len(blob) // 2])) == []
+    # 2. good record + garbage tail: the good record survives
+    got = list(parse_warc_bytes("t", blob + b"NOT A WARC RECORD"))
+    assert len(got) == 1 and got[0][0] == "http://ok.com/"
+    # 3. header with a non-numeric Content-Length: parser stops cleanly
+    bad = blob.replace(b"Content-Length: ", b"Content-Length: x", 1)
+    assert list(parse_warc_bytes("t", bad)) == []
+    # 4. whole-file gzip parses identically; a truncated member
+    #    decompresses its prefix and never raises
+    gz = gzip.compress(blob)
+    assert [r[0] for r in parse_warc_bytes("t", gz)] == ["http://ok.com/"]
+    half = gz[: len(gz) // 2]
+    assert isinstance(list(parse_warc_bytes("t", half)), list)  # no raise
+    # 5. empty and non-WARC inputs
+    assert list(parse_warc_bytes("t", b"")) == []
+    assert list(parse_warc_bytes("t", b"hello world")) == []
