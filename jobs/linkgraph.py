@@ -12,6 +12,8 @@ ops:
   rank    integer-mass PageRank over the host graph (authority table)
   aliases anchor-text alias candidates per destination (distinct-source
           support, min 2, top 5 per dst) — feeds the pipeline --aliases
+  frontier next fetch list: new URLs minus --crawled, per-host cap
+          (--cap), ordered by in-link support — closes the crawl loop
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -33,8 +35,15 @@ def main() -> None:
     ap.add_argument("--pages-format", default="parquet",
                     choices=["parquet", "warc"])
     ap.add_argument("--op", default="hosts",
-                    choices=["links", "hosts", "rank", "aliases"])
+                    choices=["links", "hosts", "rank", "aliases",
+                             "frontier"])
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--crawled", default=None,
+                    help="parquet with a url column: already-fetched set "
+                         "for --op frontier (default: this crawl's own "
+                         "pages — discover-only-new mode)")
+    ap.add_argument("--cap", type=int, default=100,
+                    help="per-host frontier cap (--op frontier)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -61,6 +70,15 @@ def main() -> None:
         from mxsparkg.weblinks import anchor_aliases
 
         out_df = anchor_aliases(links)
+    elif args.op == "frontier":
+        from mxsparkg.weblinks import next_frontier
+
+        crawled = (
+            spark.read.parquet(args.crawled)
+            if args.crawled
+            else pages.select("url")
+        )
+        out_df = next_frontier(links, crawled, per_host_cap=args.cap)
     else:
         from pyspark.sql import functions as F
 

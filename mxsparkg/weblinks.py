@@ -142,6 +142,51 @@ def anchor_aliases(
     )
 
 
+def next_frontier(
+    links: DataFrame,
+    crawled: DataFrame,
+    per_host_cap: int = 100,
+) -> DataFrame:
+    """Crawl-frontier scheduling — closes the crawl loop the other ops
+    open (WARC in → pages → links → FRONTIER out): the next fetch list
+    is every newly-discovered URL, deduplicated, minus everything
+    already crawled, capped per host (politeness: no host monopolizes
+    the next wave) and deterministically ordered within a host by
+    in-link support (most-referenced first — the cheap approximation of
+    priority-by-authority) then URL.
+
+    crawled: one column `url` (the digest index keeps content dedup;
+    this is URL-level). Scale shape: candidate support is one map-side-
+    combinable groupBy on dst; the already-crawled exclusion is a LEFT
+    ANTI hash join (at 10^12 URLs that side is the materialized frontier
+    table the delta applier maintains — never broadcast); the per-host
+    cap is a row_number window partitioned by host over the
+    ALREADY-AGGREGATED candidate table (one row per distinct URL, so a
+    hot host's window buffer is its distinct-URL count, not its raw
+    in-link count)."""
+    from pyspark.sql import Window
+
+    cand = (
+        links.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("n_inlinks"))
+        .join(
+            crawled.select(F.col("url").alias("dst")).distinct(),
+            "dst",
+            "left_anti",
+        )
+        .withColumn("host", F.parse_url("dst", F.lit("HOST")))
+        .filter(F.col("host").isNotNull())
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_inlinks").desc(), F.col("dst").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_host_cap)
+        .select(F.col("dst").alias("url"), "host", "n_inlinks", "rank")
+    )
+
+
 def host_graph(links: DataFrame) -> DataFrame:
     """Edge list → weighted inter-host graph (self-host edges dropped):
     the table PageRank/HITS/salience consume. One map-side-combinable

@@ -130,3 +130,36 @@ def test_anchor_aliases_support_and_topk(spark):
         .orderBy("rank").collect()
     ]
     assert got == [("acme corp", 3, 1), ("the acme company", 2, 2)]
+
+
+def test_next_frontier_dedup_cap_and_priority(spark):
+    """The crawl loop's output: already-crawled URLs excluded, duplicate
+    discoveries collapsed with in-link support, per-host cap enforced,
+    most-referenced URL ranked first within its host."""
+    from mxsparkg.weblinks import next_frontier
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://new.com/popular", "x"),
+            ("http://b.com/1", "http://new.com/popular", "x"),
+            ("http://c.com/1", "http://new.com/popular", "x"),
+            ("http://a.com/1", "http://new.com/one", "x"),
+            ("http://a.com/1", "http://new.com/two", "x"),
+            ("http://a.com/1", "http://seen.com/old", "x"),
+            ("http://a.com/1", "http://other.com/z", "x"),
+        ],
+        ["src", "dst", "anchor"],
+    )
+    crawled = spark.createDataFrame(
+        [("http://seen.com/old",)], ["url"]
+    )
+    got = {
+        r.url: (r.host, r.n_inlinks, r.rank)
+        for r in next_frontier(links, crawled, per_host_cap=2).collect()
+    }
+    assert "http://seen.com/old" not in got          # already crawled
+    assert got["http://new.com/popular"] == ("new.com", 3, 1)  # priority
+    # cap=2 on new.com: popular + the lexicographically-first of one/two
+    assert sum(1 for u, (h, _, _) in got.items() if h == "new.com") == 2
+    assert "http://new.com/one" in got and "http://new.com/two" not in got
+    assert got["http://other.com/z"] == ("other.com", 1, 1)
