@@ -3937,6 +3937,272 @@ def mm_decode_png_sql() -> str:
     """
 
 
+# ---- GIF89a codec (pure stdlib: variable-width LZW, the dictionary coder
+# PNG's zlib does NOT exercise) ----------------------------------------------
+
+GIF_MAGIC = b"GIF89a"
+GIF_COLORS = 4            # 2-bit palette → LZW min code size 2
+GIF_LZW_MIN = 2
+GIF_MAX_WIDTH = 12        # spec cap on code width
+
+
+def _gif_pixels(width: int, height: int, seed: int) -> list[int]:
+    """Deterministic palette indices — the closed form the oracle
+    recomputes: p_i = (seed·31 + i·7) mod n_colors."""
+    return [
+        (seed * 31 + i * 7) % GIF_COLORS for i in range(width * height)
+    ]
+
+
+def _lzw_encode(pixels: list[int], min_code: int = GIF_LZW_MIN) -> bytes:
+    """GIF variable-width LZW: clear code emitted first, code width grows
+    when the next free code would not fit, table capped at 2^12 (emit
+    clear + reset — exercised by the larger fixture images)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def reset():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code + 1
+
+    table, next_code, width = reset()
+    out_bits.append((clear, width))
+    w: tuple[int, ...] = ()
+    for p in pixels:
+        wp = w + (p,)
+        if wp in table:
+            w = wp
+            continue
+        out_bits.append((table[w], width))
+        table[wp] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < GIF_MAX_WIDTH:
+            width += 1
+        if next_code == (1 << GIF_MAX_WIDTH):
+            out_bits.append((clear, width))
+            table, next_code, width = reset()
+        w = (p,)
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((eoi, width))
+    # pack LSB-first
+    acc = n = 0
+    data = bytearray()
+    for code, cw in out_bits:
+        acc |= code << n
+        n += cw
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode(data: bytes, min_code: int = GIF_LZW_MIN) -> list[int]:
+    """Mirror decoder incl. the cScSc special case (code == next free →
+    prev + prev[0]) and clear-code table resets."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    pos = 0  # bit cursor
+
+    def read(width: int) -> int:
+        nonlocal pos
+        v = 0
+        for k in range(width):
+            byte = pos >> 3
+            if byte >= len(data):
+                return eoi  # truncated stream: stop cleanly
+            v |= ((data[byte] >> (pos & 7)) & 1) << k
+            pos += 1
+        return v
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, eoi + 1, min_code + 1
+
+    table, next_code, width = reset()
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while True:
+        code = read(width)
+        if code == eoi:
+            break
+        if code == clear:
+            table, next_code, width = reset()
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            break  # corrupt stream: keep what we have
+        out.extend(entry)
+        if prev is not None:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < GIF_MAX_WIDTH:
+                width += 1
+        prev = entry
+    return out
+
+
+def _encode_gif(width: int, height: int, seed: int) -> bytes:
+    """Minimal spec-correct GIF89a: header, logical screen descriptor,
+    4-entry global color table, image descriptor, LZW data in ≤255-byte
+    sub-blocks, trailer."""
+    import struct
+
+    gct = b"".join(
+        bytes((85 * i, 255 - 85 * i, (40 * i) & 0xFF))
+        for i in range(GIF_COLORS)
+    )
+    lsd = struct.pack("<HHBBB", width, height, 0x80 | 0x01, 0, 0)
+    # packed 0x81: GCT present, size bits 01 → 2^(1+1)=4 entries
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    lzw = _lzw_encode(_gif_pixels(width, height, seed))
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (
+        GIF_MAGIC + lsd + gct + img + bytes([GIF_LZW_MIN])
+        + bytes(blocks) + b"\x00\x3b"
+    )
+
+
+def _parse_gif(blob: bytes) -> dict:
+    """Walk the block structure, decompress the LZW pixel stream, and
+    return content-level facts: dimensions from the image descriptor,
+    n_pixels from the DECODED index count (not the header), and a
+    position-weighted checksum Σ p_i·(i+1) — one transposed or mis-coded
+    pixel anywhere changes it."""
+    import struct
+
+    assert blob[:6] == GIF_MAGIC, "not GIF89a"
+    w_s, h_s, packed, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    n_colors = 0
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        pos += 3 * n_colors
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b == 0x2C:
+            _l, _t, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", blob[pos + 1 : pos + 10])
+            pos += 10
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            min_code = blob[pos]
+            pos += 1
+            lzw = bytearray()
+            while blob[pos] != 0:
+                n = blob[pos]
+                lzw += blob[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            pixels = _lzw_decode(bytes(lzw), min_code)
+            return {
+                "media_type": "image",
+                "width": iw,
+                "height": ih,
+                "n_colors": n_colors,
+                "n_pixels": len(pixels),
+                "px_checksum": sum(
+                    p * (i + 1) for i, p in enumerate(pixels)
+                ),
+            }
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("no image block")
+
+
+MM_GIF_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_colors", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("px_checksum", LongType()),
+    ]
+)
+
+
+def mm_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
+    """GIF89a decode, pure stdlib: the encode pass writes a REAL GIF per
+    doc (variable-width LZW with clear-code resets — the DICTIONARY
+    coder family, which PNG's zlib and JPEG's Huffman do not exercise);
+    the decode pass walks the block structure and DECODES the pixel
+    stream, reporting n_pixels from the decoded count and a
+    position-weighted pixel checksum. The oracle recomputes the checksum
+    from the generator's closed form per pixel index, so a wrong code
+    width, a missed table reset, or the cScSc case mishandled fails the
+    value hash. Same mapInPandas shape as the other codecs."""
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = [
+                _encode_gif(4 + int(d) % 11, 3 + int(d) % 7, seed=int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                meta = _parse_gif(bytes(blob))
+                rows.append({"doc_id": int(doc_id), **meta})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MM_GIF_SCHEMA.fields]
+            )
+
+    media = (
+        _docs(spark, sf)
+        .select("doc_id")
+        .mapInPandas(encode, "doc_id long, media binary")
+    )
+    return media.mapInPandas(decode, MM_GIF_SCHEMA)
+
+
+def mm_decode_gif_sql() -> str:
+    # DuckDB's range() cannot take a correlated column bound — use a
+    # constant index table (max image is (4+10)*(3+6) = 126 px) and
+    # filter per doc inside the sum
+    return f"""
+      WITH idx AS (SELECT i FROM range(0, 130) t(i)),
+      cks AS (
+        SELECT d.doc_id,
+               CAST(sum(CASE WHEN i < (4 + d.doc_id % 11)
+                                   * (3 + d.doc_id % 7)
+                        THEN ((d.doc_id * 31 + i * 7) % {GIF_COLORS})
+                             * (i + 1)
+                        ELSE 0 END) AS BIGINT) AS px_checksum
+        FROM documents d CROSS JOIN idx GROUP BY d.doc_id)
+      SELECT d.doc_id,
+        'image' AS media_type,
+        4 + d.doc_id % 11 AS width,
+        3 + d.doc_id % 7 AS height,
+        {GIF_COLORS} AS n_colors,
+        (4 + d.doc_id % 11) * (3 + d.doc_id % 7) AS n_pixels,
+        c.px_checksum
+      FROM documents d JOIN cks c ON c.doc_id = d.doc_id
+    """
+
+
 # ---- baseline JPEG codec (pure stdlib: struct + canonical Huffman) --------
 #
 # Upgrades the declared lib slot one more notch (PNG fell in round 3): the
@@ -4843,6 +5109,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_stub": mm_decode_stub,
         "mm_decode": mm_decode,
         "mm_decode_png": mm_decode_png,
+        "mm_decode_gif": mm_decode_gif,
         "grp_apply_pandas": grp_apply_pandas,
     }
 
@@ -4897,5 +5164,6 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "mm_decode_stub": mm_decode_stub_sql(),
         "mm_decode": mm_decode_sql(),
         "mm_decode_png": mm_decode_png_sql(),
+        "mm_decode_gif": mm_decode_gif_sql(),
         "grp_apply_pandas": grp_apply_pandas_sql(),
     }

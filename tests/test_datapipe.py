@@ -1075,3 +1075,27 @@ def test_filter_gate_every_rule_fires_and_mask_consistent(spark):
     logit = {r.doc_id: r.logit for r in txt_classify(spark, SF).collect()}
     for r in g.collect():
         assert ((r.reasons & 16) > 0) == (logit[r.doc_id] <= FILTER_MIN_LOGIT)
+
+
+def test_gif_lzw_roundtrip_including_table_reset():
+    """GIF variable-width LZW: round-trips at every size class including
+    a 60k-pixel stream that overflows the 2^12 code table (forcing the
+    mid-stream clear + reset path), and the block-level parse returns
+    the decoded pixel count and the position-weighted checksum."""
+    import random
+
+    from mxsparkg.datapipe import (
+        _encode_gif, _gif_pixels, _lzw_decode, _lzw_encode, _parse_gif,
+    )
+
+    for n in (1, 7, 200, 5000, 60000):
+        random.seed(n)
+        px = [random.randrange(4) for _ in range(n)]
+        assert _lzw_decode(_lzw_encode(px)) == px
+    for w, h, s in [(4, 3, 0), (14, 9, 7), (9, 5, 123)]:
+        m = _parse_gif(_encode_gif(w, h, s))
+        assert (m["width"], m["height"], m["n_pixels"]) == (w, h, w * h)
+        want = sum(
+            p * (i + 1) for i, p in enumerate(_gif_pixels(w, h, s))
+        )
+        assert m["px_checksum"] == want
