@@ -3761,6 +3761,18 @@ def _parse_media(blob: bytes) -> dict:
             "n_samples": 0,
             "bit_depth": 8,
         }
+    if blob[:6] == GIF_MAGIC:
+        g = _parse_gif(blob)
+        return {
+            "media_type": "image",
+            "n_bytes": len(blob),
+            "width": g["width"],
+            "height": g["height"],
+            "sample_rate": 0,
+            "n_samples": 0,
+            # palette depth: 4 colors → 2 bits
+            "bit_depth": max(1, (g["n_colors"] - 1).bit_length()),
+        }
     if blob[:2] == b"BM":
         file_size, = struct.unpack_from("<I", blob, 2)
         width, height = struct.unpack_from("<ii", blob, 18)

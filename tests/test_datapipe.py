@@ -1099,3 +1099,13 @@ def test_gif_lzw_roundtrip_including_table_reset():
             p * (i + 1) for i, p in enumerate(_gif_pixels(w, h, s))
         )
         assert m["px_checksum"] == want
+
+
+def test_parse_media_sniffs_gif():
+    """decode_media's magic-byte dispatch recognizes GIF89a and reports
+    the palette bit depth (4 colors -> 2 bits)."""
+    from mxsparkg.datapipe import _encode_gif, _parse_media
+
+    m = _parse_media(_encode_gif(9, 5, seed=3))
+    assert (m["media_type"], m["width"], m["height"], m["bit_depth"]) == (
+        "image", 9, 5, 2)
