@@ -376,6 +376,32 @@ def agg_cube(spark, sf):
         .agg(F.count("*").alias("n"))
 
 
+@reg("agg_grouping_sets",
+     "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+     "ROUND(SUM(o_totalprice), 2) AS total "
+     "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), "
+     "(o_orderpriority), (o_orderstatus, o_orderpriority))")
+def agg_grouping_sets(spark, sf):
+    """GROUPING SETS — the general form A7's rollup/cube are sugar for:
+    an explicit list of grouping column sets computed in one pass (the
+    report query that wants 'by status', 'by priority', and 'by both'
+    without three scans). Spark plans one Expand + one hash aggregate —
+    the scan is read once and each row fans out only to its |sets|
+    grouping rows, all map-side combinable."""
+    return (
+        _t(spark, sf, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"],
+             ["o_orderstatus", "o_orderpriority"]],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 @reg("agg_pandas",
      "SELECT lang, ROUND(AVG(n_chars), 4) AS mean_chars, "
      "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang")
@@ -1168,6 +1194,73 @@ def evt_transitions(spark, sf):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@reg("evt_rfm",
+     """WITH p AS (
+       SELECT user_id, epoch_us(ts) AS us, value
+       FROM events WHERE event_type = 'purchase'),
+     agg AS (
+       SELECT user_id, CAST(max(us) AS BIGINT) AS last_us,
+              CAST(count(*) AS BIGINT) AS n_purchases,
+              round(sum(value), 2) AS monetary
+       FROM p GROUP BY user_id),
+     scored AS (
+       SELECT *,
+         CAST(ntile(4) OVER (ORDER BY last_us DESC, user_id) AS BIGINT)
+           AS r_code,
+         CAST(ntile(4) OVER (ORDER BY n_purchases DESC, user_id) AS BIGINT)
+           AS f_code,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT)
+           AS m_code
+       FROM agg)
+     SELECT user_id, last_us, n_purchases, monetary,
+            r_code, f_code, m_code,
+            r_code * 100 + f_code * 10 + m_code AS rfm
+     FROM scored ORDER BY user_id""")
+def evt_rfm(spark, sf):
+    """RFM segmentation — the canonical behavioral-cohort table next to
+    T22's retention matrix: per purchasing user, Recency (last purchase
+    time), Frequency, Monetary, each coded into quartiles (code 1 =
+    best) and the composite rfm segment. Determinism discipline: ntile
+    needs a TOTAL order or quartile boundaries are partition-dependent —
+    every ORDER BY ends in user_id, and the time base is the exact
+    integer-microsecond epoch (the sessionize trick). Scale shape: one
+    map-side-combinable per-user agg; the three ntiles are global sorts
+    of the ALREADY-AGGREGATED user table (production swaps exact ntile
+    for approx-quantile cut points broadcast as literals — same
+    column set, documented like the percentile key)."""
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    us = F.expr(
+        "unix_date(cast(ts as date))*86400000000"
+        " + cast(hour(ts) as bigint)*3600000000"
+        " + cast(minute(ts) as bigint)*60000000"
+        " + cast(extract(SECOND from ts)*1000000 as bigint)"
+    )
+    agg = (
+        e.select("user_id", us.alias("us"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.max("us").alias("last_us"),
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    nt = lambda col: F.ntile(4).over(  # noqa: E731
+        Window.orderBy(F.col(col).desc(), F.col("user_id").asc())
+    ).cast("bigint")
+    scored = agg.select(
+        "*",
+        nt("last_us").alias("r_code"),
+        nt("n_purchases").alias("f_code"),
+        nt("monetary").alias("m_code"),
+    )
+    return scored.select(
+        "user_id", "last_us", "n_purchases", "monetary",
+        "r_code", "f_code", "m_code",
+        (F.col("r_code") * 100 + F.col("f_code") * 10
+         + F.col("m_code")).alias("rfm"),
+    ).orderBy("user_id")
 
 
 HIST_BIN_C = 2_500_000  # histogram bin width in integer cents ($25,000)
