@@ -69,6 +69,13 @@ def run_pipeline(
     reliable_checkpoint_dir: str | None = None,
     pages_format: str = "parquet",
 ) -> dict[str, DataFrame]:
+    if pages_format == "warc" and langs:
+        raise ValueError(
+            "--langs filters the lang column, which raw WARC ingest does "
+            "not carry — run language ID on the extracted text "
+            "(datapipe.txt_langid) and land a lang column first, or drop "
+            "--langs"
+        )
     ck = Checkpointer(spark, checkpoint_root)
     model_bc = broadcast_model(spark, rules, pred_patterns)
     npart = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -95,7 +102,8 @@ def run_pipeline(
         # raw crawl ingest: WARC files → the pages frame directly (one
         # task per WARC file; see mxsparkg/warc.py). text/lang are not in
         # a crawl — ingest-side language ID (datapipe.txt_langid) is the
-        # production prefilter when --langs is wanted on raw WARC.
+        # production prefilter when --langs is wanted on raw WARC
+        # (guarded at function entry).
         from mxsparkg.warc import read_warc
 
         pages = read_warc(spark, pages_path).select(

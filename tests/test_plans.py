@@ -323,3 +323,21 @@ def test_type_check_anti_join_is_hash_after_derived_types(spark):
 
     plan = _plan(kg_type_check(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_newest_batch_no_interpreted_join_no_python(spark):
+    """Batch-7 hygiene: traced paths, the composite filter gate,
+    grouping sets, and RFM all stay free of interpreted joins,
+    Cartesian products, and Python in the relational path."""
+    from mxsparkg.contract import contract_queries
+    from mxsparkg.datapipe import txt_filter_gate
+    from mxsparkg.graphquery import graph_path
+
+    q = contract_queries()
+    for fn in (graph_path, txt_filter_gate, q["agg_grouping_sets"],
+               q["evt_rfm"]):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        name = getattr(fn, "__name__", str(fn))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
