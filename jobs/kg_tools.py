@@ -19,6 +19,8 @@ ops:
   predict    link prediction with trained embeddings (--emb = embed's
              --out): top-k candidate objects per subject of --pred,
              candidates = the objects observed for that predicate
+  nquads     provenance N-Quads from the pipeline TRIPLES table (pass it
+             as --edges): 4th term = the source page as a graph IRI
   snapshot   time-travel read of a version-dir table written by --op
              apply (--snapshots root, --version N, default latest) —
              the in-sandbox `VERSION AS OF`
@@ -113,9 +115,9 @@ def _dense_entities(edges):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
-                    choices=["ntriples", "turtle", "validate", "infer",
-                             "diff", "embed", "predict", "apply", "bgp",
-                             "snapshot"])
+                    choices=["ntriples", "nquads", "turtle", "validate",
+                             "infer", "diff", "embed", "predict", "apply",
+                             "bgp", "snapshot"])
     ap.add_argument("--delta", default=None,
                     help="state_diff output parquet (op, subj, pred, obj) "
                          "for --op apply")
@@ -192,6 +194,12 @@ def main() -> None:
         n = spark.read.parquet(args.out).count()
     elif args.op == "ntriples":
         kx.export_edges_ntriples(edges).select("line").write.mode(
+            "overwrite").text(args.out)
+        n = spark.read.text(args.out).count()
+    elif args.op == "nquads":
+        # provenance export: --edges here is the pipeline TRIPLES table
+        # (subj, pred, obj, url) — the graph term is the source page
+        kx.export_triples_nquads(edges).select("line").write.mode(
             "overwrite").text(args.out)
         n = spark.read.text(args.out).count()
     elif args.op == "turtle":

@@ -99,6 +99,29 @@ def to_ntriples(
     return triples.select(s.alias("subj"), p.alias("pred"), line.alias("line"))
 
 
+def export_triples_nquads(triples: DataFrame) -> DataFrame:
+    """Provenance-carrying N-Quads export of the pipeline's TRIPLES
+    table (subj, pred, obj, url, ...): the 4th term is the source page
+    as a graph IRI, so every statement in the downstream store answers
+    'which crawl page said this' — the provenance question the 3-term
+    exports (X1/X12) drop and a web KG cannot live without. Entity/
+    predicate ids are percent-encoded into the urn:kg namespaces like
+    export_edges_ntriples; the graph term percent-encodes the source
+    url into urn:kg:src:. Same posture as N-Triples: pure projection,
+    line-oriented, every shard independently a valid N-Quads document,
+    export parallelism == the triple table's split count."""
+    enc = lambda c: F.url_encode(F.col(c))  # noqa: E731
+    line = F.concat(
+        F.lit(f"<{BASE_E}"), enc("subj"), F.lit(f"> <{BASE_P}"),
+        enc("pred"), F.lit(f"> <{BASE_E}"), enc("obj"),
+        F.lit("> <urn:kg:src:"), enc("url"), F.lit("> ."),
+    )
+    return triples.select(
+        F.col("subj"), F.col("pred"), F.col("url").alias("graph"),
+        line.alias("line"),
+    )
+
+
 def validate_triples(triples: DataFrame, constraints: DataFrame) -> DataFrame:
     """Domain/range check: rows of `triples` (with styp/otyp type columns)
     whose (pred, styp, otyp) is NOT in the broadcast `constraints` table.

@@ -290,3 +290,28 @@ def test_read_snapshot_time_travel(spark, tmp_path):
                         key_cols=["subj", "pred"])
     assert r3["version"] == 3 and r3["applied"]
     assert _rows(read_snapshot(spark, root, 3)) != _rows(s1)
+
+
+def test_nquads_provenance_lines(spark):
+    """N-Quads: every line carries the source page as the 4th (graph)
+    term, IRIs percent-encoded, and a triple asserted by two different
+    pages yields two distinct quads (the provenance N-Triples would
+    collapse)."""
+    from mxsparkg.kgexport import export_triples_nquads
+
+    t = spark.createDataFrame(
+        [
+            ("a b", "rel", "c", "http://x.com/p?q=1"),
+            ("a b", "rel", "c", "http://y.com/p"),
+        ],
+        ["subj", "pred", "obj", "url"],
+    )
+    lines = sorted(r.line for r in export_triples_nquads(t).collect())
+    assert len(lines) == len(set(lines)) == 2  # same triple, two quads
+    assert lines[0] == (
+        "<urn:kg:e:a+b> <urn:kg:p:rel> <urn:kg:e:c> "
+        "<urn:kg:src:http%3A%2F%2Fx.com%2Fp%3Fq%3D1> ."
+    )
+    for ln in lines:
+        assert ln.count(" ") == 4 and ln.endswith(" .")
+        assert " <urn:kg:src:" in ln
