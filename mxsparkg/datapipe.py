@@ -4190,6 +4190,108 @@ def mm_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
     return media.mapInPandas(decode, MM_GIF_SCHEMA)
 
 
+# ---- audio feature extraction (windowed energy / zero-crossing rate) ------
+
+AUDIO_WIN = 16  # samples per analysis window
+
+
+def _wav_samples(blob: bytes) -> list[int]:
+    """Real 16-bit LE PCM decode of a WAV body (header walked by spec
+    offsets — the same parse discipline as _parse_media)."""
+    import struct
+
+    n = struct.unpack_from("<I", blob, 40)[0] // 2
+    return list(struct.unpack_from(f"<{n}h", blob, 44))
+
+
+def mm_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """The feature-extract step after audio decode — the frame-level
+    energy/zero-crossing profile every audio pipeline computes before
+    VAD/segmentation: per analysis window of {AUDIO_WIN} samples, the
+    exact integer energy Σs² and the zero-crossing count (consecutive
+    sign flips within the window). The encode pass writes a REAL WAV per
+    doc; the decode pass struct-unpacks the PCM and computes features
+    from the DECODED samples, while the oracle recomputes both from the
+    generator's byte-arithmetic closed form (b_j = (7·doc_id + j) mod
+    256 → s_i = 257t+256 − 65536·[t ≥ 127], t = (7·doc_id + 2i) mod
+    256) — a wrong endianness, header offset, sign extension, or window
+    boundary fails the value hash. Energies are exact bigints (a float
+    RMS would be ulp-portable anyway, but exact is free here)."""
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = [
+                _encode_wav(8000, 40 + int(d) % 80, seed=int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    def features(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                s = _wav_samples(bytes(blob))
+                for w0 in range(0, len(s), AUDIO_WIN):
+                    win = s[w0 : w0 + AUDIO_WIN]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "win_id": w0 // AUDIO_WIN,
+                            "n": len(win),
+                            "energy": sum(x * x for x in win),
+                            "n_zero_cross": sum(
+                                1
+                                for a, b in zip(win, win[1:])
+                                if (a >= 0) != (b >= 0)
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "win_id", "n", "energy", "n_zero_cross"],
+            )
+
+    media = (
+        _docs(spark, sf)
+        .select("doc_id")
+        .mapInPandas(encode, "doc_id long, media binary")
+    )
+    return media.mapInPandas(
+        features,
+        "doc_id long, win_id long, n long, energy long, n_zero_cross long",
+    )
+
+
+def mm_audio_energy_sql() -> str:
+    w = AUDIO_WIN
+    # closed-form sample value at index i for seed doc_id
+    t = "((d.doc_id * 7 + 2 * i) % 256)"
+    u = f"(CASE WHEN {t} = 255 THEN 255 ELSE 257 * {t} + 256 END)"
+    s = f"(CASE WHEN {u} >= 32768 THEN {u} - 65536 ELSE {u} END)"
+    tp = "((d.doc_id * 7 + 2 * (i - 1)) % 256)"
+    up = f"(CASE WHEN {tp} = 255 THEN 255 ELSE 257 * {tp} + 256 END)"
+    sp = f"(CASE WHEN {up} >= 32768 THEN {up} - 65536 ELSE {up} END)"
+    return f"""
+      WITH idx AS (SELECT i FROM range(0, 130) t(i)),
+      samp AS (
+        SELECT d.doc_id, i, i // {w} AS win_id,
+               {s} AS s,
+               CASE WHEN i % {w} > 0
+                    AND (({s} >= 0) <> ({sp} >= 0)) THEN 1 ELSE 0 END AS zc
+        FROM documents d CROSS JOIN idx
+        WHERE i < 40 + d.doc_id % 80)
+      SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s * s) AS BIGINT) AS energy,
+             CAST(sum(zc) AS BIGINT) AS n_zero_cross
+      FROM samp GROUP BY doc_id, win_id
+    """
+
+
 def mm_decode_gif_sql() -> str:
     # DuckDB's range() cannot take a correlated column bound — use a
     # constant index table (max image is (4+10)*(3+6) = 126 px) and
@@ -5122,6 +5224,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode": mm_decode,
         "mm_decode_png": mm_decode_png,
         "mm_decode_gif": mm_decode_gif,
+        "mm_audio_energy": mm_audio_energy,
         "grp_apply_pandas": grp_apply_pandas,
     }
 
@@ -5177,5 +5280,6 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "mm_decode": mm_decode_sql(),
         "mm_decode_png": mm_decode_png_sql(),
         "mm_decode_gif": mm_decode_gif_sql(),
+        "mm_audio_energy": mm_audio_energy_sql(),
         "grp_apply_pandas": grp_apply_pandas_sql(),
     }
