@@ -1,0 +1,151 @@
+"""In-process smoke of every analytic spark-submit surface — the CLI
+mains are product surfaces and were previously exercised only by hand;
+this module pins argument plumbing, op dispatch, and output shape for
+each, on tiny deterministic inputs. The shared pytest session is
+injected (get_spark monkeypatched; stop() neutralized so a main()
+cannot tear the session down under later tests)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+import pytest
+
+ROOT = "/tmp/mxsparkg_test_cli"
+
+
+@pytest.fixture()
+def cli(spark, monkeypatch, capsys):
+    """Run a jobs/<name>.py main() in-process with the given argv,
+    returning its printed JSON line."""
+    import mxsparkg.session as session
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    def run(module: str, argv: list[str]) -> dict:
+        import importlib
+
+        mod = importlib.import_module(f"jobs.{module}")
+        monkeypatch.setattr(sys, "argv", [f"{module}.py", *argv])
+        mod.main()
+        out = [
+            ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")
+        ]
+        assert out, f"{module} printed no JSON line"
+        return json.loads(out[-1])
+
+    return run
+
+
+@pytest.fixture(scope="module")
+def crawl_dir(spark):
+    """A 4-page WARC crawl with cross-host links (same shape as the
+    weblinks tests)."""
+    from mxsparkg.warc import write_warc
+
+    def page(host, path, hrefs):
+        body = "<html><body>" + "".join(
+            f'<a href="{h}">{host} link</a>' for h in hrefs
+        ) + "</body></html>"
+        return {
+            "url": f"http://{host}{path}",
+            "date": "2026-04-05T06:07:08Z",
+            "body": body.encode(),
+            "rec_type": "response",
+        }
+
+    d = f"{ROOT}/crawl"
+    shutil.rmtree(ROOT, ignore_errors=True)
+    os.makedirs(d)
+    write_warc(
+        f"{d}/c.warc.gz",
+        [
+            page("hub.com", "/a", ["http://s1.com/", "http://auth.com/"]),
+            page("s1.com", "/", ["http://auth.com/", "http://hub.com/a"]),
+            page("auth.com", "/", ["http://s1.com/x"]),
+        ],
+        gzip_members=True,
+    )
+    return d
+
+
+def test_linkgraph_all_ops(cli, crawl_dir):
+    for op, min_rows in [
+        ("links", 5), ("hosts", 4), ("rank", 3), ("frontier", 1),
+    ]:
+        res = cli("linkgraph", [
+            "--pages", crawl_dir, "--pages-format", "warc",
+            "--op", op, "--out", f"{ROOT}/lg_{op}",
+        ])
+        assert res["op"] == op and res["rows"] >= min_rows, res
+
+
+def test_datapipe_ops(cli):
+    for op, rows in [
+        ("txt_filter_gate", 100), ("dedup_exact", 100),
+        ("dedup_minhash_quality", None),
+    ]:
+        res = cli("datapipe", [
+            "--op", op,
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--out", f"{ROOT}/dp_{op}",
+        ])
+        assert res["op"] == op
+        if rows is not None:
+            assert res["rows"] == rows * 5  # 500 docs at sf0.001
+
+
+def test_graph_analytics_ops(cli, spark):
+    edges = spark.createDataFrame(
+        [("a", "r", "b", 2), ("b", "r", "c", 1), ("a", "r", "c", 1),
+         ("c", "r", "d", 3)],
+        ["subj", "pred", "obj", "n_support"],
+    )
+    ep = f"{ROOT}/ga_edges"
+    edges.write.mode("overwrite").parquet(ep)
+    for op in ("triangles", "modularity", "linkpred", "assortativity",
+               "scc"):
+        res = cli("graph_analytics", [
+            "--op", op, "--edges", ep, "--out", f"{ROOT}/ga_{op}",
+            "--iters", "3",
+        ])
+        assert res["op"] == op and res["rows"] >= 1, res
+
+
+def test_kg_tools_exports_and_snapshots(cli, spark):
+    triples = spark.createDataFrame(
+        [("e1", "rel", "e2", "http://src/1"),
+         ("e1", "rel", "e2", "http://src/2"),
+         ("e2", "rel", "e3", "http://src/1")],
+        ["subj", "pred", "obj", "url"],
+    )
+    tp = f"{ROOT}/kt_triples"
+    triples.write.mode("overwrite").parquet(tp)
+    res = cli("kg_tools", [
+        "--op", "nquads", "--edges", tp, "--out", f"{ROOT}/kt_nq",
+    ])
+    assert res["rows"] == 3  # two sources for the same triple = 2 quads
+
+    edges = triples.select("subj", "pred", "obj")
+    ep = f"{ROOT}/kt_edges"
+    edges.write.mode("overwrite").parquet(ep)
+    delta = spark.createDataFrame(
+        [("add", "e3", "rel", "e4")], ["op", "subj", "pred", "obj"]
+    )
+    dp = f"{ROOT}/kt_delta"
+    delta.write.mode("overwrite").parquet(dp)
+    res = cli("kg_tools", [
+        "--op", "apply", "--edges", ep, "--delta", dp,
+        "--delta-id", "d1", "--out", f"{ROOT}/kt_snaps",
+    ])
+    assert res["rows"] == 4  # 3 distinct base triples + 1 add
+    res = cli("kg_tools", [
+        "--op", "snapshot", "--snapshots", f"{ROOT}/kt_snaps",
+        "--out", f"{ROOT}/kt_asof",
+    ])
+    assert res["rows"] == 4
