@@ -83,11 +83,19 @@ def main() -> None:
         )
         spark.sparkContext.setLogLevel("ERROR")
         edges, labels = _graph(spark, n)
-        from mxsparkg.graphquery import modularity_stats
+        from mxsparkg.graphquery import assortativity_sums, modularity_stats
 
         t0 = time.time()
         rows = modularity_stats(edges, labels, top_k=20).collect()
         wall = time.time() - t0
+        # second exact certificate on the same graph: the ring of
+        # 4-cliques has closed-form degree assortativity r = -1/6
+        # (per clique degrees 4,4,3,3: m_sym=14c, s_x=50c, s_xx=182c,
+        # s_xy=178c -> r_num=-8c^2, r_den=48c^2)
+        a = assortativity_sums(edges).collect()[0]
+        assert (a.m_sym, a.s_x, a.s_xx, a.s_xy) == (
+            14 * c, 50 * c, 182 * c, 178 * c), a
+        assert (a.r_num, a.r_den) == (-8 * c * c, 48 * c * c)
         assert rows[0].m_edges == m, (rows[0].m_edges, m)
         for r in rows:
             assert (r.n_members, r.degree_sum, r.intra_edges) == (4, 14, 6), r
