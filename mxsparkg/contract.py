@@ -577,6 +577,43 @@ def fn_hash(spark, sf):
     )
 
 
+@reg("fn_bitwise",
+     "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+     "CAST(bit_and(o_orderkey & 65535) AS BIGINT) AS k_and, "
+     "CAST(bit_or(o_orderkey & 65535) AS BIGINT) AS k_or, "
+     "CAST(bit_xor(o_orderkey & 65535) AS BIGINT) AS k_xor, "
+     "CAST(bit_xor(((o_orderkey & 255) << 8) | (o_custkey & 255)) "
+     "AS BIGINT) AS packed_xor, "
+     "CAST(bit_xor(xor(o_orderkey, 61680) >> 2) AS BIGINT) AS mix_xor "
+     "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+def fn_bitwise(spark, sf):
+    """Bitwise function family — the id-packing / flag-mask / XOR-
+    checksum surface (the gate's own value-hash layer runs on XOR
+    aggregates because integer sum() overflows under ANSI): per status
+    group, bit_and / bit_or / bit_xor folds over masked keys, a
+    shift-packed two-field word, and a xor+shift mix. All exact bigint —
+    associative+commutative folds, so partition-order-proof by
+    construction. Note the cross-engine trap this key pins: `^` is XOR
+    in Spark SQL but POWER in DuckDB (xor() there); shifts spelled
+    shiftleft/shiftright vs << / >>."""
+    o = _t(spark, sf, "orders")
+    masked = F.expr("o_orderkey & 65535")
+    packed = F.expr("((o_orderkey & 255) << 8) | (o_custkey & 255)")
+    mix = F.expr("shiftright(o_orderkey ^ 61680, 2)")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_and(masked).cast("bigint").alias("k_and"),
+            F.bit_or(masked).cast("bigint").alias("k_or"),
+            F.bit_xor(masked).cast("bigint").alias("k_xor"),
+            F.bit_xor(packed).cast("bigint").alias("packed_xor"),
+            F.bit_xor(mix).cast("bigint").alias("mix_xor"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @reg("fn_parse_url",
      "SELECT doc_id, "
      "regexp_extract(url, 'https://([^/]+)/', 1) AS host, "

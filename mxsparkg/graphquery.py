@@ -1686,6 +1686,106 @@ def er_jaccard_candidates(
     )
 
 
+ER_EDIT_MAX_LEV = 2
+ER_EDIT_BLOCK_CAP = 1000
+ER_EDIT_PLANT_OFFSET = 1_000_000  # same never-alias rule as the dedup plants
+
+
+def er_edit_candidates(
+    names: DataFrame,
+    max_lev: int = ER_EDIT_MAX_LEV,
+    block_cap: int = ER_EDIT_BLOCK_CAP,
+) -> DataFrame:
+    """Entity-resolution candidates by STRING similarity — the fuzzy-
+    match tier next to X9's neighborhood Jaccard (two surface forms a
+    typo or morphological variant apart are alias candidates even when
+    their neighborhoods haven't converged yet). Classic blocked edit
+    distance: block on (head noun = last token, first char) so only
+    plausibly-same entities are compared — never all pairs — then exact
+    Levenshtein ≤ max_lev inside the block (textbook DP, bit-identical
+    integers in Spark and DuckDB). Hot blocks (a vocabulary collapse —
+    every product named 'item') are removed with the house
+    map-side-count + broadcast anti-join before the self-join; Σ|block|²
+    is bounded by cap²·n_blocks regardless of skew.
+
+    `names`: (id, name). Returns (a_id, b_id, lev, block), a_id < b_id,
+    ordered (lev, a_id, b_id)."""
+    blocked = names.select(
+        "id", "name",
+        F.concat(
+            F.element_at(F.split("name", " "), -1),
+            F.lit("|"),
+            F.substring("name", 1, 1),
+        ).alias("block"),
+    )
+    hot = (
+        blocked.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > block_cap)
+        .select("block")
+    )
+    blocked = blocked.join(F.broadcast(hot), "block", "left_anti")
+    a = blocked.select(
+        "block", F.col("id").alias("a_id"), F.col("name").alias("a_name"))
+    b = blocked.select(
+        "block", F.col("id").alias("b_id"), F.col("name").alias("b_name"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.levenshtein("a_name", "b_name").cast("bigint").alias("lev"),
+            "block",
+        )
+        .filter(F.col("lev") <= max_lev)
+        .orderBy("lev", "a_id", "b_id")
+    )
+
+
+def kg_er_edit(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: blocked edit-distance ER over part surface forms plus
+    deterministic in-query plants (every 29th part gets a 'zz'-injected
+    variant at id+offset — edit distance 2, same block by construction),
+    so the blocking, the cap mechanics, and the DP distance all do real
+    work under the value hash."""
+    p = spark.read.parquet(f"{sf}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+    plants = p.filter(F.col("id") % 29 == 0).select(
+        (F.col("id") + ER_EDIT_PLANT_OFFSET).alias("id"),
+        F.concat(
+            F.substring("name", 1, 2), F.lit("zz"),
+            F.expr("substring(name, 3)"),
+        ).alias("name"),
+    )
+    return er_edit_candidates(p.unionByName(plants))
+
+
+def kg_er_edit_sql() -> str:
+    return f"""
+      WITH names AS (
+        SELECT p_partkey AS id, p_name AS name FROM part
+        UNION ALL
+        SELECT p_partkey + {ER_EDIT_PLANT_OFFSET} AS id,
+               substr(p_name, 1, 2) || 'zz' || substr(p_name, 3) AS name
+        FROM part WHERE p_partkey % 29 = 0),
+      blocked AS MATERIALIZED (
+        SELECT id, name,
+               string_split(name, ' ')[-1] || '|' || substr(name, 1, 1)
+                 AS block
+        FROM names),
+      ok AS (SELECT block FROM blocked GROUP BY block
+             HAVING count(*) <= {ER_EDIT_BLOCK_CAP})
+      SELECT a.id AS a_id, b.id AS b_id,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+             a.block
+      FROM blocked a
+      JOIN ok ON ok.block = a.block
+      JOIN blocked b ON b.block = a.block AND a.id < b.id
+      WHERE levenshtein(a.name, b.name) <= {ER_EDIT_MAX_LEV}
+      ORDER BY lev, a_id, b_id
+    """
+
+
 def kg_er_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Supplier merge candidates by catalog overlap: top-25 supplier pairs
     by part-set Jaccard (ppm) on the capped supplier↔part incidence."""
@@ -1920,6 +2020,7 @@ def graphquery_queries() -> dict:
         "kg_edge_pmi": kg_edge_pmi,
         "graph_hits": graph_hits,
         "kg_er_jaccard": kg_er_jaccard,
+        "kg_er_edit": kg_er_edit,
         "graph_scc": graph_scc,
     }
 
@@ -1940,5 +2041,6 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "kg_edge_pmi": kg_edge_pmi_sql(),
         "graph_hits": graph_hits_sql(),
         "kg_er_jaccard": kg_er_jaccard_sql(),
+        "kg_er_edit": kg_er_edit_sql(),
         "graph_scc": graph_scc_sql(),
     }

@@ -642,3 +642,34 @@ def test_traced_paths_agree_with_bfs_and_are_valid_walks(spark):
         assert hops[0] in seeds and hops[-1] == r.node
         assert len(hops) == r.dist + 1
         assert all((a, b) in eset for a, b in zip(hops, hops[1:]))
+
+
+def test_er_edit_plants_blocking_and_cap(spark):
+    """Blocked edit-distance ER: every planted 'zz' variant is recovered
+    as a lev-2 pair with its original (same block by construction);
+    cross-block pairs are never compared (different head noun); a tiny
+    cap kills every block."""
+    from mxsparkg.graphquery import (
+        ER_EDIT_PLANT_OFFSET, er_edit_candidates, kg_er_edit)
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.a_id, r.b_id): r.lev for r in kg_er_edit(spark, sf).collect()}
+    import pyspark.sql.functions as F
+    planted_ids = [
+        r.id for r in spark.read.parquet(f"{sf}/part.parquet")
+        .select(F.col("p_partkey").alias("id"))
+        .filter(F.col("id") % 29 == 0).collect()
+    ]
+    assert planted_ids
+    for pid in planted_ids:
+        assert got.get((pid, pid + ER_EDIT_PLANT_OFFSET)) == 2, pid
+    # hand semantics: same noun + same first char compared, others not
+    names = spark.createDataFrame(
+        [(1, "blue bolt"), (2, "blca bolt"), (3, "new bolt"),
+         (4, "blue ring")],
+        ["id", "name"],
+    )
+    pairs = {(r.a_id, r.b_id): r.lev
+             for r in er_edit_candidates(names).collect()}
+    assert pairs == {(1, 2): 2}  # 3: first char differs; 4: noun differs
+    assert er_edit_candidates(names, block_cap=1).count() == 0
