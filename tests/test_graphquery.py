@@ -673,3 +673,33 @@ def test_er_edit_plants_blocking_and_cap(spark):
              for r in er_edit_candidates(names).collect()}
     assert pairs == {(1, 2): 2}  # 3: first char differs; 4: noun differs
     assert er_edit_candidates(names, block_cap=1).count() == 0
+
+
+def test_er_edit_cap_invariance_below_cap(spark):
+    """House cap property (same as the LSH/df caps): below the cap the
+    candidate set is IDENTICAL with the cap on or off."""
+    from mxsparkg.graphquery import kg_er_edit
+
+    sf = "/root/testdata/sf0.001"
+    import mxsparkg.graphquery as gq
+
+    with_cap = {(r.a_id, r.b_id, r.lev)
+                for r in kg_er_edit(spark, sf).collect()}
+    orig = gq.ER_EDIT_BLOCK_CAP
+    try:
+        gq.ER_EDIT_BLOCK_CAP = None  # default arg binds at call site below
+        from mxsparkg.graphquery import er_edit_candidates
+        import pyspark.sql.functions as F
+
+        p = spark.read.parquet(f"{sf}/part.parquet").select(
+            F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+        plants = p.filter(F.col("id") % 29 == 0).select(
+            (F.col("id") + gq.ER_EDIT_PLANT_OFFSET).alias("id"),
+            F.concat(F.substring("name", 1, 2), F.lit("zz"),
+                     F.expr("substring(name, 3)")).alias("name"))
+        no_cap = {(r.a_id, r.b_id, r.lev)
+                  for r in er_edit_candidates(
+                      p.unionByName(plants), block_cap=10**9).collect()}
+    finally:
+        gq.ER_EDIT_BLOCK_CAP = orig
+    assert with_cap == no_cap and len(with_cap) > 0
