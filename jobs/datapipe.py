@@ -30,6 +30,7 @@ ops:
   txt_chunk            overlapping token-window chunk manifest
   txt_pack_sequences   sequence-packing manifest (per-shard offsets)
   txt_bpe_merges       distributed BPE merge training (fixed unroll)
+  txt_collocations     PMI collocation / phrase mining (whole-bit exact)
   bpe_encode           train --merges merges, then encode the corpus
                        (per-doc token counts + stream digest)
   dedup_substring      cross-doc duplicated-run strip manifest
@@ -67,6 +68,7 @@ def main() -> None:
                              "txt_boilerplate",
                              "txt_chunk", "txt_pack_sequences",
                              "txt_bpe_merges", "bpe_encode",
+                             "txt_collocations",
                              "dedup_substring", "dedup_incremental",
                              "mm_decode_stub", "decode_media"])
     ap.add_argument("--input", required=True,
@@ -125,6 +127,7 @@ def main() -> None:
                 "txt_chunk": dp.txt_chunk,
                 "txt_pack_sequences": dp.txt_pack_sequences,
                 "txt_bpe_merges": dp.txt_bpe_merges,
+                "txt_collocations": dp.txt_collocations,
                 "dedup_substring": dp.dedup_substring,
                 "dedup_incremental": dp.dedup_incremental,
                 "mm_decode_stub": dp.mm_decode_stub,

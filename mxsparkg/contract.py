@@ -376,6 +376,45 @@ def agg_cube(spark, sf):
         .agg(F.count("*").alias("n"))
 
 
+@reg("agg_moments",
+     "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+     "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_q, "
+     "CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) "
+     "AS BIGINT) AS s_qq, "
+     "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+     "AS s_p, "
+     "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+     "* CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_qp "
+     "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+def agg_moments(spark, sf):
+    """Exact integer covariance moments — covar/stddev/regression are
+    ratios of sums, and float moment accumulation is partition-order-
+    dependent (the assortativity/modularity argument on the relational
+    side): per group emit the exact bigint moments (n, Σq, Σq², Σp_cents,
+    Σq·p) and assemble covariance and the regression slope
+    (n·Σqp − Σq·Σp)/(n·Σq² − (Σq)²) offline. Σp² is deliberately absent:
+    cents² sums cross bigint range around sf1 — the full-Pearson variant
+    goes through decimal(38,0)/HUGEINT (bit-equal cross-engine, proven
+    by the HITS key) when someone needs it. Quantities are integral
+    doubles (cast exact); money goes through integer cents. At 10^12
+    rows this is ONE map-side-combinable aggregate — the same cost as
+    the float corr() built-in, with none of its drift."""
+    li = _t(spark, sf, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    p = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).cast("bigint").alias("s_q"),
+            F.sum(q * q).cast("bigint").alias("s_qq"),
+            F.sum(p).cast("bigint").alias("s_p"),
+            F.sum(p * q).cast("bigint").alias("s_qp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @reg("agg_grouping_sets",
      "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
      "ROUND(SUM(o_totalprice), 2) AS total "

@@ -2694,6 +2694,93 @@ def txt_vocab_sql() -> str:
     """
 
 
+# ------------------------------------------------------ collocation mining --
+
+COLLOC_MIN_SUPPORT = 5
+COLLOC_TOP = 50
+
+
+def txt_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation / phrase mining — the AutoPhrase-lite tier of a
+    training-data pipeline (multi-word terms worth treating as units in
+    tokenizers, vocab, and entity dictionaries): corpus word bigrams
+    scored by pointwise mutual information against their unigram
+    marginals, min-support filtered, top-{COLLOC_TOP}. PMI is the same
+    whole-bit integer log2 quantization as kg_edge_pmi / txt_lm_score:
+    pmi_bits = bits(n_xy·N) − bits(n_x·n_y) — partition-order-proof,
+    engine-identical — where N is the total bigram count (one bigint to
+    the driver, injected as a literal per the BNLJ lesson).
+
+    Scale shape: bigram and unigram counts are map-side-combinable
+    groupBys over one tokenize pass; the marginal table joins back
+    twice on its own key (hot words → AQE skew split); top-k is
+    TakeOrderedAndProject. The deliberate asymmetry vs kg_edge_pmi:
+    counts are OCCURRENCE counts (collocation strength), not document
+    counts — a phrase used 50× in one doc is still a phrase."""
+    d = _docs(spark, sf).select(F.split("text", " ").alias("w"))
+    occ = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS w1,"
+                " element_at(w, i + 1) AS w2)) ELSE array() END"
+            )
+        ).alias("o")
+    ).select("o.w1", "o.w2").persist()
+    bg = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    # marginals over bigram SLOTS (left and right occurrences), one
+    # explode pass — the standard collocation marginal
+    uni = (
+        occ.select(F.explode(F.array("w1", "w2")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    n_total = int(occ.count())
+    return (
+        bg.filter(F.col("n_xy") >= COLLOC_MIN_SUPPORT)
+        .join(uni.select(F.col("t").alias("w1"),
+                         F.col("n_t").alias("n_x")), "w1")
+        .join(uni.select(F.col("t").alias("w2"),
+                         F.col("n_t").alias("n_y")), "w2")
+        .select(
+            "w1", "w2", "n_xy", "n_x", "n_y",
+            F.expr(
+                f"length(bin(n_xy * cast({n_total} as bigint)))"
+                " - length(bin(n_x * n_y))"
+            ).alias("pmi_bits"),
+        )
+        .orderBy(F.desc("pmi_bits"), F.desc("n_xy"), "w1", "w2")
+        .limit(COLLOC_TOP)
+    )
+
+
+def txt_collocations_sql() -> str:
+    return f"""
+      WITH d AS (
+        SELECT string_split(text, ' ') AS w FROM documents),
+      occ AS MATERIALIZED (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM d, unnest(range(1, len(w))) AS t(i)),
+      bg AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+        FROM occ GROUP BY w1, w2),
+      uni AS MATERIALIZED (
+        SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM (
+          SELECT w1 AS t FROM occ UNION ALL SELECT w2 AS t FROM occ)
+        GROUP BY t),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM occ)
+      SELECT b.w1, b.w2, b.n_xy, x.n_t AS n_x, y.n_t AS n_y,
+             CAST(length(bin(b.n_xy * n.n_total))
+                  - length(bin(x.n_t * y.n_t)) AS BIGINT) AS pmi_bits
+      FROM bg b
+      JOIN uni x ON x.t = b.w1
+      JOIN uni y ON y.t = b.w2
+      CROSS JOIN n
+      WHERE b.n_xy >= {COLLOC_MIN_SUPPORT}
+      ORDER BY pmi_bits DESC, n_xy DESC, w1, w2 LIMIT {COLLOC_TOP}
+    """
+
+
 # ----------------------------------------------------- composite filter gate
 
 # Thresholds chosen against the corpus distributions so EVERY rule fires
@@ -5212,6 +5299,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_vocab": txt_vocab,
         "txt_bpe_merges": txt_bpe_merges,
         "txt_bpe_encode": txt_bpe_encode,
+        "txt_collocations": txt_collocations,
         "txt_lm_score": txt_lm_score,
         "txt_sample_stratified": txt_sample_stratified,
         "txt_classify": txt_classify,
@@ -5268,6 +5356,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_vocab": txt_vocab_sql(),
         "txt_bpe_merges": txt_bpe_merges_sql(),
         "txt_bpe_encode": txt_bpe_encode_sql(),
+        "txt_collocations": txt_collocations_sql(),
         "txt_lm_score": txt_lm_score_sql(),
         "txt_sample_stratified": txt_sample_stratified_sql(),
         "txt_classify": txt_classify_sql(),
