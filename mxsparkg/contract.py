@@ -604,6 +604,32 @@ def fn_string(spark, sf):
     )
 
 
+@reg("fn_string2",
+     "SELECT doc_id, "
+     "translate(lang, 'aeiou', 'AEIOU') AS lang_t, "
+     "repeat(substr(lang, 1, 1), 3) AS lang_rep, "
+     "CAST(instr(text, 'the') AS BIGINT) AS pos_the, "
+     "lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_pad, "
+     "rpad(source, 10, '.') AS src_pad, "
+     "reverse(lang) AS lang_rev "
+     "FROM documents")
+def fn_string2(spark, sf):
+    """The rest of the portable string surface fn_string leaves out:
+    translate (character mapping), repeat, instr (1-based find, 0 when
+    absent — identical convention both engines), lpad/rpad (the
+    fixed-width render the graph_path state key depends on), reverse."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_t"),
+        F.repeat(F.substring("lang", 1, 1), 3).alias("lang_rep"),
+        F.instr("text", "the").cast("bigint").alias("pos_the"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_pad"),
+        F.rpad("source", 10, ".").alias("src_pad"),
+        F.reverse("lang").alias("lang_rev"),
+    )
+
+
 @reg("fn_hash",
      "SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha2 "
      "FROM documents")
