@@ -401,6 +401,12 @@ def minhash_pair_quality(
     1/8 (exactly representable, so the ×10⁶ cast is the same integer in
     both engines); exact_ppm is a nonneg integer floor-division. err_ppm
     = |est − exact| is the number the tuning decision reads."""
+    # persist lifetime note (applies to every persist in this function):
+    # the cache must outlive the RETURNED lazy plan, which references
+    # these frames 2-3x — unpersisting before return would silently
+    # recompute per reference. Single-shot-per-session by design; a
+    # long-lived session calling many such ops should wrap each call in
+    # its own evaluation + spark.catalog.clearCache().
     sh = _shingles(docs).persist()  # referenced 3x: sizes + both pair sides
     sig = minhash_signatures(docs)
     cand = minhash_candidate_pairs(
@@ -419,7 +425,11 @@ def minhash_pair_quality(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
     out = (
-        cand.join(common, ["a_id", "b_id"])  # inner: est>=0.5 ⇒ n_common>=1
+        # left join: at min_est_jaccard=0.0 (calibration runs, e.g.
+        # jobs/bench_dedup.py) a candidate pair can share ZERO shingles —
+        # it must surface as exact_ppm=0, not vanish from the table.
+        cand.join(common, ["a_id", "b_id"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
         .join(sizes.select(F.col("doc_id").alias("a_id"),
                            F.col("n").alias("n_a")), "a_id")
         .join(sizes.select(F.col("doc_id").alias("b_id"),
@@ -467,10 +477,10 @@ def dedup_minhash_quality_sql() -> str:
       q AS (
         SELECT c.a_id, c.b_id,
                CAST(c.est_jaccard * 1000000 AS BIGINT) AS est_ppm,
-               m.n_common,
-               sa.n + sb.n - m.n_common AS n_union
+               COALESCE(m.n_common, 0) AS n_common,
+               sa.n + sb.n - COALESCE(m.n_common, 0) AS n_union
         FROM cand c
-        JOIN common m ON m.a_id = c.a_id AND m.b_id = c.b_id
+        LEFT JOIN common m ON m.a_id = c.a_id AND m.b_id = c.b_id
         JOIN sizes sa ON sa.doc_id = c.a_id
         JOIN sizes sb ON sb.doc_id = c.b_id)
       SELECT a_id, b_id, est_ppm, n_common, n_union,
@@ -2727,6 +2737,9 @@ def txt_collocations(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("o")
     ).select("o.w1", "o.w2").persist()
+    # ^ cache is intentional and must outlive the returned lazy plan
+    # (occ feeds both the bigram and the marginal scans); single-shot-
+    # per-session — see minhash_pair_quality's persist lifetime note.
     bg = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
     # marginals over bigram SLOTS (left and right occurrences), one
     # explode pass — the standard collocation marginal
@@ -3001,7 +3014,19 @@ def _bpe_train_ctes(n_merges: int) -> str:
     best{{i}} is MATERIALIZED: the encode oracle references every best
     twice (apply chain + final), and DuckDB inlines multiply-referenced
     CTEs, which re-evaluates the whole history-dependent prefix per
-    reference (the graph_scc exponential-inlining lesson)."""
+    reference (the graph_scc exponential-inlining lesson).
+
+    Degenerate-corpus guard: if the corpus fully merges in fewer than
+    n_merges rounds, the Python trainer (bpe_train) breaks early and the
+    merge table is just shorter; a bare empty best{{i}} here would CROSS
+    JOIN seq{{i}} (and the encode oracle's enc table) down to zero rows
+    instead. bestf{{i}} therefore falls back to a chr(1)/chr(1) identity
+    row — the pattern ' ' || chr(1) || '  ' || chr(1) || ' ' can never
+    occur in a symbol stream (symbols never contain chr(1)-adjacent
+    single spaces; interior separators are exactly two spaces), so the
+    apply is a no-op, exactly like the Python early break. The merges
+    oracle still reads best{{i}} (real winners only), so both engines
+    emit the same shortened merge table."""
     k = []
 
     def pair_cte(i: int) -> str:
@@ -3016,14 +3041,19 @@ def _bpe_train_ctes(n_merges: int) -> str:
         GROUP BY u.lhs, u.rhs),
       best{i} AS MATERIALIZED (
         SELECT lhs, rhs, pc FROM pairs{i}
-        ORDER BY pc DESC, lhs, rhs LIMIT 1)"""
+        ORDER BY pc DESC, lhs, rhs LIMIT 1),
+      bestf{i} AS MATERIALIZED (
+        SELECT lhs, rhs FROM best{i}
+        UNION ALL
+        SELECT chr(1), chr(1)
+        WHERE NOT EXISTS (SELECT 1 FROM best{i}))"""
 
     def apply_cte(i: int) -> str:
         return f"""seq{i} AS (
         SELECT s.cnt,
                replace(s.seq, ' ' || p.lhs || '  ' || p.rhs || ' ',
                        ' ' || p.lhs || p.rhs || ' ') AS seq
-        FROM seq{i - 1} s CROSS JOIN best{i} p)"""
+        FROM seq{i - 1} s CROSS JOIN bestf{i} p)"""
 
     for i in range(1, n_merges + 1):
         k.append(pair_cte(i))
@@ -3141,7 +3171,10 @@ def txt_bpe_encode_sql() -> str:
             f"' ' || b{i}.lhs || b{i}.rhs || ' ')"
         )
     crosses = " ".join(
-        f"CROSS JOIN best{i} b{i}" for i in range(1, BPE_MERGES + 1)
+        # bestf{i}: identity-sentinel fallback so a fully-merged (tiny)
+        # corpus shortens the merge chain instead of emptying enc —
+        # see _bpe_train_ctes.
+        f"CROSS JOIN bestf{i} b{i}" for i in range(1, BPE_MERGES + 1)
     )
     return f"""
       WITH {_bpe_train_ctes(BPE_MERGES)},

@@ -678,7 +678,9 @@ def modularity_stats(
     BroadcastNestedLoopJoin over every probe row (the join_bloom
     lifecycle lesson; the community table is node-scale in the
     all-singletons worst case). `edges`/`labels`/the per-community table
-    are persisted: each is referenced 2-3 times downstream."""
+    are persisted: each is referenced 2-3 times downstream. The caches
+    must outlive the returned lazy plan (single-shot-per-session by
+    design; long-lived sessions should clearCache() between calls)."""
     e = edges.select("u", "v").persist()
     lab = labels.persist()
     lu = lab.select(F.col("src").alias("u"), F.col("label").alias("lu"))
@@ -862,7 +864,9 @@ def linkpred_common_neighbors(
     estimator, cap-tunable); deg_u/deg_v are true degrees, so jac_ppm =
     cn·10⁶ div (deg_u + deg_v − cn) is a deterministic integer
     lower-bound score. Existing edges are removed with a LEFT ANTI join
-    against the edge table itself."""
+    against the edge table itself. Persisted frames feed the returned
+    lazy plan 2-3x each — intentionally not unpersisted (single-shot-
+    per-session; clearCache() between calls in long-lived sessions)."""
     sym = _symmetrize(edges, "u", "v").persist()
     deg = (
         sym.groupBy("src")
@@ -1124,6 +1128,14 @@ def shortest_paths_traced(
     bfs_hops: edge⋈state equi-join + groupBy(min) — no frontier on the
     driver, no adjacency arrays; path strings grow with hop count
     (bounded by iters), not graph size."""
+    if iters >= 100:  # 2-char zero-padded dist prefix: lpad TRUNCATES at
+        # length 2, so dist>=100 would silently corrupt the min-key order.
+        raise ValueError(
+            f"shortest_paths_traced supports iters < 100 (got {iters}): "
+            "the dist prefix is 2 zero-padded chars; widen the pad to go "
+            "deeper")
+    # loop-invariant edge cache; must outlive the returned lazy plan
+    # (single-shot-per-session — see modularity_stats' note)
     edges = edges.select("src", "dst").persist()
     cur = seeds.select(
         "node",

@@ -50,10 +50,22 @@ def _gunzip_members(data: bytes) -> bytes:
     rest = data
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out.write(d.decompress(rest))
+        # Feed in chunks so mid-member corruption (bit flips, bad CRC —
+        # zlib.error) keeps the bytes decoded so far, the same posture as
+        # a truncated member: one bad .warc.gz member must never fail the
+        # whole ingest job after task retries.
+        fed_to = 0
+        try:
+            for lo in range(0, len(rest), 1 << 16):
+                fed_to = lo + (1 << 16)
+                out.write(d.decompress(rest[lo:fed_to]))
+                if d.eof:
+                    break
+        except zlib.error:
+            return out.getvalue()
         if not d.eof:  # truncated member: stop at what we have
             break
-        rest = d.unused_data
+        rest = d.unused_data + rest[fed_to:]
         if not rest:
             break
     return out.getvalue()

@@ -148,3 +148,14 @@ def test_parse_warc_bytes_hostile_inputs_never_raise():
     # 5. empty and non-WARC inputs
     assert list(parse_warc_bytes("t", b"")) == []
     assert list(parse_warc_bytes("t", b"hello world")) == []
+    # 6. mid-member CORRUPTION (bit flip, not truncation): zlib.error
+    #    must be swallowed, keeping whatever decoded before the flip —
+    #    one bad .warc.gz member must never fail the ingest task
+    corrupt = bytearray(gz)
+    corrupt[len(gz) * 3 // 4] ^= 0xFF  # flip a byte inside the deflate body
+    assert isinstance(list(parse_warc_bytes("t", bytes(corrupt))), list)
+    # 7. two concatenated members, second corrupt: the first member's
+    #    record survives (per-member isolation)
+    two = gz + bytes(corrupt)
+    got2 = list(parse_warc_bytes("t", two))
+    assert got2 and got2[0][0] == "http://ok.com/"
