@@ -153,6 +153,57 @@ def join_range(spark, sf):
     return out.select("user_id", "a_id", "b_id")
 
 
+@reg("join_full",
+     """WITH c AS (
+       SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+       FROM customer WHERE c_acctbal < -900 GROUP BY 1),
+     s AS (
+       SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+       FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+     SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp,
+            CASE WHEN c.nk IS NULL THEN 'supplier_only'
+                 WHEN s.nk IS NULL THEN 'customer_only'
+                 ELSE 'both' END AS presence
+     FROM c FULL JOIN s ON c.nk = s.nk""")
+def join_full(spark, sf):
+    """J10 FULL OUTER reconciliation join — the everyday 'which side is
+    missing what' audit (two independently-produced aggregates of the
+    same key space, null-completed on BOTH sides). The filters are tuned
+    so sf0.01 genuinely exercises both completion directions (nations
+    with deeply-negative customers but no negative suppliers AND vice
+    versa) — a full join that degenerates to inner certifies nothing.
+    Scale shape: both sides are post-aggregation (group-count) tables,
+    so the full join runs key-partitioned on small inputs; at 10^12 rows
+    the aggregation shuffles dominate and the join itself stays
+    |keys|-sized. Nullable n_cust/n_supp are emitted raw (not coalesced)
+    so the value hash certifies the null-completion semantics too."""
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") < -900)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_supp"))
+    )
+    cn, sn = c.withColumnRenamed("nk", "c_nk"), s.withColumnRenamed("nk", "s_nk")
+    return (
+        cn.join(sn, cn.c_nk == sn.s_nk, "full")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            "n_cust",
+            "n_supp",
+            F.when(F.col("c_nk").isNull(), F.lit("supplier_only"))
+            .when(F.col("s_nk").isNull(), F.lit("customer_only"))
+            .otherwise(F.lit("both"))
+            .alias("presence"),
+        )
+    )
+
+
 # Deterministic Bloom filter for the runtime-filter join: k hash positions
 # per key from md5 (identical hex in both engines), M bits. Spark itself
 # injects this pattern as `spark.sql.optimizer.runtime.bloomFilter.enabled`
@@ -1202,6 +1253,33 @@ def agg_percentile(spark, sf):
     )
 
 
+APPROX_PCT_ACCURACY = 10000  # Greenwald-Khanna accuracy: rank err <= n/acc
+
+
+@reg("agg_approx_percentile", None)  # rows-only BY DESIGN: sketch
+# internals (Spark QuantileSummaries vs any oracle's t-digest) are not
+# value-comparable across engines — the agg_approx_distinct precedent.
+# The ERROR BOUND vs the exact percentiles is pinned instead by
+# tests/test_contract_extras.py::test_approx_percentile_error_bound.
+def agg_approx_percentile(spark, sf):
+    """T16'b approx percentiles — the ACTUAL 10^12-row path the exact
+    agg_percentile key anchors semantics for: one pass, mergeable
+    Greenwald-Khanna summaries (map-side partials, no per-group sort),
+    rank error <= n/APPROX_PCT_ACCURACY by construction. Deterministic
+    for a fixed input+accuracy (GK compression is data-order-dependent
+    only across repartitionings of unsorted input; the gate reads a
+    stable parquet layout), but NOT cross-engine comparable — hence
+    rows-only, with the bound test as the quality certificate."""
+    li = _t(spark, sf, "lineitem")
+    acc = APPROX_PCT_ACCURACY
+    return li.groupBy("l_returnflag").agg(
+        F.expr(f"approx_percentile(l_quantity, 0.25, {acc})").alias("p25"),
+        F.expr(f"approx_percentile(l_quantity, 0.50, {acc})").alias("p50"),
+        F.expr(f"approx_percentile(l_quantity, 0.75, {acc})").alias("p75"),
+        F.expr(f"approx_percentile(l_quantity, 0.90, {acc})").alias("p90"),
+    )
+
+
 _WEEK_US = 7 * 86400 * 1_000_000  # cohort granularity for evt_retention
 
 
@@ -1295,6 +1373,65 @@ def evt_transitions(spark, sf):
             F.expr("n * 1000000 div from_total").alias("p_ppm"),
         )
         .orderBy("from_type", "to_type")
+    )
+
+
+# The event-type vocabulary the pivot spreads into columns. EXPLICIT, not
+# discovered: Spark's pivot without a value list runs an extra distinct
+# job AND column order would depend on data; a production pivot always
+# pins its spread columns (schema stability is the whole point of wide
+# form). Keep sorted so the SQL mirror enumerates identically.
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@reg("agg_pivot",
+     "SELECT from_type, "
+     + ", ".join(
+         f"CAST(COALESCE(sum(CASE WHEN to_type = '{t}' THEN n END), 0) "
+         f"AS BIGINT) AS to_{t}"
+         for t in EVENT_TYPES)
+     + """ FROM (
+       SELECT from_type, to_type, count(*) AS n FROM (
+         SELECT lag(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+                event_type AS to_type
+         FROM events)
+       WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+     GROUP BY from_type""")
+def agg_pivot(spark, sf):
+    """A7b pivot — the long→wide reshape users reach for right after
+    evt_transitions emits its long-form matrix: one row per from_type,
+    one column per to_type (the |types|×|types| Markov matrix as an
+    actual matrix). Spark-side it is df.pivot with a PINNED value list
+    (no schema-by-data surprises, no extra distinct job); the oracle is
+    the equivalent conditional aggregation, the engine-portable spelling
+    of pivot. Missing transitions are 0, not null (fill after pivot), so
+    the wide row reads as a complete matrix row. Scale: input is the
+    |types|²-row transition table — model-sized; the heavy lifting
+    (the lag window over 10^12 events) happens upstream and is certified
+    by evt_transitions; pivot itself is one tiny groupBy."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    wide = (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("from_type")
+        .pivot("to_type", EVENT_TYPES)
+        .sum("n")
+    )
+    return wide.select(
+        "from_type",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"to_{t}")
+            for t in EVENT_TYPES
+        ],
     )
 
 
