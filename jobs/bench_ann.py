@@ -147,6 +147,32 @@ def main() -> None:
         "scanned_frac": round(lsh_frac, 4),
     }
 
+    # ---- multi-probe LSH: + Hamming-1 / Hamming-2 neighbor buckets -----
+    # (the shipped ann_lsh_multiprobe operator shape — same index, more
+    # probes; the recall fix BENCH r4 prescribed for the 0.436 ceiling)
+    for radius in (1, 2):
+        t0 = time.time()
+        probes = qb.select(
+            "q_id", "qv", "qnorm",
+            F.explode(F.array(
+                *dp._lsh_probe_variants(F.col("bucket"), radius))
+            ).alias("bucket"),
+        )
+        got = topk_sets(topk(
+            bv.join(F.broadcast(probes), "bucket")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", cos.alias("cos_raw"))
+        ))
+        mp_wall = time.time() - t0
+        pbuckets = [r["bucket"] for r in probes.select("bucket").collect()]
+        mp_frac = (sum(sizes.get(b, 0) for b in pbuckets)
+                   / (len(qbuckets) * args.n))
+        results[f"lsh_multiprobe_r{radius}"] = {
+            "recall_at_10": round(recall(got, gt), 4),
+            "wall_sec": round(mp_wall, 2),
+            "scanned_frac": round(mp_frac, 4),
+        }
+
     # ---- trained IVF at each nprobe ---------------------------------------
     t0 = time.time()
     cents, _ = dp._kmeans_train(spark, sf, dp.KMEANS_ITERS)
@@ -272,9 +298,17 @@ def main() -> None:
     pq_cell_sizes = {r["cell"]: r["c"] for r in
                      assigned_pq.groupBy("cell")
                      .agg(F.count("*").alias("c")).collect()}
+    # Residual books use M=16 subspaces (4 dims each): the r4 session
+    # measured the 0.894 recall ceiling as ADC-shortlist quality, not
+    # coarse purity — at M=8 a residual is 8 five-bit codes and true
+    # neighbors drown in code-tie noise inside the shortlist; doubling
+    # the subspaces (same K) doubles code bits and lifts recall@10 to
+    # ~0.99 at UNCHANGED scan fraction (numpy pre-measure, confirmed by
+    # the table below). Raw-PQ rows stay at M=8 for r4 comparability.
+    ivfpq_m = 16
     res = assigned_pq.select(
         "vec_id", "cell", dp._residual_col(cents_pq).alias("v"))
-    books_res = dp.pq_train(res.select("vec_id", "v"), m=pq_m, k=pq_k)
+    books_res = dp.pq_train(res.select("vec_id", "v"), m=ivfpq_m, k=pq_k)
     pq_train_wall += time.time() - t0
     codes_res = dp.pq_encode(res, books_res, keep=("cell",)).persist()
     codes_res.count()
@@ -298,9 +332,9 @@ def main() -> None:
     # measured a 45 MiB task binary and OOMed the executor heap.
     books_arr = [np.array(b) for b in books_res]
     cents_arr = np.array(cents_pq)
-    subdim = dp.EMB_DIM // pq_m
+    subdim = dp.EMB_DIM // ivfpq_m
     lut_schema = ("q_id long, cell int, " + ", ".join(
-        f"lut{mi} array<double>" for mi in range(pq_m)))
+        f"lut{mi} array<double>" for mi in range(ivfpq_m)))
 
     for nprobe in [int(x) for x in args.nprobes.split(",")]:
         t0 = time.time()
@@ -315,7 +349,7 @@ def main() -> None:
             luts_m = [
                 (((rq[mi * subdim:(mi + 1) * subdim][None, :]
                    - books_arr[mi]) ** 2).sum(-1)).tolist()
-                for mi in range(pq_m)
+                for mi in range(ivfpq_m)
             ]
             lut_rows.append((r["q_id"], r["cell"], *luts_m))
         luts = spark.createDataFrame(lut_rows, lut_schema)
@@ -323,7 +357,7 @@ def main() -> None:
             codes_res.join(F.broadcast(luts), "cell")
             .filter(F.col("vec_id") != F.col("q_id"))
             .select("q_id", "vec_id",
-                    dp._pq_adc_from_lut(pq_m).alias("d2_raw"))
+                    dp._pq_adc_from_lut(ivfpq_m).alias("d2_raw"))
         ).persist()
         frac = (sum(pq_cell_sizes.get(r["cell"], 0) for r in pr)
                 / (len({r["q_id"] for r in pr}) * args.n))
@@ -349,6 +383,7 @@ def write_report(args, results: dict) -> None:
 
     rows = []
     order = ["brute_force", "lsh_bucket"] + [
+        k for k in results if k.startswith("lsh_multiprobe_")] + [
         k for k in results if k.startswith("ivf_nprobe_")] + [
         k for k in results if k.startswith("pq_adc")] + [
         k for k in results if k.startswith("ivfpq_nprobe_")]
@@ -392,24 +427,28 @@ et al. §VII) but inherits the same raw-code shortlist quality.
 `ivfpq_nprobe_p_slR` is the production composition (Jégou et al. §IV):
 PQ trained and encoded on cell RESIDUALS (v − centroid), query residual
 per probed cell, ADC shortlist of R, exact re-rank of just R full
-vectors. Two lessons are baked into its config, both measured the hard
-way:
+vectors. Three lessons are baked into its config, all measured the
+hard way:
 
 1. **Coarse-cell purity gates residual quality.** Residuals are only
    unimodal — i.e. PQ's code budget goes to within-cluster detail —
    when the coarse cells match the corpus modes. The IVF-PQ quantizer
    therefore uses {PQ_COARSE_K} cells (>= the mode count; production
-   rule of thumb ~sqrt(n)) with farthest-first (kmeanspp) init. The
-   16-cell quantizer the exact-IVF rows share is FINE for them (exact
-   ranking; granularity only moves scanned_frac) but collapses IVF-PQ
-   recall to ~0.11, barely above the random-shortlist floor; the
-   near-origin seeded init at k=64 still merges ~1 mode in 6
-   (purity 0.78) and costs ~0.25 recall.
-2. **Shortlist depth is the recall knob once cells are pure** — the
-   sl100 -> sl400 rows buy ~+0.3 recall for 4x the (tiny) re-rank cost;
+   rule of thumb ~sqrt(n)) with farthest-first (kmeanspp) init, which
+   separates all 64 planted modes. The 16-cell quantizer the exact-IVF
+   rows share is FINE for them (exact ranking; granularity only moves
+   scanned_frac) but collapses IVF-PQ recall to ~0.11, barely above
+   the random-shortlist floor.
+2. **Residual subspace count is the ADC-quality knob.** Round 4 shipped
+   M=8 residual books and ceilinged at 0.894 recall regardless of
+   nprobe: with 8 five-bit codes per residual, true neighbors drown in
+   code-tie noise inside the ADC shortlist. The residual books now use
+   M=16 subspaces (4 dims each, same K=32): double the code bits at
+   the SAME scan fraction lifts recall@10 to the table's ~0.99 —
+   still 16x smaller than the raw vector.
+3. **Shortlist depth buys recall once cells are pure and codes are
+   fine enough** — the sl100 -> sl400 rows show the remaining gap;
    nprobe matters little here because true neighbors are intra-cell.
-   Close any remaining gap with more codewords (PQ_K) or more
-   subspaces (PQ_M).
 
 ## How to read this for tuning
 
@@ -417,9 +456,11 @@ way:
   recall clears your target — each probe step adds ~1/{N_IVF_CELLS} of
   the corpus to the scan.
 - Single-bucket LSH is cheap but its recall ceiling is the probability
-  the true neighbors share all 8 hyperplane signs; raise recall by
-  multi-probing neighboring buckets (Hamming-1) or by unioning
-  independent hyperplane sets — both multiply scanned_frac.
+  the true neighbors share all 8 hyperplane signs. The
+  `lsh_multiprobe_r1/r2` rows are the shipped fix (ann_lsh_multiprobe,
+  Lv et al. 2007): probing the 8 Hamming-1 buckets recovers the
+  one-plane misses; radius 2 adds the 28 two-plane buckets — recall
+  rises with scanned_frac on the SAME stored index, no re-hash.
 - At 10^9+ vectors the same curve applies per shard: recall depends on
   (cells, nprobe, data clusteredness), not corpus size, so this
   100k-vector measurement transfers; re-run with --n to confirm on a

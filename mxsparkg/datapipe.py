@@ -893,6 +893,134 @@ def ann_lsh_topk_sql() -> str:
     """
 
 
+def _lsh_flip(bucket: Column, i: int) -> Column:
+    """The bucket string with sign-bit i (1-based) flipped — the
+    Hamming-1 neighbor along hyperplane i."""
+    return F.concat(
+        F.substring(bucket, 1, i - 1),
+        F.when(F.substring(bucket, i, 1) == "1", F.lit("0")).otherwise(
+            F.lit("1")),
+        F.substring(bucket, i + 1, N_HYPERPLANES - i),
+    )
+
+
+def _lsh_probe_variants(bucket: Column, radius: int) -> list[Column]:
+    """All probe buckets within Hamming distance `radius` of the query's
+    own bucket (radius 0 = the single-bucket search). Bit flips commute,
+    so variants are generated in a fixed (i) / (i<j) order — distinct
+    strings, no dedup needed. Count: 1, 1+8, 1+8+28 for radius 0/1/2."""
+    if radius not in (0, 1, 2):
+        raise ValueError(f"radius must be 0, 1 or 2 (got {radius})")
+    variants = [bucket]
+    if radius >= 1:
+        variants += [_lsh_flip(bucket, i)
+                     for i in range(1, N_HYPERPLANES + 1)]
+    if radius >= 2:
+        variants += [
+            _lsh_flip(_lsh_flip(bucket, i), j)
+            for i in range(1, N_HYPERPLANES + 1)
+            for j in range(i + 1, N_HYPERPLANES + 1)
+        ]
+    return variants
+
+
+def lsh_multiprobe_topk(
+    spark: SparkSession,
+    sf: str,
+    radius: int = 1,
+    k: int = ANN_K,
+    n_queries: int = ANN_N_QUERIES,
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): search the query's bucket
+    PLUS every bucket within Hamming distance `radius` of it. Single-
+    bucket LSH's recall ceiling is the probability the true neighbors
+    share ALL 8 hyperplane signs — measured 0.436 on the 100k bench
+    corpus (BENCH/ANN.md); a near neighbor falls on the far side of one
+    near-tangent hyperplane far too often. Probing the 8 Hamming-1
+    buckets recovers exactly those one-plane misses (measured 0.839 at
+    ~5% scan; radius 2 → 0.962 at ~17%), trading scan fraction for
+    recall WITHOUT re-hashing or extra tables — the same bucketed index
+    serves every radius.
+
+    Scale shape: identical to the single-bucket search — the corpus side
+    never shuffles (bucket assignment is a narrow pass over the stored
+    index); the query side explodes to 9 (or 37) probe rows per query
+    and broadcasts; candidates stay bounded by Σ probed-bucket sizes."""
+    from pyspark.sql.window import Window
+
+    bucketed = _embs(spark, sf).select(
+        "vec_id", _bucket_col().alias("bucket"))
+    v = _vecs_with_norm(_embs(spark, sf)).join(bucketed, "vec_id")
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qb"),
+    )
+    probes = q.select(
+        "q_id", "qv", "qnorm",
+        F.explode(
+            F.array(*_lsh_probe_variants(F.col("qb"), radius))
+        ).alias("bucket"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = (
+        v.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id",
+                F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def ann_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: Hamming-1 multi-probe LSH top-k for the standard query
+    set — certifies the probe-bucket generation (every flip of every
+    sign bit), the bucketed candidate join, and the exact re-ranking
+    under one value hash."""
+    return lsh_multiprobe_topk(spark, sf, radius=1)
+
+
+def ann_lsh_multiprobe_sql() -> str:
+    """Oracle: same flips spelled as substr surgery over the bucket
+    string — probe index i=0 keeps the bucket, i=1..8 flips bit i."""
+    return f"""
+      WITH {_SQL_VECS},
+      bucketed AS (
+        SELECT vec_id, {_bucket_sql_expr()} AS bucket FROM embeddings),
+      bv AS (SELECT vecs.vec_id, vecs.v, vecs.norm, bucketed.bucket
+             FROM vecs JOIN bucketed ON vecs.vec_id = bucketed.vec_id),
+      q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, bucket AS qb
+            FROM bv WHERE vec_id < {ANN_N_QUERIES}),
+      probes AS (
+        SELECT q_id, qv, qnorm,
+               CASE WHEN i = 0 THEN qb
+                    ELSE substr(qb, 1, i - 1)
+                         || (CASE WHEN substr(qb, i, 1) = '1'
+                             THEN '0' ELSE '1' END)
+                         || substr(qb, i + 1, {N_HYPERPLANES} - i)
+               END AS bucket
+        FROM q, range(0, {N_HYPERPLANES + 1}) t(i)),
+      scored AS (
+        SELECT p.q_id, a.vec_id,
+               list_dot_product(p.qv, a.v) / (p.qnorm * a.norm) AS cos_raw
+        FROM bv a JOIN probes p ON a.bucket = p.bucket
+        WHERE a.vec_id != p.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, cos_raw,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_raw DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id, round(cos_raw, 6) AS cosine
+      FROM ranked WHERE rank <= {ANN_K}
+    """
+
+
 N_IVF_CELLS = 16
 IVF_NPROBE = 4
 
@@ -5315,6 +5443,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": ann_topk_cosine,
         "ann_lsh_bucket": ann_lsh_bucket,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_lsh_multiprobe": ann_lsh_multiprobe,
         "ann_ivf_assign": ann_ivf_assign,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_kmeans_centroids": ann_kmeans_centroids,
@@ -5372,6 +5501,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "ann_topk_cosine": ann_topk_cosine_sql(),
         "ann_lsh_bucket": ann_lsh_bucket_sql(),
         "ann_lsh_topk": ann_lsh_topk_sql(),
+        "ann_lsh_multiprobe": ann_lsh_multiprobe_sql(),
         "ann_ivf_assign": ann_ivf_assign_sql(),
         "ann_ivf_topk": ann_ivf_topk_sql(),
         "ann_kmeans_centroids": ann_kmeans_centroids_sql(),
