@@ -3569,7 +3569,10 @@ def _cls_weight(feat: Column) -> Column:
     coefficient: first 6 hex digits of md5('w|'||feat) → int → centered
     mod. Production replaces this single expression with a broadcast
     (bucket → weight) map lookup of REAL trained weights over the same
-    hashed bucket ids — plan shape unchanged."""
+    hashed bucket ids — plan shape unchanged. That trained model EXISTS
+    now: txt_classify_train / txt_classify_trained below train and apply
+    fixed-point GD weights (this key keeps the hash weights so its
+    driver-audit history stays bit-stable)."""
     h = F.md5(F.concat(F.lit("w|"), feat).cast("binary"))
     return (
         F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % CLS_W_MOD - 100
@@ -3632,6 +3635,259 @@ def txt_classify_sql() -> str:
              CAST(sum(wt) AS BIGINT) AS logit,
              CAST(sum(wt) > 0 AS INT) AS keep
       FROM scored GROUP BY doc_id
+    """
+
+
+# ------------------------------------------- TRAINED quality classifier
+
+# The real model behind the plan shape txt_classify pins: a linear
+# classifier over hashed binary bucket features, trained by full-batch
+# gradient descent on the least-squares surrogate in FIXED-POINT INTEGER
+# arithmetic (the kgembed TransE discipline: every quantity is a bigint,
+# so 7 vs 7000 partitions produce bit-identical weights). Design notes,
+# all measured during prototyping:
+#   - COUNT features diverge: the document-length direction dominates the
+#     spectrum (Jacobi spectral radius ~18-21 on this corpus), so lr small
+#     enough to be stable learns nothing in few epochs. BINARY presence
+#     features condition the problem; GD then matches the EXACT ridge
+#     solution's held-out accuracy by epoch 7 (0.95 vs 0.95).
+#   - Full-batch PERCEPTRON (lr=1 count updates, or TransE-style sign
+#     updates) oscillates with period 2 on this data — the online
+#     convergence theorem does not apply to batch-summed updates. The
+#     least-squares gradient uses every residual, not just the wrong set,
+#     and descends monotonically at lr = 1/(N·2^5).
+#   - Labels are deterministically planted: y = +1 iff doc_id is even,
+#     marker tokens injected in-query by TRUE class (content reflects
+#     quality), and ~5% of LABELS flipped (doc_id % 19 == 5) — annotation
+#     noise the trainer must shrug off. Held-out accuracy lands at ~0.95
+#     (the noise ceiling); the hash stand-in scores ~0.50 on the same
+#     labels (tests/test_classify_train.py asserts the separation).
+#   - Marker tokens were chosen so their md5 % 64 buckets avoid the 31
+#     corpus tokens' 25 buckets — a planted-data convenience; real
+#     corpora wear collisions as hashing-trick noise.
+# Scale shape: each epoch is two shuffles over the TRAIN feature table
+# (broadcast model join + per-doc sum, then per-bucket gradient sum) and
+# a 64-row collect. At 10^12 docs the labeled train split is a fixed
+# subsample (quality classifiers train on ~10^5-10^6 labeled docs and
+# score everything — the CCNet/fastText recipe); scoring is one broadcast
+# join + map-side-combinable sum, identical to txt_classify's shape.
+CLS_B = 64            # hashed weight buckets
+CLS_SCALE = 1 << 20   # fixed-point target: y * 2^20
+CLS_EPOCHS = 8        # train error plateaus at the noise floor by ep 7
+CLS_LR_SHIFT = 5      # lr = 1 / (n_train * 2^5) — stable, measured
+_CLS_GOOD = ("mq3", "mq4", "mq5")    # buckets 45/57/13 (collision-free)
+_CLS_BAD = ("mq9", "mq10", "mq11")   # buckets 54/24/23
+_CLS_MEMO: dict = {}
+
+
+def _cls_bucket(col: Column) -> Column:
+    h = F.md5(col.cast("binary"))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % CLS_B
+
+
+def _cls_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Planted training corpus → distinct (doc_id, y, is_train, bucket)
+    binary bucket features. Markers ride the text through the SAME
+    tokenize+hash path as real tokens (concat_ws skips the NULL second
+    marker in both engines)."""
+    d = _docs(spark, sf)
+    pos = F.col("doc_id") % 2 == 0
+    k = F.expr("(doc_id div 2) % 3").cast("int")
+    m1 = F.when(
+        pos, F.element_at(F.array(*[F.lit(x) for x in _CLS_GOOD]), k + 1)
+    ).otherwise(
+        F.element_at(F.array(*[F.lit(x) for x in _CLS_BAD]), k + 1)
+    )
+    m2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.when(pos, F.lit("mq8")).otherwise(F.lit("mq12")),
+    )
+    y0 = F.when(pos, F.lit(1)).otherwise(F.lit(-1))
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 19 == 5, -y0).otherwise(y0)
+        .cast("long").alias("y"),
+        (F.expr("(doc_id div 2) % 4") != 3).alias("is_train"),
+        F.concat_ws(" ", F.col("text"), m1, m2, F.lit("q_b")).alias("t2"),
+    )
+    return (
+        planted.select(
+            "doc_id", "y", "is_train",
+            F.explode(F.split("t2", " ")).alias("f"),
+        )
+        .select("doc_id", "y", "is_train", _cls_bucket(F.col("f")).alias("bucket"))
+        .dropDuplicates(["doc_id", "bucket"])
+    )
+
+
+def _cls_epoch_gradient(tr_feats: DataFrame, w: dict[int, int],
+                        spark: SparkSession) -> DataFrame:
+    """One full-batch least-squares gradient over the train features
+    given current weights: g_b = Σ_{d ∋ b} (y_d·SCALE − Σ_{b'∈d} w_b').
+    Two shuffles; the model rides as a ≤64-row broadcast."""
+    if w:
+        w_df = spark.createDataFrame(
+            sorted(w.items()), "bucket long, w long")
+        j = tr_feats.join(F.broadcast(w_df), "bucket", "left")
+    else:
+        j = tr_feats.withColumn("w", F.lit(None).cast("long"))
+    m = j.groupBy("doc_id", "y").agg(
+        F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("m"))
+    r = m.select(
+        "doc_id", (F.col("y") * CLS_SCALE - F.col("m")).alias("r"))
+    return tr_feats.join(r, "doc_id").groupBy("bucket").agg(
+        F.sum("r").alias("g"))
+
+
+def _cls_train(spark: SparkSession, sf: str,
+               epochs: int) -> tuple[dict[int, int], int]:
+    """Run `epochs` full-batch GD epochs; returns (weights, n_train).
+    Only the ≤64-row gradient crosses to the driver per epoch (the
+    k-means shape: the model is small, the data never moves)."""
+    from mxsparkg.mining import guarded_collect
+
+    memo_key = (sf, epochs)
+    if memo_key in _CLS_MEMO:
+        return _CLS_MEMO[memo_key]
+    feats = _cls_corpus(spark, sf).persist()
+    try:
+        tr_feats = feats.filter("is_train").select("doc_id", "y", "bucket")
+        n = tr_feats.select("doc_id").distinct().count()
+        step = n << CLS_LR_SHIFT
+        w: dict[int, int] = {}
+        for _ in range(epochs):
+            rows = guarded_collect(
+                _cls_epoch_gradient(tr_feats, w, spark), "cls gradient")
+            for row in rows:
+                w[row["bucket"]] = w.get(row["bucket"], 0) + row["g"] // step
+    finally:
+        feats.unpersist()
+    _CLS_MEMO[memo_key] = (w, n)
+    return w, n
+
+
+def txt_classify_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: the trained weight table after CLS_EPOCHS full-batch
+    fixed-point GD epochs. Epochs 1..N-1 run driver-assisted (64-row
+    gradient collects); the LAST epoch is returned as a DataFrame
+    computation, so the gate certifies the distributed gradient
+    aggregation and floor-division update themselves, not a
+    driver-computed copy (the ann_kmeans_centroids pattern)."""
+    w_prev, n = _cls_train(spark, sf, CLS_EPOCHS - 1)
+    feats = _cls_corpus(spark, sf)
+    tr_feats = feats.filter("is_train").select("doc_id", "y", "bucket")
+    g = _cls_epoch_gradient(tr_feats, w_prev, spark)
+    step = n << CLS_LR_SHIFT
+    w_df = spark.createDataFrame(
+        sorted(w_prev.items()), "bucket long, w long")
+    fdiv = F.expr(f"(g - pmod(g, {step})) div {step}")
+    return (
+        g.join(F.broadcast(w_df), "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("w"), F.lit(0)) + fdiv).alias("w"),
+        )
+    )
+
+
+def txt_classify_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: the trained model applied to the HELD-OUT split —
+    per-doc integer score, prediction, and correctness vs the planted
+    (noisy) label. The scoring plan is txt_classify's: one broadcast
+    model join + one map-side-combinable sum, zero Python."""
+    w, _ = _cls_train(spark, sf, CLS_EPOCHS)
+    w_df = spark.createDataFrame(sorted(w.items()), "bucket long, w long")
+    te = _cls_corpus(spark, sf).filter(~F.col("is_train"))
+    pred = F.when(F.col("score") > 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        te.join(F.broadcast(w_df), "bucket", "left")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("score"))
+        .select(
+            "doc_id", F.col("y").alias("label"), "score",
+            pred.alias("pred"),
+            (pred == F.col("y")).cast("int").alias("correct"),
+        )
+    )
+
+
+def _cls_train_ctes(epochs: int) -> str:
+    """The training loop unrolled into CTEs (the kg_transe / BPE oracle
+    pattern). AS MATERIALIZED is load-bearing: each w{e} is referenced
+    twice by epoch e+1 and DuckDB would otherwise inline it
+    exponentially. Floor division spelled (g - ((g%b + b)%b)) // b ==
+    Python's // == Spark's (g - pmod(g, b)) div b for b > 0."""
+    good = ", ".join(f"'{t}'" for t in _CLS_GOOD)
+    bad = ", ".join(f"'{t}'" for t in _CLS_BAD)
+    ctes = [f"""
+      planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 19 = 5 THEN -y0 ELSE y0 END AS y,
+               (doc_id // 2) % 4 <> 3 AS is_train,
+               concat_ws(' ', text, m1, m2, 'q_b') AS t2
+        FROM (
+          SELECT doc_id, text,
+            CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS y0,
+            CASE WHEN doc_id % 2 = 0
+                 THEN [{good}][CAST((doc_id // 2) % 3 AS INT) + 1]
+                 ELSE [{bad}][CAST((doc_id // 2) % 3 AS INT) + 1]
+            END AS m1,
+            CASE WHEN doc_id % 3 = 0 THEN
+              CASE WHEN doc_id % 2 = 0 THEN 'mq8' ELSE 'mq12' END
+            END AS m2
+          FROM documents)),
+      feats AS MATERIALIZED (
+        SELECT DISTINCT doc_id, y, is_train,
+               ('0x' || substr(md5(f), 1, 6))::BIGINT % {CLS_B} AS bucket
+        FROM (SELECT doc_id, y, is_train,
+                     unnest(string_split(t2, ' ')) AS f
+              FROM planted)),
+      tfeats AS MATERIALIZED (
+        SELECT doc_id, y, bucket FROM feats WHERE is_train),
+      nn AS (
+        SELECT count(DISTINCT doc_id) * {1 << CLS_LR_SHIFT} AS b
+        FROM tfeats),
+      g1 AS (
+        SELECT bucket, sum(y * {CLS_SCALE}) AS g
+        FROM tfeats GROUP BY bucket),
+      w1 AS MATERIALIZED (
+        SELECT bucket, (g - ((g % b + b) % b)) // b AS w FROM g1, nn)"""]
+    for e in range(2, epochs + 1):
+        ctes.append(f"""
+      m{e} AS (
+        SELECT t.doc_id, t.y, sum(coalesce(w.w, 0)) AS m
+        FROM tfeats t LEFT JOIN w{e-1} w USING (bucket)
+        GROUP BY t.doc_id, t.y),
+      g{e} AS (
+        SELECT t.bucket, sum(m.y * {CLS_SCALE} - m.m) AS g
+        FROM tfeats t JOIN m{e} m USING (doc_id) GROUP BY t.bucket),
+      w{e} AS MATERIALIZED (
+        SELECT g.bucket,
+               coalesce(w.w, 0) + (g - ((g % b + b) % b)) // b AS w
+        FROM g{e} g LEFT JOIN w{e-1} w USING (bucket), nn)""")
+    return ",".join(ctes)
+
+
+def txt_classify_train_sql() -> str:
+    return f"""
+      WITH {_cls_train_ctes(CLS_EPOCHS)}
+      SELECT bucket, w FROM w{CLS_EPOCHS}
+    """
+
+
+def txt_classify_trained_sql() -> str:
+    return f"""
+      WITH {_cls_train_ctes(CLS_EPOCHS)},
+      scored AS (
+        SELECT t.doc_id, t.y, sum(coalesce(w.w, 0)) AS score
+        FROM (SELECT doc_id, y, bucket FROM feats WHERE NOT is_train) t
+        LEFT JOIN w{CLS_EPOCHS} w USING (bucket)
+        GROUP BY t.doc_id, t.y)
+      SELECT doc_id, y AS label, score,
+             CASE WHEN score > 0 THEN 1 ELSE -1 END AS pred,
+             CAST((CASE WHEN score > 0 THEN 1 ELSE -1 END) = y AS INT)
+               AS correct
+      FROM scored
     """
 
 
@@ -5465,6 +5721,8 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lm_score": txt_lm_score,
         "txt_sample_stratified": txt_sample_stratified,
         "txt_classify": txt_classify,
+        "txt_classify_train": txt_classify_train,
+        "txt_classify_trained": txt_classify_trained,
         "txt_filter_gate": txt_filter_gate,
         "txt_boilerplate": txt_boilerplate,
         "txt_chunk": txt_chunk,
@@ -5523,6 +5781,8 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_lm_score": txt_lm_score_sql(),
         "txt_sample_stratified": txt_sample_stratified_sql(),
         "txt_classify": txt_classify_sql(),
+        "txt_classify_train": txt_classify_train_sql(),
+        "txt_classify_trained": txt_classify_trained_sql(),
         "txt_filter_gate": txt_filter_gate_sql(),
         "txt_boilerplate": txt_boilerplate_sql(),
         "txt_chunk": txt_chunk_sql(),

@@ -1130,3 +1130,71 @@ def test_wav_samples_and_window_features_hand_case():
         assert sum(x * x for x in win) >= 0
         flips = sum(1 for a, b in zip(win, win[1:]) if (a >= 0) != (b >= 0))
         assert 0 <= flips <= len(win) - 1
+
+
+def test_classify_trained_beats_hash_standin(spark, sf001):
+    """The trained classifier (fixed-point full-batch GD over hashed
+    binary features) must actually LEARN: held-out accuracy lands at the
+    planted label-noise ceiling (~0.95), while the hash-derived stand-in
+    weights txt_classify ships score ~0.50 on the same planted labels.
+    This is the difference between plumbing and a model."""
+    from mxsparkg.datapipe import (
+        _cls_corpus,
+        _cls_weight,
+        txt_classify_trained,
+    )
+    from pyspark.sql import functions as F
+
+    rows = txt_classify_trained(spark, sf001).collect()
+    assert rows, "held-out split is empty"
+    trained_acc = sum(r["correct"] for r in rows) / len(rows)
+
+    # stand-in: the per-feature hash weights applied to the SAME planted
+    # held-out corpus (binary bucket features carry no weight here — the
+    # stand-in weights features directly, as txt_classify does).
+    feats = _cls_corpus(spark, sf001).filter(~F.col("is_train"))
+    si = (
+        feats.select(
+            "doc_id", "y",
+            _cls_weight(F.col("bucket").cast("string")).alias("wt"),
+        )
+        .groupBy("doc_id", "y")
+        .agg(F.sum("wt").alias("s"))
+        .select(
+            "y",
+            F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("p"),
+        )
+        .collect()
+    )
+    standin_acc = sum(1 for r in si if r["p"] == r["y"]) / len(si)
+
+    assert trained_acc >= 0.90, trained_acc
+    assert standin_acc <= 0.70, standin_acc
+    assert trained_acc - standin_acc >= 0.20
+
+
+def test_classify_train_error_curve_decreases(spark, sf001):
+    """Full-batch GD training dynamics: the train-split 0/1 error with
+    the epoch-8 weights is far below the all-zero model's (everything
+    wrong) and below a 1-epoch model's — the iterations do the work,
+    not the initialization."""
+    from mxsparkg.datapipe import _cls_corpus, _cls_train
+    from pyspark.sql import functions as F
+
+    def train_err(w):
+        feats = _cls_corpus(spark, sf001).filter("is_train")
+        wdf = spark.createDataFrame(
+            sorted(w.items()), "bucket long, w long")
+        m = (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("m"))
+        )
+        bad = m.filter(F.col("y") * F.col("m") <= 0).count()
+        return bad / m.count()
+
+    w1, _ = _cls_train(spark, sf001, 1)
+    w8, _ = _cls_train(spark, sf001, 8)
+    e1, e8 = train_err(w1), train_err(w8)
+    assert e8 < e1 < 1.0
+    assert e8 <= 0.10, (e1, e8)
