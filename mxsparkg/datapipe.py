@@ -5400,6 +5400,309 @@ def mm_decode_stub_sql() -> str:
     """
 
 
+# ------------------------------------------------- perceptual-hash dedup
+#
+# The multimodal near-dup tier: dHash (difference hash) over image blobs +
+# banded Hamming-distance candidate pairs — the image analogue of the
+# MinHash/LSH text tier (D2/D2b). A multimodal training pipeline dedups
+# images that survive byte-level exact dedup because they were re-encoded,
+# resampled, or brightness-adjusted between crawls; dHash is invariant to
+# all three (it compares ADJACENT cell luminance, so any monotone global
+# shift and any integer resample that preserves cell means leaves every
+# bit unchanged).
+
+PHASH_GRID_ROWS = 8      # 8 x 9 grid of cells -> 8 x 8 = 64 dHash bits
+PHASH_GRID_COLS = 9
+PHASH_BANDS = 4          # 4 x 16-bit bands for the LSH candidate join
+PHASH_HAMMING_MAX = 6    # near-dup decision threshold (of 64 bits)
+PHASH_BASE_W = 18        # planted base image: 18x16 px (2x2-px cells)
+PHASH_BASE_H = 16
+PHASH_SHIFT = 24         # planted brightness delta; px<=215 so never wraps
+
+
+def _phash_gray(seed: int, p: int) -> int:
+    """Deterministic per-pixel gray value in [16, 215]: md5 of 'seed|p'
+    truncated to 16 bits then reduced mod 200 — the same md5-as-portable-
+    PRF trick the MinHash tier uses, because LINEAR congruential mixes
+    (tried first) leave adjacent-cell comparisons correlated ACROSS seeds
+    and flood the candidate join with structural near-collisions. The
+    oracle recomputes this exact value via DuckDB's md5() + hex cast."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|{p}".encode()).hexdigest()
+    return int(h[:4], 16) % 200 + 16
+
+
+def _encode_bmp_gray(width: int, height: int, vals: list[int]) -> bytes:
+    """Spec-conformant 24bpp BI_RGB BMP from per-pixel gray values (r=g=b),
+    vals in stored-row order, real 4-byte row padding (W=18 -> stride 56,
+    2 pad bytes per row — a parser that ignores stride fails loudly)."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    img_size = stride * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835,
+        0, 0,
+    )
+    rows = bytearray()
+    pad = b"\x00" * (stride - width * 3)
+    for y in range(height):
+        for x in range(width):
+            v = vals[y * width + x]
+            rows += bytes((v, v, v))
+        rows += pad
+    return header + info + bytes(rows)
+
+
+def _dhash_bands_from_bmp(blob: bytes) -> list[int]:
+    """dHash from the ACTUAL BMP bytes: parse header (offset/dims/stride),
+    sum the 3 channel bytes of every pixel into a PHASH_GRID_ROWS x
+    PHASH_GRID_COLS cell grid, then bit (r,c) = cellsum(r,c) <
+    cellsum(r,c+1), packed into PHASH_BANDS 16-bit band values (band b =
+    grid rows 2b..2b+1, bit position (r%2)*8+c). Comparing SUMS (equal
+    cell pixel-count within an image) avoids division entirely, so a k x k
+    integer upscale — cell sums all scale by k² — and a global brightness
+    shift — all sums shift equally — provably preserve every bit.
+    Requires dims divisible by the grid (thumbnails are normalized
+    upstream by the downsample stage); raises otherwise."""
+    import struct
+
+    (off,) = struct.unpack_from("<I", blob, 10)
+    width, height = struct.unpack_from("<ii", blob, 18)
+    height = abs(height)
+    if width % PHASH_GRID_COLS or height % PHASH_GRID_ROWS:
+        raise ValueError(
+            f"dHash needs dims divisible by {PHASH_GRID_COLS}x"
+            f"{PHASH_GRID_ROWS}, got {width}x{height}"
+        )
+    stride = (width * 3 + 3) // 4 * 4
+    cw = width // PHASH_GRID_COLS
+    ch = height // PHASH_GRID_ROWS
+    sums = [[0] * PHASH_GRID_COLS for _ in range(PHASH_GRID_ROWS)]
+    for r in range(PHASH_GRID_ROWS):
+        for c in range(PHASH_GRID_COLS):
+            s = 0
+            for dy in range(ch):
+                base = off + (r * ch + dy) * stride + c * cw * 3
+                for dx in range(cw):
+                    pos = base + dx * 3
+                    s += blob[pos] + blob[pos + 1] + blob[pos + 2]
+            sums[r][c] = s
+    bands = []
+    for b in range(PHASH_BANDS):
+        v = 0
+        for r in (2 * b, 2 * b + 1):
+            for c in range(PHASH_GRID_COLS - 1):
+                if sums[r][c] < sums[r][c + 1]:
+                    v |= 1 << ((r % 2) * 8 + c)
+        bands.append(v)
+    return bands
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """(doc_id, media: binary) -> (doc_id, b0..b3): the 64-bit dHash as 4
+    positive 16-bit band values (sidestepping signed-bigint shift
+    portability). Reusable over ANY DataFrame with a BMP media column.
+
+    Scale posture: mapInPandas over Arrow batches, one narrow Python pass,
+    no shuffle — blobs never leave their partition; output is 4 small ints
+    per image, which is what shuffles into the band join."""
+
+    def hash_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b0, b1, b2, b3 = _dhash_bands_from_bmp(bytes(blob))
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "b0": b0, "b1": b1, "b2": b2, "b3": b3,
+                })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.mapInPandas(
+        hash_batch, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+
+
+def phash_candidate_pairs(
+    hashes: DataFrame,
+    max_hamming: int = PHASH_HAMMING_MAX,
+    max_bucket_size: int | None = MAX_LSH_BUCKET_SIZE,
+) -> DataFrame:
+    """Banded Hamming near-dup pairs over dHash values — the D2b bucket
+    join re-instantiated for images. Candidate recall argument is the
+    standard LSH-banding one: max_hamming < PHASH_BANDS guarantees a
+    clean shared band by pigeonhole; for max_hamming in (PHASH_BANDS-1,
+    2*PHASH_BANDS*k) recall is probabilistic exactly as in MinHash
+    banding (a near-dup pair whose bit flips happen to touch all 4 bands
+    is missed — acceptable for the same reason the text tier accepts
+    band-miss, and the planted gate dups sit at Hamming 0 where recall
+    is certain). Bucket-size cap + broadcast anti-join exactly as
+    minhash_candidate_pairs — never O(n²)."""
+    bands = hashes.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.posexplode(
+            F.array(F.col("b0"), F.col("b1"), F.col("b2"), F.col("b3"))
+        ).alias("band_id", "band_val"),
+    )
+    if max_bucket_size is not None:
+        over_cap = (
+            bands.groupBy("band_id", "band_val")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket_size)
+            .select("band_id", "band_val")
+        )
+        bands = bands.join(
+            F.broadcast(over_cap), ["band_id", "band_val"], "left_anti"
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}"))
+        )
+        for i in range(PHASH_BANDS)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _phash_media_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic image corpus with planted perceptual near-dups: every
+    doc gets an 18x16 md5-pixel BMP; doc_id % 6 == 0 additionally plants a
+    BRIGHTNESS-SHIFTED copy (+24/px, byte-distinct, dHash-identical) and
+    doc_id % 6 == 3 a 2x NEAREST-NEIGHBOR-RESAMPLED re-encode (36x32,
+    different stride/padding, dHash-identical) at doc_id +
+    MINHASH_PLANT_OFFSET (same never-alias-a-real-id guard as the text
+    plants, tests/test_datapipe_guard.py)."""
+
+    def encode(batches):
+        import pandas as pd
+
+        W, H = PHASH_BASE_W, PHASH_BASE_H
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                vals = [_phash_gray(d, p) for p in range(W * H)]
+                ids.append(d)
+                blobs.append(_encode_bmp_gray(W, H, vals))
+                if d % 6 == 0:
+                    ids.append(d + MINHASH_PLANT_OFFSET)
+                    blobs.append(
+                        _encode_bmp_gray(
+                            W, H, [v + PHASH_SHIFT for v in vals]
+                        )
+                    )
+                elif d % 6 == 3:
+                    up = [
+                        vals[(y // 2) * W + (x // 2)]
+                        for y in range(2 * H)
+                        for x in range(2 * W)
+                    ]
+                    ids.append(d + MINHASH_PLANT_OFFSET)
+                    blobs.append(_encode_bmp_gray(2 * W, 2 * H, up))
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    return (
+        _docs(spark, sf)
+        .select("doc_id")
+        .mapInPandas(encode, "doc_id long, media binary")
+    )
+
+
+def mm_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key for the multimodal near-dup tier END-TO-END: encode pass
+    materializes real BMP blobs (originals + brightness-shifted and
+    2x-resampled planted copies), phash_media() computes dHash from the
+    ACTUAL bytes, phash_candidate_pairs() recovers every planted pair at
+    Hamming 0 while the ~20 chance band collisions between distinct
+    images (measured at sf0.01) are Hamming-REJECTED — so the candidate
+    join, the cap, and the threshold all do real work under the oracle's
+    value-hash gate. The oracle recomputes pixels, cell sums, band values
+    and the pair join arithmetically from doc_id."""
+    return phash_candidate_pairs(phash_media(_phash_media_df(spark, sf)))
+
+
+def mm_phash_pairs_sql() -> str:
+    W, H = PHASH_BASE_W, PHASH_BASE_H
+    R, C = PHASH_GRID_ROWS, PHASH_GRID_COLS
+    xors = " + ".join(
+        f"bit_count(xor(wa.b{i}, wb.b{i}))" for i in range(PHASH_BANDS)
+    )
+    return f"""
+      WITH imgs AS (
+        SELECT doc_id, doc_id AS seed, 0 AS shift, 1 AS scale
+        FROM documents
+        UNION ALL
+        SELECT doc_id + {MINHASH_PLANT_OFFSET}, doc_id, {PHASH_SHIFT}, 1
+        FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id + {MINHASH_PLANT_OFFSET}, doc_id, 0, 2
+        FROM documents WHERE doc_id % 6 = 3),
+      cells AS MATERIALIZED (
+        SELECT i.doc_id, r.r, c.c,
+               SUM(3 * ((('0x' || substr(md5(i.seed || '|' ||
+                     (((r.r * 2 * i.scale + dy.dy) // i.scale) * {W}
+                      + (c.c * 2 * i.scale + dx.dx) // i.scale)),
+                     1, 4))::BIGINT) % 200 + 16 + i.shift)) AS cs
+        FROM imgs i,
+             unnest(range(0, {R})) AS r(r),
+             unnest(range(0, {C})) AS c(c),
+             unnest(range(0, 2 * i.scale)) AS dy(dy),
+             unnest(range(0, 2 * i.scale)) AS dx(dx)
+        GROUP BY 1, 2, 3),
+      bits AS (
+        SELECT a.doc_id, a.r, a.c, CAST(a.cs < b.cs AS BIGINT) AS bit
+        FROM cells a
+        JOIN cells b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        WHERE a.c < {C - 1}),
+      hashes AS MATERIALIZED (
+        SELECT doc_id, r // 2 AS band_id,
+               SUM(bit * (CAST(1 AS BIGINT) << ((r % 2) * 8 + c)))
+                 AS band_val
+        FROM bits GROUP BY 1, 2),
+      wide AS (
+        SELECT doc_id,
+               MAX(CASE WHEN band_id = 0 THEN band_val END) AS b0,
+               MAX(CASE WHEN band_id = 1 THEN band_val END) AS b1,
+               MAX(CASE WHEN band_id = 2 THEN band_val END) AS b2,
+               MAX(CASE WHEN band_id = 3 THEN band_val END) AS b3
+        FROM hashes GROUP BY doc_id),
+      ok AS (SELECT band_id, band_val FROM hashes
+             GROUP BY 1, 2 HAVING count(*) <= {MAX_LSH_BUCKET_SIZE}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM hashes a
+        JOIN ok ON ok.band_id = a.band_id AND ok.band_val = a.band_val
+        JOIN hashes b ON a.band_id = b.band_id
+             AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+      SELECT c.a_id, c.b_id, CAST({xors} AS BIGINT) AS hamming
+      FROM cand c
+      JOIN wide wa ON wa.doc_id = c.a_id
+      JOIN wide wb ON wb.doc_id = c.b_id
+      WHERE {xors} <= {PHASH_HAMMING_MAX}
+    """
+
+
 # ================================================================ registry
 
 # URL canonicalization + dedup: the first screen a Common-Crawl-style
@@ -5733,6 +6036,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_png": mm_decode_png,
         "mm_decode_gif": mm_decode_gif,
         "mm_audio_energy": mm_audio_energy,
+        "mm_phash_pairs": mm_phash_pairs,
         "grp_apply_pandas": grp_apply_pandas,
     }
 
@@ -5793,5 +6097,6 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "mm_decode_png": mm_decode_png_sql(),
         "mm_decode_gif": mm_decode_gif_sql(),
         "mm_audio_energy": mm_audio_energy_sql(),
+        "mm_phash_pairs": mm_phash_pairs_sql(),
         "grp_apply_pandas": grp_apply_pandas_sql(),
     }

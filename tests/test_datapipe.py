@@ -1198,3 +1198,72 @@ def test_classify_train_error_curve_decreases(spark, sf001):
     e1, e8 = train_err(w1), train_err(w8)
     assert e8 < e1 < 1.0
     assert e8 <= 0.10, (e1, e8)
+
+
+def test_phash_invariance_and_perturbed_copy_recovered(spark):
+    """Semantics the oracle can't check: dHash really is invariant to the
+    transforms it claims (brightness shift, integer resample), a copy with
+    a few perturbed pixels lands at small-but-nonzero Hamming and is still
+    paired, and a genuinely different image is NOT paired."""
+    from mxsparkg.datapipe import (
+        PHASH_BASE_H,
+        PHASH_BASE_W,
+        PHASH_HAMMING_MAX,
+        _encode_bmp_gray,
+        _phash_gray,
+        phash_candidate_pairs,
+        phash_media,
+    )
+
+    W, H = PHASH_BASE_W, PHASH_BASE_H
+    base = [_phash_gray(7, p) for p in range(W * H)]
+    bright = [v + 24 for v in base]
+    up = [base[(y // 2) * W + (x // 2)]
+          for y in range(2 * H) for x in range(2 * W)]
+    # perturb exactly one grid cell (0,0), in the direction that provably
+    # flips bit(0,0): cell (0,0) only feeds that one comparison, so the
+    # copy lands at Hamming exactly 1
+    cs00 = sum(base[y * W + x] for y in range(2) for x in range(2))
+    cs01 = sum(base[y * W + x] for y in range(2) for x in range(2, 4))
+    forced = 250 if cs00 < cs01 else 0
+    noisy = list(base)
+    for y in range(2):
+        for x in range(2):
+            noisy[y * W + x] = forced
+    other = [_phash_gray(8, p) for p in range(W * H)]
+    media = spark.createDataFrame(
+        [
+            (1, _encode_bmp_gray(W, H, base)),
+            (2, _encode_bmp_gray(W, H, bright)),
+            (3, _encode_bmp_gray(2 * W, 2 * H, up)),
+            (4, _encode_bmp_gray(W, H, noisy)),
+            (5, _encode_bmp_gray(W, H, other)),
+        ],
+        "doc_id long, media binary",
+    )
+    hashes = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in phash_media(media).collect()
+    }
+    assert hashes[1] == hashes[2] == hashes[3]  # provable invariances
+    ham_noisy = sum(
+        bin(a ^ b).count("1") for a, b in zip(hashes[1], hashes[4])
+    )
+    assert 0 < ham_noisy <= PHASH_HAMMING_MAX
+    ham_other = sum(
+        bin(a ^ b).count("1") for a, b in zip(hashes[1], hashes[5])
+    )
+    assert ham_other > PHASH_HAMMING_MAX
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in phash_candidate_pairs(phash_media(media)).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3), (1, 4)} <= pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_phash_parser_rejects_unnormalized_dims():
+    from mxsparkg.datapipe import _dhash_bands_from_bmp, _encode_bmp_gray
+
+    with pytest.raises(ValueError, match="divisible"):
+        _dhash_bands_from_bmp(_encode_bmp_gray(10, 16, [50] * 160))
