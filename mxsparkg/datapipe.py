@@ -5121,7 +5121,9 @@ def _jpeg_blocks_for_doc(doc_id: int, n_blocks: int) -> list[dict]:
     every branch of the entropy coder is exercised: DC differences span
     categories 0-6, AC v1 walks zigzag 1-5 (short runs) and may be zero
     (EOB-only path), AC v2 at zigzag 30 forces a >=16-zero run (ZRL) when
-    present. The oracle recomputes the stats from this arithmetic."""
+    present, and (round 5) AC v3 at zigzag 63 — the last coefficient —
+    forces 2-3 CONSECUTIVE ZRLs and the no-EOB-after-k63 ending. The
+    oracle recomputes the stats from this arithmetic."""
     blocks = []
     for b in range(n_blocks):
         blk = {0: (doc_id + 7 * b) % 64 - 32}
@@ -5131,8 +5133,66 @@ def _jpeg_blocks_for_doc(doc_id: int, n_blocks: int) -> list[dict]:
         v2 = (doc_id + b) % 3 - 1
         if v2:
             blk[30] = v2
+        v3 = (doc_id + 2 * b) % 5 - 2
+        if v3:
+            blk[63] = v3
         blocks.append(blk)
     return blocks
+
+
+# Fixed-point IDCT (the libjpeg-islow discipline): the 8x8 basis table
+# T[u][y] = round(2^13 * a(u) * cos((2y+1)·u·π/16)), a(0)=sqrt(1/8) else
+# sqrt(2/8), computed ONCE here and embedded as integer literals in the
+# DuckDB oracle — so the pixel certification has NO cross-engine float
+# surface at all. px_scaled = Σ_u Σ_v Cq[u][v]·T[u][y]·T[v][x] carries
+# scale 2^26; |Cq| <= 512 with <= 4 nonzero coefficients bounds
+# |px_scaled| < 2^35, so the +K·2^26 offset below keeps the rounding
+# numerator positive (floor == trunc, sidestepping DuckDB's
+# truncate-toward-zero `//` vs Python's floor).
+_JPEG_IDCT_BITS = 13
+_JPEG_IDCT_K = 1 << 12          # positive offset, in output-pixel units
+
+
+def _jpeg_idct_table() -> list[list[int]]:
+    import math
+
+    t = []
+    for u in range(8):
+        a = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+        t.append([
+            round(a * math.cos((2 * y + 1) * u * math.pi / 16)
+                  * (1 << _JPEG_IDCT_BITS))
+            for y in range(8)
+        ])
+    return t
+
+
+def _decode_jpeg_pixels_int(blob: bytes):
+    """Pixel reconstruction with the FIXED-POINT integer IDCT: dequantize,
+    de-zigzag, T^T·Cq·T in int64, round via the positive-offset floor
+    trick, +128 level shift, clamp to [0,255]. Bit-identical to the DuckDB
+    oracle's arithmetic by construction (shared integer basis table);
+    within ±1 of the float IDCT path everywhere (pytest)."""
+    import numpy as np
+
+    meta = _parse_jpeg(blob)
+    zz = _jpeg_zigzag()
+    t = np.array(_jpeg_idct_table(), dtype=np.int64)
+    h, w = meta["height"], meta["width"]
+    img = np.zeros((h, w), dtype=np.int64)
+    bw = w // 8
+    two = 2 * _JPEG_IDCT_BITS
+    off = (1 << (two - 1)) + (_JPEG_IDCT_K << two)
+    for bi, blk in enumerate(meta["blocks"]):
+        coef = np.zeros((8, 8), dtype=np.int64)
+        for z, v in blk.items():
+            r_, c_ = zz[z]
+            coef[r_, c_] = v * meta["quant"][z]
+        scaled = t.T @ coef @ t
+        px = ((scaled + off) >> two) - _JPEG_IDCT_K + 128
+        by, bx = divmod(bi, bw)
+        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px
+    return np.clip(img, 0, 255).astype("uint8")
 
 
 MM_JPEG_SCHEMA = StructType(
@@ -5145,6 +5205,8 @@ MM_JPEG_SCHEMA = StructType(
         StructField("dc_sum_q", LongType()),
         StructField("ac_sum_q", LongType()),
         StructField("n_ac_nonzero", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_check", LongType()),
     ]
 )
 
@@ -5175,16 +5237,22 @@ def mm_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
     def decode(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-                m = _parse_jpeg(bytes(blob))
+                blob = bytes(blob)
+                m = _parse_jpeg(blob)
                 acs = [
                     v for blk in m["blocks"]
                     for z, v in blk.items() if z > 0
                 ]
+                # round-5 pixel-level certificate: full IDCT output, as
+                # the pixel sum + position-weighted raster checksum
+                px = _decode_jpeg_pixels_int(blob).astype(
+                    np.int64).ravel()
                 rows.append({
                     "doc_id": int(doc_id),
                     "media_type": "image",
@@ -5194,6 +5262,10 @@ def mm_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
                     "dc_sum_q": sum(b.get(0, 0) for b in m["blocks"]),
                     "ac_sum_q": sum(acs),
                     "n_ac_nonzero": len(acs),
+                    "px_sum": int(px.sum()),
+                    "px_check": int(
+                        (px * (np.arange(px.size) + 1)).sum()
+                    ),
                 })
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MM_JPEG_SCHEMA.fields]
@@ -5208,30 +5280,83 @@ def mm_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def mm_decode_jpeg_sql() -> str:
-    return """
+    # the oracle's pixel layer shares the SAME Python-computed integer
+    # constants the decoder uses: zigzag (row,col) of the planted
+    # coefficient slots and the 64-entry fixed-point IDCT basis table —
+    # embedded as literals so there is no float anywhere in either engine
+    zz = _jpeg_zigzag()
+    q = _JPEG_QUANT
+    t_rows = ", ".join(
+        f"({u}, {y}, {t})"
+        for u, row in enumerate(_jpeg_idct_table())
+        for y, t in enumerate(row)
+    )
+    # v1 sits at zigzag 1 + b%5 — embed the 5 possible (row,col) slots
+    u1 = ", ".join(f"({k}, {zz[1 + k][0]}, {zz[1 + k][1]})" for k in range(5))
+    (u30, v30), (u63, v63) = zz[30], zz[63]
+    two = 2 * _JPEG_IDCT_BITS
+    off = (1 << (two - 1)) + (_JPEG_IDCT_K << two)
+    return f"""
       WITH base AS (
         SELECT doc_id,
                8 * (1 + doc_id % 4) AS width,
                8 * (1 + doc_id % 3) AS height,
                (1 + doc_id % 4) * (1 + doc_id % 3) AS n_blocks
         FROM documents),
-      terms AS (
-        SELECT doc_id, unnest(range(0, n_blocks)) AS b FROM base),
+      blocks AS (
+        SELECT doc_id, width, unnest(range(0, n_blocks)) AS b FROM base),
       stats AS (
         SELECT doc_id,
                sum((doc_id + 7 * b) % 64 - 32) AS dc_sum_q,
                sum(((doc_id + 3 * b) % 15 - 7)
-                   + ((doc_id + b) % 3 - 1)) AS ac_sum_q,
+                   + ((doc_id + b) % 3 - 1)
+                   + ((doc_id + 2 * b) % 5 - 2)) AS ac_sum_q,
                sum(CASE WHEN (doc_id + 3 * b) % 15 <> 7 THEN 1 ELSE 0 END
-                   + CASE WHEN (doc_id + b) % 3 <> 1 THEN 1 ELSE 0 END)
+                   + CASE WHEN (doc_id + b) % 3 <> 1 THEN 1 ELSE 0 END
+                   + CASE WHEN (doc_id + 2 * b) % 5 <> 2 THEN 1 ELSE 0 END)
                  AS n_ac_nonzero
-        FROM terms GROUP BY doc_id)
+        FROM blocks GROUP BY doc_id),
+      idct(u, y, t) AS (VALUES {t_rows}),
+      v1slot(k, r, c) AS (VALUES {u1}),
+      coefs AS (
+        SELECT doc_id, width, b, 0 AS cu, 0 AS cv,
+               ((doc_id + 7 * b) % 64 - 32) * {q} AS cq
+        FROM blocks
+        UNION ALL
+        SELECT k.doc_id, k.width, k.b, s.r, s.c,
+               ((k.doc_id + 3 * k.b) % 15 - 7) * {q}
+        FROM blocks k JOIN v1slot s ON s.k = k.b % 5
+        WHERE (k.doc_id + 3 * k.b) % 15 <> 7
+        UNION ALL
+        SELECT doc_id, width, b, {u30}, {v30},
+               ((doc_id + b) % 3 - 1) * {q}
+        FROM blocks WHERE (doc_id + b) % 3 <> 1
+        UNION ALL
+        SELECT doc_id, width, b, {u63}, {v63},
+               ((doc_id + 2 * b) % 5 - 2) * {q}
+        FROM blocks WHERE (doc_id + 2 * b) % 5 <> 2),
+      px AS (
+        SELECT c.doc_id, c.width, c.b, tu.y AS y, tv.y AS x,
+               GREATEST(0, LEAST(255,
+                 (SUM(c.cq * tu.t * tv.t) + {off}) // {1 << two}
+                 - {_JPEG_IDCT_K} + 128)) AS px
+        FROM coefs c
+        JOIN idct tu ON tu.u = c.cu
+        JOIN idct tv ON tv.u = c.cv
+        GROUP BY 1, 2, 3, 4, 5),
+      pxstats AS (
+        SELECT doc_id, SUM(px) AS px_sum,
+               SUM(px * (((b // (width // 8)) * 8 + y) * width
+                         + (b % (width // 8)) * 8 + x + 1)) AS px_check
+        FROM px GROUP BY doc_id)
       SELECT b.doc_id, 'image' AS media_type, b.width, b.height,
              CAST(b.n_blocks AS BIGINT) AS n_blocks,
              CAST(s.dc_sum_q AS BIGINT) AS dc_sum_q,
              CAST(s.ac_sum_q AS BIGINT) AS ac_sum_q,
-             CAST(s.n_ac_nonzero AS BIGINT) AS n_ac_nonzero
-      FROM base b JOIN stats s USING (doc_id)
+             CAST(s.n_ac_nonzero AS BIGINT) AS n_ac_nonzero,
+             CAST(p.px_sum AS BIGINT) AS px_sum,
+             CAST(p.px_check AS BIGINT) AS px_check
+      FROM base b JOIN stats s USING (doc_id) JOIN pxstats p USING (doc_id)
     """
 
 

@@ -1267,3 +1267,32 @@ def test_phash_parser_rejects_unnormalized_dims():
 
     with pytest.raises(ValueError, match="divisible"):
         _dhash_bands_from_bmp(_encode_bmp_gray(10, 16, [50] * 160))
+
+
+def test_jpeg_integer_idct_tracks_float_idct():
+    """The fixed-point IDCT that backs the px_sum/px_check gate columns
+    must agree with the orthonormal float IDCT within ±1 gray level on
+    AC-rich planted blocks (the libjpeg-islow accuracy posture), and be
+    EXACT on DC-only constant blocks where the answer is integral."""
+    import numpy as np
+
+    from mxsparkg.datapipe import (
+        _decode_jpeg_pixels,
+        _decode_jpeg_pixels_int,
+        _encode_jpeg,
+        _jpeg_blocks_for_doc,
+    )
+
+    for d in [0, 1, 7, 13, 31, 49, 123, 457]:
+        w, h = 8 * (1 + d % 4), 8 * (1 + d % 3)
+        blob = _encode_jpeg(w, h, _jpeg_blocks_for_doc(d, (w // 8) * (h // 8)))
+        fx = _decode_jpeg_pixels(blob).astype(np.int64)
+        ix = _decode_jpeg_pixels_int(blob).astype(np.int64)
+        assert np.abs(fx - ix).max() <= 1, d
+    # DC-only constant blocks: integral IDCT, integer path must be exact
+    consts = [128 + 2 * k for k in range(-6, 0)]
+    blob = _encode_jpeg(24, 16, [{0: (c - 128) * 8 // 16} for c in consts])
+    px = _decode_jpeg_pixels_int(blob)
+    for bi, c in enumerate(consts):
+        by, bx = divmod(bi, 3)
+        assert (px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] == c).all()
