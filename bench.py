@@ -102,7 +102,17 @@ def headline_queries() -> dict:
               "evt_asof", "graph_sssp", "kg_bgp_2hop", "kg_edge_pmi",
               "txt_chunk", "txt_pack_sequences", "join_bloom",
               "txt_classify", "txt_boilerplate",
-              "evt_retention", "agg_histogram", "kg_turtle"):
+              "evt_retention", "agg_histogram", "kg_turtle",
+              # round-5 batch: image perceptual-hash dedup (encode + dHash
+              # mapInPandas + banded Hamming join), multi-probe LSH ANN
+              # (Hamming-1/2 bucket expansion join), the TRAINED quality
+              # classifier (broadcast weight lookup + margin agg), the
+              # full-outer reconciliation join, the pivot reshape, and
+              # JPEG decode now that it carries the full integer-IDCT
+              # pixel certification per blob
+              "mm_phash_pairs", "ann_lsh_multiprobe",
+              "txt_classify_trained", "join_full", "agg_pivot",
+              "mm_decode_jpeg"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect
