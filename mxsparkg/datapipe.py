@@ -79,6 +79,23 @@ def _docs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/documents.parquet")
 
 
+def _doc_ids_parallel(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_id projection fanned out to every core BEFORE a Python-heavy
+    mapInPandas encode pass. The gate-SF documents table is one small
+    parquet file -> one input partition, so without this every synthetic
+    media generator (BMP/PNG/GIF/JPEG/WAV encode + per-pixel PRF) ran
+    single-core (measured: mm_phash_pairs spent most of its wall in a
+    1-partition stage at sf0.1). Shuffling bare longs costs ~nothing;
+    every downstream key is partition-invariant (order-insensitive value
+    hash), and REAL media tables arrive multi-partition from the file
+    source so production phash/decode paths never need this."""
+    return (
+        _docs(spark, sf)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def _embs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/embeddings.parquet")
 
@@ -4343,8 +4360,7 @@ def _media_column_df(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
 
     return (
-        _docs(spark, sf)
-        .select("doc_id")
+        _doc_ids_parallel(spark, sf)
         .mapInPandas(encode, "doc_id long, media binary")
     )
 
@@ -4433,8 +4449,7 @@ def mm_decode_png(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     media = (
-        _docs(spark, sf)
-        .select("doc_id")
+        _doc_ids_parallel(spark, sf)
         .mapInPandas(encode, "doc_id long, media binary")
     )
     return media.mapInPandas(decode, MM_PNG_SCHEMA)
@@ -4687,8 +4702,7 @@ def mm_decode_gif(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     media = (
-        _docs(spark, sf)
-        .select("doc_id")
+        _doc_ids_parallel(spark, sf)
         .mapInPandas(encode, "doc_id long, media binary")
     )
     return media.mapInPandas(decode, MM_GIF_SCHEMA)
@@ -4760,8 +4774,7 @@ def mm_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     media = (
-        _docs(spark, sf)
-        .select("doc_id")
+        _doc_ids_parallel(spark, sf)
         .mapInPandas(encode, "doc_id long, media binary")
     )
     return media.mapInPandas(
@@ -5272,8 +5285,7 @@ def mm_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     media = (
-        _docs(spark, sf)
-        .select("doc_id")
+        _doc_ids_parallel(spark, sf)
         .mapInPandas(encode, "doc_id long, media binary")
     )
     return media.mapInPandas(decode, MM_JPEG_SCHEMA)
@@ -5748,8 +5760,7 @@ def _phash_media_df(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
     return (
-        _docs(spark, sf)
-        .select("doc_id")
+        _doc_ids_parallel(spark, sf)
         .mapInPandas(encode, "doc_id long, media binary")
     )
 
