@@ -1435,6 +1435,68 @@ def agg_pivot(spark, sf):
     )
 
 
+@reg("agg_unpivot",
+     """WITH wide AS (
+       SELECT l_returnflag,
+              ROUND(SUM(l_quantity), 2) AS sum_qty,
+              ROUND(SUM(l_extendedprice), 2) AS sum_price,
+              ROUND(SUM(l_discount), 2) AS sum_disc
+       FROM lineitem GROUP BY l_returnflag)
+     SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+     UNION ALL
+     SELECT l_returnflag, 'sum_price', sum_price FROM wide
+     UNION ALL
+     SELECT l_returnflag, 'sum_disc', sum_disc FROM wide""")
+def agg_unpivot(spark, sf):
+    """A11b unpivot — the wide→long inverse of agg_pivot, the other half
+    of the reshape surface (metric tables into tidy long form before a
+    groupBy-over-metric or a plotting sink). Spark-side it is the native
+    DataFrame.unpivot (Expand under the hood: one pass, rows × |metrics|
+    output, NO join and NO shuffle — the ids/values lists are pinned so
+    the schema never depends on the data); the oracle is the
+    engine-portable UNION ALL spelling. The wide input here is a
+    model-sized rollup (|returnflag| rows); at 10^12 rows unpivot is
+    still the same single Expand over whatever table it is given."""
+    li = _t(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"],
+        "metric", "value",
+    )
+
+
+@reg("window_percent",
+     """SELECT c_custkey, c_nationkey, c_acctbal,
+          round(percent_rank() OVER w, 6) AS pct_rank,
+          round(cume_dist() OVER w, 6) AS cume,
+          CAST(ntile(10) OVER w AS BIGINT) AS decile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal, c_custkey)""")
+def window_percent(spark, sf):
+    """W5 distribution window functions — percent_rank / cume_dist /
+    ntile over per-nation balance order: the percentile-flavored window
+    family (W1-W4 cover rownum/rank/lag/frames). The ORDER BY ends in
+    the unique c_custkey so ranks are total and both engines agree on
+    ties; percent_rank = k/(n-1) and cume_dist = k/n are the same two
+    integer divisions in either engine (round 6 kills nothing, kept per
+    house rule). One hash-partition shuffle + per-partition sort, the
+    minimal plan for any ranked window at any scale; skewed nations ride
+    the same salting story as every other single-key window."""
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
+
+
 @reg("evt_rfm",
      """WITH p AS (
        SELECT user_id, epoch_us(ts) AS us, value
