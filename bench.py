@@ -112,7 +112,10 @@ def headline_queries() -> dict:
               # pixel certification per blob
               "mm_phash_pairs", "ann_lsh_multiprobe",
               "txt_classify_trained", "join_full", "agg_pivot",
-              "mm_decode_jpeg"):
+              "mm_decode_jpeg",
+              # audio-fingerprint near-dup (WAV encode + energy-delta
+              # fingerprint + the same banded Hamming join as phash)
+              "mm_afp_pairs"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

@@ -4714,12 +4714,22 @@ AUDIO_WIN = 16  # samples per analysis window
 
 
 def _wav_samples(blob: bytes) -> list[int]:
-    """Real 16-bit LE PCM decode of a WAV body (header walked by spec
-    offsets — the same parse discipline as _parse_media)."""
+    """Real 16-bit LE PCM decode: walk the RIFF chunk list to the data
+    chunk instead of assuming the canonical 44-byte header — real WAVs
+    carry LIST/fact/cue chunks between fmt and data, and a parser that
+    hardcodes offset 44 silently mis-reads them (the afp container-
+    variant plant exists to catch exactly that). Chunks are word-aligned
+    per spec (odd sizes get a pad byte)."""
     import struct
 
-    n = struct.unpack_from("<I", blob, 40)[0] // 2
-    return list(struct.unpack_from(f"<{n}h", blob, 44))
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid, csz = struct.unpack_from("<4sI", blob, pos)
+        if cid == b"data":
+            n = csz // 2
+            return list(struct.unpack_from(f"<{n}h", blob, pos + 8))
+        pos += 8 + csz + (csz & 1)
+    raise ValueError("WAV has no data chunk")
 
 
 def mm_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
@@ -5839,6 +5849,197 @@ def mm_phash_pairs_sql() -> str:
     """
 
 
+# ------------------------------------------ audio-fingerprint near-dup
+
+AFP_WIN = 16                             # samples per energy window
+AFP_BITS = 64                            # fingerprint bits (energy deltas)
+AFP_N_SAMPLES = (AFP_BITS + 1) * AFP_WIN  # 65 windows -> 64 delta bits
+AFP_AMP = 15000   # |sample| < 15000 so phase inversion never overflows
+
+
+def _afp_sample(seed: int, i: int) -> int:
+    """Deterministic PCM sample in [-15000, 14999] — md5-as-portable-PRF
+    exactly as _phash_gray, because the (7·seed+j) mod 256 byte ramp the
+    energy key uses is PERIODIC (period 128 samples = 8 windows): every
+    doc's energy-delta bits would repeat with period 8, collapsing the
+    whole corpus onto a handful of fingerprints and flooding the band
+    join. iid samples make distinct docs' bits fair coins (expected
+    Hamming 32), so chance band collisions are rare and Hamming-rejected."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}~{i}".encode()).hexdigest()
+    return int(h[:4], 16) % (2 * AFP_AMP) - AFP_AMP
+
+
+def _encode_wav_pcm(
+    sample_rate: int, samples: list[int], junk_chunk: bool = False
+) -> bytes:
+    """Spec-conformant mono 16-bit WAV from explicit samples;
+    junk_chunk=True inserts a LIST/INFO chunk between fmt and data —
+    byte-distinct container, identical audio (the metadata-variant
+    near-dup every crawl sees; also the regression trap for a parser
+    that assumes the 44-byte canonical layout)."""
+    import struct
+
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    extra = b""
+    if junk_chunk:
+        info = b"INFO" + b"ISFT" + struct.pack("<I", 6) + b"mxspg\x00"
+        extra = b"LIST" + struct.pack("<I", len(info)) + info
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(extra) + len(body), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(body),
+    )
+    # data header must FOLLOW the extra chunk: splice it after fmt
+    return hdr[:36] + extra + hdr[36:] + body
+
+
+def afp_media(media: DataFrame) -> DataFrame:
+    """(doc_id, media: WAV binary) -> (doc_id, b0..b3): the 64-bit
+    energy-delta audio fingerprint (Haitsma-Kalker shape, energy-only):
+    bit w = E(w) < E(w+1) over {AFP_BITS}+1 windows of {AFP_WIN} samples,
+    packed into 4 x 16-bit bands (the phash band layout, so the SAME
+    banded candidate join serves both modalities). Energy Σs² is
+    phase-inversion-invariant (s -> -s) and container-invariant by
+    construction — the two classic byte-distinct audio dups.
+
+    Scale posture: mapInPandas, one Python pass, blobs never leave
+    their partition; only 4 small ints per clip shuffle into the join."""
+
+    def fp_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                s = _wav_samples(bytes(blob))
+                e = [
+                    sum(x * x for x in s[w * AFP_WIN:(w + 1) * AFP_WIN])
+                    for w in range(AFP_BITS + 1)
+                ]
+                bands = []
+                for b in range(PHASH_BANDS):
+                    v = 0
+                    for k in range(16):
+                        if e[16 * b + k] < e[16 * b + k + 1]:
+                            v |= 1 << k
+                    bands.append(v)
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "b0": bands[0], "b1": bands[1],
+                    "b2": bands[2], "b3": bands[3],
+                })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.mapInPandas(
+        fp_batch, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+
+
+def _afp_media_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic audio corpus with planted near-dups: every doc gets
+    a {AFP_N_SAMPLES}-sample WAV of md5-PRF PCM; doc_id % 6 == 1 plants a
+    PHASE-INVERTED copy (s -> -s: every byte of the body differs, every
+    window energy identical) and doc_id % 6 == 4 a CONTAINER-variant
+    (LIST/INFO chunk spliced before data, identical PCM) at doc_id +
+    MINHASH_PLANT_OFFSET — both Hamming 0 by construction, both
+    impossible to catch with exact/byte dedup."""
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                samples = [_afp_sample(d, i) for i in range(AFP_N_SAMPLES)]
+                ids.append(d)
+                blobs.append(_encode_wav_pcm(8000, samples))
+                if d % 6 == 1:
+                    ids.append(d + MINHASH_PLANT_OFFSET)
+                    blobs.append(
+                        _encode_wav_pcm(8000, [-x for x in samples])
+                    )
+                elif d % 6 == 4:
+                    ids.append(d + MINHASH_PLANT_OFFSET)
+                    blobs.append(
+                        _encode_wav_pcm(8000, samples, junk_chunk=True)
+                    )
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    return (
+        _doc_ids_parallel(spark, sf)
+        .mapInPandas(encode, "doc_id long, media binary")
+    )
+
+
+def mm_afp_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key for audio near-dup END-TO-END: encode real WAVs
+    (originals + phase-inverted and container-variant planted copies),
+    afp_media() fingerprints from the ACTUAL bytes through the
+    chunk-walking parser, and the SAME banded Hamming join as the image
+    tier recovers every planted pair at Hamming 0 while chance band
+    collisions between distinct clips are Hamming-rejected. The oracle
+    recomputes samples, window energies, delta bits, bands and the pair
+    join arithmetically from doc_id (plants share their base's
+    fingerprint EXACTLY because energy is invariant under both
+    perturbations — the invariance is the thing being certified)."""
+    return phash_candidate_pairs(afp_media(_afp_media_df(spark, sf)))
+
+
+def mm_afp_pairs_sql() -> str:
+    xors = " + ".join(
+        f"bit_count(xor(wa.b{i}, wb.b{i}))" for i in range(PHASH_BANDS)
+    )
+    s = (
+        f"(('0x' || substr(md5(d.doc_id || '~' || i), 1, 4))::BIGINT"
+        f" % {2 * AFP_AMP} - {AFP_AMP})"
+    )
+    return f"""
+      WITH enr AS MATERIALIZED (
+        SELECT d.doc_id, i // {AFP_WIN} AS w, SUM({s} * {s}) AS e
+        FROM documents d, unnest(range(0, {AFP_N_SAMPLES})) AS t(i)
+        GROUP BY 1, 2),
+      bits AS (
+        SELECT a.doc_id, a.w, CAST(a.e < b.e AS BIGINT) AS bit
+        FROM enr a JOIN enr b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        WHERE a.w < {AFP_BITS}),
+      base AS (
+        SELECT doc_id, w // 16 AS band_id,
+               SUM(bit * (CAST(1 AS BIGINT) << (w % 16))) AS band_val
+        FROM bits GROUP BY 1, 2),
+      hashes AS MATERIALIZED (
+        SELECT doc_id, band_id, band_val FROM base
+        UNION ALL
+        SELECT doc_id + {MINHASH_PLANT_OFFSET}, band_id, band_val
+        FROM base WHERE doc_id % 6 IN (1, 4)),
+      wide AS (
+        SELECT doc_id,
+               MAX(CASE WHEN band_id = 0 THEN band_val END) AS b0,
+               MAX(CASE WHEN band_id = 1 THEN band_val END) AS b1,
+               MAX(CASE WHEN band_id = 2 THEN band_val END) AS b2,
+               MAX(CASE WHEN band_id = 3 THEN band_val END) AS b3
+        FROM hashes GROUP BY doc_id),
+      ok AS (SELECT band_id, band_val FROM hashes
+             GROUP BY 1, 2 HAVING count(*) <= {MAX_LSH_BUCKET_SIZE}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM hashes a
+        JOIN ok ON ok.band_id = a.band_id AND ok.band_val = a.band_val
+        JOIN hashes b ON a.band_id = b.band_id
+             AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+      SELECT c.a_id, c.b_id, CAST({xors} AS BIGINT) AS hamming
+      FROM cand c
+      JOIN wide wa ON wa.doc_id = c.a_id
+      JOIN wide wb ON wb.doc_id = c.b_id
+      WHERE {xors} <= {PHASH_HAMMING_MAX}
+    """
+
+
 # ================================================================ registry
 
 # URL canonicalization + dedup: the first screen a Common-Crawl-style
@@ -6173,6 +6374,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_gif": mm_decode_gif,
         "mm_audio_energy": mm_audio_energy,
         "mm_phash_pairs": mm_phash_pairs,
+        "mm_afp_pairs": mm_afp_pairs,
         "grp_apply_pandas": grp_apply_pandas,
     }
 
@@ -6234,5 +6436,6 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "mm_decode_gif": mm_decode_gif_sql(),
         "mm_audio_energy": mm_audio_energy_sql(),
         "mm_phash_pairs": mm_phash_pairs_sql(),
+        "mm_afp_pairs": mm_afp_pairs_sql(),
         "grp_apply_pandas": grp_apply_pandas_sql(),
     }

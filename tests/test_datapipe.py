@@ -1296,3 +1296,60 @@ def test_jpeg_integer_idct_tracks_float_idct():
     for bi, c in enumerate(consts):
         by, bx = divmod(bi, 3)
         assert (px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] == c).all()
+
+
+def test_afp_invariance_and_perturbed_copy_recovered(spark):
+    """Audio-fingerprint semantics the oracle can't check: the energy-
+    delta fingerprint really is invariant to phase inversion and to a
+    container-layout change (the chunk-walking parser, not offset-44
+    luck); a copy with one corrupted window lands at small-but-nonzero
+    Hamming and is still paired; a different clip is NOT paired."""
+    from mxsparkg.datapipe import (
+        AFP_N_SAMPLES,
+        AFP_WIN,
+        PHASH_HAMMING_MAX,
+        _afp_sample,
+        _encode_wav_pcm,
+        _wav_samples,
+        afp_media,
+        phash_candidate_pairs,
+    )
+
+    base = [_afp_sample(7, i) for i in range(AFP_N_SAMPLES)]
+    inv = [-x for x in base]
+    # corrupt exactly window 5 (feeds delta bits 4 and 5): zero it out,
+    # so at most 2 bits flip — Hamming in (0, 2], still under threshold
+    noisy = list(base)
+    noisy[5 * AFP_WIN:6 * AFP_WIN] = [0] * AFP_WIN
+    other = [_afp_sample(8, i) for i in range(AFP_N_SAMPLES)]
+    media = spark.createDataFrame(
+        [
+            (1, _encode_wav_pcm(8000, base)),
+            (2, _encode_wav_pcm(8000, inv)),
+            (3, _encode_wav_pcm(8000, base, junk_chunk=True)),
+            (4, _encode_wav_pcm(8000, noisy)),
+            (5, _encode_wav_pcm(8000, other)),
+        ],
+        "doc_id long, media binary",
+    )
+    # the chunk walk decodes the SAME samples through the junk chunk
+    assert _wav_samples(_encode_wav_pcm(8000, base, junk_chunk=True)) == base
+    hashes = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in afp_media(media).collect()
+    }
+    assert hashes[1] == hashes[2] == hashes[3]  # provable invariances
+    ham_noisy = sum(
+        bin(a ^ b).count("1") for a, b in zip(hashes[1], hashes[4])
+    )
+    assert 0 < ham_noisy <= 2
+    ham_other = sum(
+        bin(a ^ b).count("1") for a, b in zip(hashes[1], hashes[5])
+    )
+    assert ham_other > PHASH_HAMMING_MAX
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in phash_candidate_pairs(afp_media(media)).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3), (1, 4)} <= pairs
+    assert not any(5 in p for p in pairs)
