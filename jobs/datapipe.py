@@ -39,6 +39,13 @@ ops:
   decode_media         REAL media decode: --input must be a
                        (doc_id, media binary) parquet (e.g. the fixture
                        media.parquet); parses BMP/WAV/PNG bytes
+  phash_pairs          image near-dup candidate pairs: dHash over a
+                       (doc_id, media binary) parquet of BMP thumbnails
+                       (grid-normalized, see downsample) + banded
+                       Hamming join
+  afp_pairs            audio near-dup candidate pairs: energy-delta
+                       fingerprint over a (doc_id, media binary)
+                       parquet of WAVs + the same banded Hamming join
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -70,7 +77,8 @@ def main() -> None:
                              "txt_bpe_merges", "bpe_encode",
                              "txt_collocations",
                              "dedup_substring", "dedup_incremental",
-                             "mm_decode_stub", "decode_media"])
+                             "mm_decode_stub", "decode_media",
+                             "phash_pairs", "afp_pairs"])
     ap.add_argument("--input", required=True,
                     help="documents-shaped parquet (doc_id, text, ...); "
                          "for decode_media a (doc_id, media binary) parquet")
@@ -102,6 +110,10 @@ def main() -> None:
             out_df = dp.minhash_pair_quality(docs, args.min_est_jaccard)
         elif args.op == "decode_media":
             out_df = dp.decode_media(docs)
+        elif args.op == "phash_pairs":
+            out_df = dp.phash_candidate_pairs(dp.phash_media(docs))
+        elif args.op == "afp_pairs":
+            out_df = dp.phash_candidate_pairs(dp.afp_media(docs))
         elif args.op == "bpe_encode":
             n_merges = args.merges or dp.BPE_MERGES
             out_df = dp.bpe_encode(docs, dp.bpe_train(docs, n_merges))
