@@ -5692,6 +5692,13 @@ def phash_candidate_pairs(
     band-miss, and the planted gate dups sit at Hamming 0 where recall
     is certain). Bucket-size cap + broadcast anti-join exactly as
     minhash_candidate_pairs — never O(n²)."""
+    # The hash table feeds the cap aggregate AND both sides of the band
+    # self-join — 3-4 plan references, each of which would re-run the
+    # upstream Python fingerprint pass over every blob (measured: 12.6s
+    # vs ~5s for mm_phash_pairs at sf0.1). Materialize the 5-longs-per-
+    # image table once; at any corpus size this is strictly cheaper than
+    # fingerprinting the blobs twice more (the hits_exact precedent).
+    hashes = hashes.localCheckpoint(eager=True)
     bands = hashes.select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.posexplode(
