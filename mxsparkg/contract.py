@@ -1653,3 +1653,259 @@ def scan_annotated(spark, sf):
 
     ann = spark.read.parquet(f"{fdir}/annotated.parquet")
     return ann.mapInArrow(parse, "doc_id bigint, clean_len int, n_spans int")
+
+
+# ------------------------------------------- round-5 batch: attribution,
+# ------------------------------------------- crawl scheduling, anomaly ----
+
+ATTR_LOOKBACK_US = 24 * 3600 * 1_000_000   # last-touch lookback window
+_DAY_US = 86_400_000_000
+ANOM_DAY = 19_725     # 2024-01-03 — inside the 30-day events span
+ANOM_EXTRA = 400      # planted burst size (trips 2-sigma at every sf)
+REVISIT_SNAPS = 4     # synthesized crawl snapshots per page
+
+
+@reg("evt_attribution",
+     f"""WITH e AS (
+       SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+       FROM events),
+     t AS (
+       SELECT *, CASE WHEN event_type IN ('view', 'click') THEN
+                 lpad(CAST(us AS VARCHAR), 20, '0') || '|' ||
+                 lpad(CAST(event_id AS VARCHAR), 10, '0') || '|' ||
+                 event_type END AS tkey
+       FROM e),
+     w AS (
+       SELECT user_id, event_id, event_type, us,
+              max(tkey) OVER (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN {ATTR_LOOKBACK_US} PRECEDING
+                          AND CURRENT ROW) AS lk,
+              min(tkey) OVER (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS fk
+       FROM t)
+     SELECT event_id AS conv_id, user_id, us AS conv_us,
+            coalesce(substr(lk, 33), 'none') AS last_ch,
+            CASE WHEN lk IS NOT NULL
+                 THEN us - CAST(substr(lk, 1, 20) AS BIGINT)
+            END AS last_gap_us,
+            coalesce(substr(fk, 33), 'none') AS first_ch
+     FROM w WHERE event_type = 'purchase'""")
+def evt_attribution(spark, sf):
+    """Conversion attribution — the marketing-analytics staple: every
+    purchase is credited to its LAST view/click touch within a 24h
+    lookback (recency rule) and to the user's FIRST touch ever
+    (discovery rule), in one pass. The trick is the lpad total-order
+    key (the graph_path min-key idiom): a touch encodes as
+    zero-padded-us|zero-padded-event_id|channel, so a plain max/min
+    over a RANGE frame IS argmax-by-recency — no self-join, no lateral,
+    and ties at the same microsecond break on event_id identically in
+    both engines. Purchases carry a NULL key, so max() skips them and a
+    conversion can never attribute to itself.
+
+    Scale shape: one hash-partition shuffle on user_id + one
+    per-partition sort shared by both window frames — the evt_sessionize
+    plan, unchanged at 10^12 events (user histories are small; a
+    pathological mega-user would salt by us-range first). The value-based
+    RANGE frame keeps peers-at-equal-us deterministic where a ROWS frame
+    would be partition-order-dependent."""
+    e = _t(spark, sf, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr(_FUNNEL_US).alias("us"),
+    )
+    tkey = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.concat(
+            F.lpad(F.col("us").cast("string"), 20, "0"), F.lit("|"),
+            F.lpad(F.col("event_id").cast("string"), 10, "0"), F.lit("|"),
+            F.col("event_type"),
+        ),
+    )
+    t = e.withColumn("tkey", tkey)
+    base = Window.partitionBy("user_id").orderBy("us")
+    w_last = base.rangeBetween(-ATTR_LOOKBACK_US, Window.currentRow)
+    w_first = base.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t.withColumn("lk", F.max("tkey").over(w_last))
+        .withColumn("fk", F.min("tkey").over(w_first))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("conv_id"),
+            "user_id",
+            F.col("us").alias("conv_us"),
+            F.coalesce(F.expr("substring(lk, 33)"), F.lit("none"))
+            .alias("last_ch"),
+            (F.col("us") - F.expr("substring(lk, 1, 20)").cast("bigint"))
+            .alias("last_gap_us"),
+            F.coalesce(F.expr("substring(fk, 33)"), F.lit("none"))
+            .alias("first_ch"),
+        )
+    )
+
+
+@reg("crawl_revisit",
+     f"""WITH s AS (
+       SELECT doc_id, text, unnest(range({REVISIT_SNAPS})) AS snap
+       FROM documents),
+     fp AS (
+       SELECT doc_id, snap,
+              md5(text || '|' || CAST(
+                CASE WHEN doc_id % 3 = 0 THEN snap
+                     WHEN doc_id % 3 = 1 THEN
+                          CASE WHEN snap >= 2 THEN 1 ELSE 0 END
+                     ELSE 0 END AS VARCHAR)) AS fp
+       FROM s),
+     d AS (
+       SELECT doc_id, snap, fp,
+              CASE WHEN lag(fp) OVER (PARTITION BY doc_id ORDER BY snap)
+                        IS NOT NULL
+                    AND fp <> lag(fp) OVER (PARTITION BY doc_id
+                                            ORDER BY snap)
+                   THEN 1 ELSE 0 END AS chg
+       FROM fp),
+     a AS (
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_snaps,
+              CAST(sum(chg) AS BIGINT) AS n_changes
+       FROM d GROUP BY doc_id)
+     SELECT doc_id, n_snaps, n_changes,
+            (n_changes * 1000000) // {REVISIT_SNAPS - 1} AS change_ppm,
+            CAST(dense_rank() OVER (
+              ORDER BY (n_changes * 1000000) // {REVISIT_SNAPS - 1} DESC)
+              AS INT) AS tier
+     FROM a""")
+def crawl_revisit(spark, sf):
+    """Crawl revisit scheduling — the freshness loop a Common-Crawl-style
+    pipeline closes after the first full crawl: estimate each page's
+    change rate from its snapshot history and tier pages so volatile ones
+    are re-fetched first (the Cho-Garcia-Molina freshness policy, reduced
+    to its deterministic core). Snapshots are synthesized in-query from
+    the documents table (the planted-data idiom): one third of pages
+    change every snapshot, one third changed exactly once, one third are
+    static — so the tiers are non-vacuous and closed-form checkable.
+    Change detection is md5-fingerprint inequality against lag() per
+    page, the exact mechanism the incremental dedup tier (D10) uses for
+    content identity.
+
+    Scale shape: fingerprints never leave their page's partition (lag
+    partitioned by doc_id); the per-page agg is map-side combinable; ppm
+    is integer (multiply-through, floor-div — both operands non-negative
+    so Spark div == DuckDB //). The global dense_rank runs on the
+    PAGE-LEVEL aggregate with 3 distinct ppm values — at 10^12 pages the
+    tier cut-points come from the ppm histogram (agg_histogram shape)
+    broadcast as literals instead of a total-order window."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), F.lit(REVISIT_SNAPS - 1)))
+        .alias("snap"),
+    )
+    ver = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("snap"))
+        .when(F.col("doc_id") % 3 == 1,
+              F.when(F.col("snap") >= 2, F.lit(1)).otherwise(F.lit(0)))
+        .otherwise(F.lit(0))
+    )
+    fp = d.select(
+        "doc_id", "snap",
+        F.md5(F.concat(F.col("text"), F.lit("|"), ver.cast("string"))
+              .cast("binary")).alias("fp"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("snap")
+    chg = (
+        F.when(
+            F.lag("fp").over(w).isNotNull()
+            & (F.col("fp") != F.lag("fp").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    a = (
+        fp.withColumn("chg", chg)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_snaps"),
+            F.sum("chg").alias("n_changes"),
+        )
+    )
+    ppm = F.expr(f"(n_changes * 1000000) div {REVISIT_SNAPS - 1}")
+    return a.select(
+        "doc_id", "n_snaps", "n_changes", ppm.alias("change_ppm"),
+        F.dense_rank().over(Window.orderBy(ppm.desc())).cast("int")
+        .alias("tier"),
+    )
+
+
+@reg("evt_anomaly",
+     f"""WITH base AS (
+       SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+              CAST(count(*) AS BIGINT) AS x
+       FROM events GROUP BY 1, 2),
+     planted AS (
+       SELECT 'error' AS event_type, {ANOM_DAY} AS day,
+              {ANOM_EXTRA} AS x),
+     daily AS (
+       SELECT event_type, day, CAST(sum(x) AS BIGINT) AS x
+       FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)
+       GROUP BY 1, 2),
+     stats AS (
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS s1,
+              CAST(sum(x * x) AS BIGINT) AS s2
+       FROM daily GROUP BY 1)
+     SELECT d.event_type, d.day, d.x AS n_events,
+            (s.n * d.x - s.s1) * (s.n * d.x - s.s1) AS dev2_n2,
+            4 * (s.n * s.s2 - s.s1 * s.s1) AS thresh_n2,
+            CAST((s.n * d.x - s.s1) * (s.n * d.x - s.s1)
+                 > 4 * (s.n * s.s2 - s.s1 * s.s1) AS INT) AS is_anomaly
+     FROM daily d JOIN stats s USING (event_type)""")
+def evt_anomaly(spark, sf):
+    """Daily-count anomaly flagging — the ops-monitoring staple: a day is
+    anomalous for an event type when its count sits more than 2
+    population-sigmas from that type's daily mean. The whole test is
+    WHOLE-BIT INTEGER (the agg_moments discipline): |x − μ| > 2σ is
+    multiplied through by n² into (n·x − s1)² > 4·(n·s2 − s1²), so no
+    float, no division, no cross-engine ulp — bigint is exact here and
+    the decimal(38,0) escape hatch applies past ~10^9 events/day (the
+    agg_moments cents² note). A deterministic burst of {ANOM_EXTRA}
+    'error' events is planted on day {ANOM_DAY} (in-query union, the
+    dedup planting idiom) so the flag provably fires: the burst shifts
+    the mean by ~{ANOM_EXTRA}·29/30² yet still clears 2σ of the
+    inflated variance at every gate sf.
+
+    Scale shape: the daily rollup is one map-side-combinable groupBy
+    (day cardinality is tiny relative to events); stats is a 5-row
+    aggregate that rides back as a broadcast join. No window, no sort —
+    at 10^12 events this is two partial-agg shuffles and a broadcast."""
+    e = _t(spark, sf, "events")
+    base = (
+        e.select(
+            "event_type",
+            F.expr(f"({_FUNNEL_US}) div {_DAY_US}").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    planted = spark.range(1).select(
+        F.lit("error").alias("event_type"),
+        F.lit(ANOM_DAY).cast("bigint").alias("day"),
+        F.lit(ANOM_EXTRA).cast("bigint").alias("x"),
+    )
+    daily = (
+        base.unionByName(planted)
+        .groupBy("event_type", "day")
+        .agg(F.sum("x").alias("x"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("x") - F.col("s1")
+    thresh = F.lit(4) * (
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    return j.select(
+        "event_type", "day", F.col("x").alias("n_events"),
+        (dev * dev).alias("dev2_n2"),
+        thresh.alias("thresh_n2"),
+        (dev * dev > thresh).cast("int").alias("is_anomaly"),
+    )
