@@ -115,7 +115,11 @@ def headline_queries() -> dict:
               "mm_decode_jpeg",
               # audio-fingerprint near-dup (WAV encode + energy-delta
               # fingerprint + the same banded Hamming join as phash)
-              "mm_afp_pairs"):
+              "mm_afp_pairs",
+              # closing round-5 batch: conversion attribution (two RANGE
+              # frames over one user_id sort — the widest window shape in
+              # the event family)
+              "evt_attribution"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

@@ -358,3 +358,44 @@ def test_phash_pair_join_is_hash_never_nested_loop(spark):
     assert "BroadcastHashJoin" in plan, plan  # the anti-join cap
     # join keys are the band columns, not a trivial/true condition
     assert "band_val" in plan and "band_id" in plan
+
+
+def test_attribution_single_exchange_no_python(spark):
+    """evt_attribution: both window frames (24h RANGE max + unbounded
+    RANGE min) must share ONE user_id hash Exchange and one sort — the
+    sessionize plan — with zero Python anywhere."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["evt_attribution"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_anomaly_broadcast_stats_no_window(spark):
+    """evt_anomaly: the 5-row per-type stats table must ride back as a
+    BROADCAST hash join (never a shuffle join, never a window), and the
+    whole-bit sigma test stays JVM-side."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["evt_anomaly"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_crawl_revisit_partitioned_lag_no_python(spark):
+    """crawl_revisit: the snapshot lag must be partitioned by doc_id (no
+    global all-to-one window before the aggregate; the only unpartitioned
+    window is the final dense_rank over the 500-row page-level
+    aggregate), and fingerprints stay JVM-side."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["crawl_revisit"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Python" not in plan, plan
+    # doc_id-partitioned window for the lag stage
+    assert "hashpartitioning(doc_id" in plan, plan
