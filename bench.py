@@ -118,8 +118,10 @@ def headline_queries() -> dict:
               "mm_afp_pairs",
               # closing round-5 batch: conversion attribution (two RANGE
               # frames over one user_id sort — the widest window shape in
-              # the event family)
-              "evt_attribution"):
+              # the event family), whole-bit token entropy (explode +
+              # double rollup), and the deterministic walk corpus
+              # (4 frontier-vs-adjacency join rounds)
+              "evt_attribution", "txt_entropy", "graph_walk"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

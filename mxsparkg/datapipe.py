@@ -6324,6 +6324,90 @@ def txt_pack_sequences_sql() -> str:
     """
 
 
+
+# ---------------------------------------------- token-entropy quality ------
+
+# Shannon entropy of each document's token distribution — the Gopher-rules
+# quality signal the ratio-based txt_quality key leaves out (gibberish and
+# boilerplate sit at the entropy extremes). Determinism: JVM Math.log and
+# libm ln disagree by 1 ulp on 64 of the first 4096 integers (measured —
+# ln(3) already differs), so NO runtime log is evaluated in either engine.
+# Instead ln(c) for c = 1..LN_TABLE_MAX is quantized ONCE in Python to
+# integer nanonats (round(ln(c)*1e9)) and embedded as the SAME literal
+# array in both plans (the JPEG integer-IDCT discipline) — the entropy
+#   n*H*1e9  =  n*lnq(n) - SUM_tok c*lnq(c)
+# is then exact bigint end to end: no float, no division, no ulps.
+# LN_TABLE_MAX = 128 covers the corpus (max 100 tokens/doc at every sf);
+# docs longer than the table are filtered out in BOTH engines (count
+# emitted by the filter-audit key family; at 10^12 docs the table simply
+# grows — it is O(max doc tokens), not O(corpus)).
+LN_TABLE_MAX = 128
+_LNQ = [0] + [round(__import__("math").log(c) * 1_000_000_000)
+              for c in range(1, LN_TABLE_MAX + 1)]   # _LNQ[c] = lnq(c)
+
+
+def txt_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: per-document token-distribution entropy in exact integer
+    nanonats (total and per-token), plus token/distinct counts. Scale
+    shape: one explode + two map-side-combinable groupBys (token counts,
+    then per-doc moments); the lnq lookup is element_at on a 128-literal
+    array — zero joins, zero Python, fully codegen'd."""
+    arr = F.array(*[F.lit(v) for v in _LNQ[1:]])   # 1-based: element_at(arr, c)
+    toks = _docs(spark, sf).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per = (
+        cnt.select(
+            "doc_id", "c",
+            (F.col("c") * F.element_at(arr, F.col("c").cast("int")))
+            .alias("clnq"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("clnq").alias("s_clnq"),
+        )
+        .filter(F.col("n_tokens") <= LN_TABLE_MAX)
+    )
+    ent = (
+        F.col("n_tokens")
+        * F.element_at(arr, F.col("n_tokens").cast("int"))
+        - F.col("s_clnq")
+    )
+    # ent >= 0 always (H >= 0), so Spark div == DuckDB // here; the
+    # pmod form keeps the true-floor-division idiom greppable anyway
+    return per.select(
+        "doc_id", "n_tokens", "n_distinct",
+        ent.alias("ent_total_n9"),
+        ((ent - F.pmod(ent, F.col("n_tokens"))) / F.col("n_tokens"))
+        .cast("bigint").alias("ent_per_tok_n9"),
+    )
+
+
+def txt_entropy_sql() -> str:
+    lst = "[" + ", ".join(str(v) for v in _LNQ[1:]) + "]"
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      cnt AS (
+        SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      per AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(c * ({lst})[c]) AS BIGINT) AS s_clnq
+        FROM cnt GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_distinct,
+             n_tokens * ({lst})[n_tokens] - s_clnq AS ent_total_n9,
+             (n_tokens * ({lst})[n_tokens] - s_clnq) // n_tokens
+               AS ent_per_tok_n9
+      FROM per WHERE n_tokens <= {LN_TABLE_MAX}
+    """
+
+
 def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": dedup_exact,
@@ -6354,6 +6438,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans_topk": ann_kmeans_topk,
         "txt_langid": txt_langid,
         "txt_quality": txt_quality,
+        "txt_entropy": txt_entropy,
         "txt_tokens": txt_tokens,
         "txt_fingerprint": txt_fingerprint,
         "txt_winnow": txt_winnow,
@@ -6416,6 +6501,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "ann_kmeans_topk": ann_kmeans_topk_sql(),
         "txt_langid": txt_langid_sql(),
         "txt_quality": txt_quality_sql(),
+        "txt_entropy": txt_entropy_sql(),
         "txt_tokens": txt_tokens_sql(),
         "txt_fingerprint": txt_fingerprint_sql(),
         "txt_winnow": txt_winnow_sql(),

@@ -2016,6 +2016,121 @@ def graph_scc_sql() -> str:
     """
 
 
+
+WALK_STEPS = 4       # walk length (edges) — DeepWalk-corpus scale: 40-80
+WALK_SEED_MOD = 10   # every 10th graph node starts one walk
+
+
+def random_walks(sym_edges: DataFrame, seeds: DataFrame,
+                 steps: int) -> DataFrame:
+    """Deterministic DeepWalk-style random-walk corpus: one walk per seed,
+    `steps` hops, next hop = nbrs[md5(walk_id|step|cur) % degree] over the
+    SORTED adjacency list — so the "random" walk is a pure function of
+    (graph, seed), reproducible across engines, partitionings and reruns
+    (F.rand is none of those). This is the sampling pass node2vec/DeepWalk
+    embeddings train on; the existing TransE stack (X5) consumes triples,
+    this emits the walk corpus for the word2vec-style alternative.
+
+    Scale shape: adjacency is ONE groupBy of the edge list; each hop is
+    one equi-join of the walk frontier (|seeds| rows, constant) against
+    it, AQE-broadcast when the frontier is small. The adjacency row for a
+    hub is its full neighbor list — the standard materialized-adjacency
+    trade; at 10^12 edges the hub rows swap for alias-table samples or a
+    degree cap (the kg_er_jaccard cap discipline) without changing the
+    walk semantics on non-hub nodes."""
+    adj = sym_edges.groupBy(F.col("src").alias("node")).agg(
+        F.sort_array(F.collect_set("dst")).alias("nbrs"),
+    ).withColumn("deg", F.size("nbrs"))
+    w = seeds.select(
+        F.col("node").alias("walk_id"),
+        F.col("node").alias("cur"),
+        F.col("node").cast("string").alias("path"),
+    )
+    for t in range(1, steps + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(t)),
+                        F.col("cur").cast("string"),
+                    ).cast("binary")
+                ),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("long")
+        nxt = F.element_at(
+            "nbrs", (h % F.col("deg")).cast("int") + 1
+        )
+        w = (
+            w.join(adj, w["cur"] == adj["node"])
+            .select(
+                "walk_id",
+                nxt.alias("cur"),
+                F.concat_ws(">", "path", nxt.cast("string")).alias("path"),
+            )
+        )
+    return w.select(
+        "walk_id", F.col("cur").alias("last_node"), "path",
+        F.md5(F.col("path").cast("binary")).alias("path_fp"),
+    )
+
+
+def graph_walk(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: WALK_STEPS-hop deterministic walks from every
+    WALK_SEED_MOD-th node of the sparsified co-purchase graph (graph_bfs's
+    graph, so component structure is real and walks can't teleport)."""
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    sym = _symmetrize(und, "u", "v")
+    seeds = (
+        sym.select(F.col("src").alias("node"))
+        .filter(F.col("node") % WALK_SEED_MOD == 0)
+        .distinct()
+    )
+    return random_walks(sym, seeds, WALK_STEPS)
+
+
+def graph_walk_sql() -> str:
+    steps = []
+    prev = "w0"
+    for t in range(1, WALK_STEPS + 1):
+        h = (f"('0x' || substr(md5(CAST(walk_id AS VARCHAR) || '|{t}|'"
+             f" || CAST(cur AS VARCHAR)), 1, 6))::BIGINT")
+        steps.append(
+            f"""w{t} AS (
+        SELECT walk_id,
+               nbrs[CAST(({h}) % deg AS INT) + 1] AS cur,
+               path || '>' || CAST(
+                 nbrs[CAST(({h}) % deg AS INT) + 1] AS VARCHAR) AS path
+        FROM w{t - 1} JOIN adj ON adj.node = w{t - 1}.cur)"""
+        )
+        prev = f"w{t}"
+    chain = ",\n      ".join(steps)
+    return f"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey % {MINLABEL_ORDER_MOD} = 0),
+      e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      edges AS (
+        SELECT u AS src, v AS dst FROM e0
+        UNION ALL SELECT v AS src, u AS dst FROM e0),
+      adj AS MATERIALIZED (
+        SELECT src AS node, list(dst ORDER BY dst) AS nbrs,
+               CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src),
+      w0 AS (
+        SELECT node AS walk_id, node AS cur, CAST(node AS VARCHAR) AS path
+        FROM (SELECT DISTINCT node FROM adj WHERE node % {WALK_SEED_MOD} = 0)),
+      {chain}
+      SELECT walk_id, cur AS last_node, path, md5(path) AS path_fp
+      FROM {prev}
+    """
+
+
 def graphquery_queries() -> dict:
     return {
         "kg_pagerank": kg_pagerank,
@@ -2027,6 +2142,7 @@ def graphquery_queries() -> dict:
         "graph_assortativity": graph_assortativity,
         "graph_kcore": graph_kcore,
         "graph_bfs": graph_bfs,
+        "graph_walk": graph_walk,
         "graph_path": graph_path,
         "graph_sssp": graph_sssp,
         "kg_edge_pmi": kg_edge_pmi,
@@ -2048,6 +2164,7 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_assortativity": graph_assortativity_sql(),
         "graph_kcore": graph_kcore_sql(),
         "graph_bfs": graph_bfs_sql(),
+        "graph_walk": graph_walk_sql(),
         "graph_path": graph_path_sql(),
         "graph_sssp": graph_sssp_sql(),
         "kg_edge_pmi": kg_edge_pmi_sql(),

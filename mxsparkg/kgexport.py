@@ -948,12 +948,106 @@ def kg_turtle_sql() -> str:
     """
 
 
+
+CONFLICT_MOD_2 = 17   # every 17th customer gets a 2nd in_nation claim
+CONFLICT_MOD_3 = 51   # every 51st (subset) gets a 3rd, from another source
+
+
+def kg_conflict(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: functional-property conflict detection — the consistency
+    check a KG pipeline runs after fusing claims from multiple extractors
+    / crawl snapshots: `in_nation` is functional (one nation per
+    customer), so any subject with >1 distinct object is a contradiction
+    to surface, with a deterministic resolution (lexicographic-min object
+    — the placeholder for source-reliability-weighted truth discovery,
+    which would only change the ORDER BY). Conflicts are planted in-query
+    (the dedup planting idiom): every 17th customer gets a second claim
+    from extractor src_b pointing at the next nation, every 51st a third
+    from src_c — so 2-way and 3-way conflicts both exist and the clean
+    customers provably do NOT appear.
+
+    Scale shape: one union + one map-side-combinable groupBy on subj;
+    the object-set fingerprint is concat_ws over sort_array(collect_set)
+    — bounded by the claim multiplicity (<= #sources), never by corpus
+    size. At 10^12 triples this is the exact shape of the X2 type check:
+    a per-subject rollup with a planted-violation certificate."""
+    cust = _t(spark, sf, "customer")
+    base = cust.select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        iri("nat", F.col("c_nationkey")).alias("obj"),
+        F.lit("src_a").alias("source"),
+    )
+    extra2 = cust.filter(F.col("c_custkey") % CONFLICT_MOD_2 == 3).select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        iri("nat", (F.col("c_nationkey") + 1) % 25).alias("obj"),
+        F.lit("src_b").alias("source"),
+    )
+    extra3 = cust.filter(F.col("c_custkey") % CONFLICT_MOD_3 == 3).select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        iri("nat", (F.col("c_nationkey") + 2) % 25).alias("obj"),
+        F.lit("src_c").alias("source"),
+    )
+    claims = base.unionByName(extra2).unionByName(extra3)
+    return (
+        claims.groupBy("subj")
+        .agg(
+            F.count(F.lit(1)).alias("n_claims"),
+            F.countDistinct("obj").alias("n_objs"),
+            F.min("obj").alias("resolved_obj"),
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_set("obj")))
+                .cast("binary")
+            ).alias("objs_fp"),
+            F.concat_ws(",", F.sort_array(F.collect_set("source")))
+            .alias("sources"),
+        )
+        .filter(F.col("n_objs") > 1)
+        .select(
+            "subj", F.lit("in_nation").alias("pred"),
+            "n_claims", "n_objs", "resolved_obj", "objs_fp", "sources",
+        )
+    )
+
+
+def kg_conflict_sql() -> str:
+    s = f"'<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>'"
+
+    def o(shift: int) -> str:
+        if shift == 0:
+            return f"'<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>'"
+        return (f"'<{BASE_E}nat:' || CAST((c_nationkey + {shift}) % 25"
+                f" AS VARCHAR) || '>'")
+
+    return f"""
+      WITH claims AS (
+        SELECT {s} AS subj, {o(0)} AS obj, 'src_a' AS source FROM customer
+        UNION ALL
+        SELECT {s}, {o(1)}, 'src_b' FROM customer
+        WHERE c_custkey % {CONFLICT_MOD_2} = 3
+        UNION ALL
+        SELECT {s}, {o(2)}, 'src_c' FROM customer
+        WHERE c_custkey % {CONFLICT_MOD_3} = 3),
+      g AS (
+        SELECT subj,
+               CAST(count(*) AS BIGINT) AS n_claims,
+               CAST(count(DISTINCT obj) AS BIGINT) AS n_objs,
+               min(obj) AS resolved_obj,
+               md5(string_agg(DISTINCT obj, ',' ORDER BY obj)) AS objs_fp,
+               string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+        FROM claims GROUP BY subj)
+      SELECT subj, 'in_nation' AS pred, n_claims, n_objs,
+             resolved_obj, objs_fp, sources
+      FROM g WHERE n_objs > 1
+    """
+
+
 def kgexport_queries() -> dict:
     return {
         "kg_ntriples": kg_ntriples,
         "kg_turtle": kg_turtle,
         "kg_bgp_2hop": kg_bgp_2hop,
         "kg_type_check": kg_type_check,
+        "kg_conflict": kg_conflict,
         "kg_temporal_diff": kg_temporal_diff,
         "kg_apply_delta": kg_apply_delta,
         "kg_negsample": kg_negsample,
@@ -963,6 +1057,7 @@ def kgexport_queries() -> dict:
 
 def kgexport_oracle_sql() -> dict[str, str]:
     return {
+        "kg_conflict": kg_conflict_sql(),
         "kg_ntriples": kg_ntriples_sql(),
         "kg_turtle": kg_turtle_sql(),
         "kg_bgp_2hop": kg_bgp_2hop_sql(),

@@ -74,3 +74,58 @@ def test_anomaly_planted_burst_fires(spark, sf001):
     # the integer test is the exact 2-sigma test multiplied by n^2
     for r in rows:
         assert r["is_anomaly"] == int(r["dev2_n2"] > r["thresh_n2"])
+
+
+def test_entropy_closed_forms(spark, sf001):
+    from mxsparkg.datapipe import _LNQ, txt_entropy
+
+    rows = txt_entropy(spark, sf001).collect()
+    assert rows
+    for r in rows:
+        n = r["n_tokens"]
+        # 0 <= H <= ln(n), exactly 0 iff one distinct token
+        assert 0 <= r["ent_total_n9"] <= n * _LNQ[n]
+        assert (r["ent_total_n9"] == 0) == (r["n_distinct"] == 1)
+        # all-distinct docs hit the maximum exactly
+        if r["n_distinct"] == n:
+            assert r["ent_total_n9"] == n * _LNQ[n]
+        assert r["ent_per_tok_n9"] == r["ent_total_n9"] // n
+
+
+def test_conflict_planting_exact(spark, sf001):
+    from mxsparkg.kgexport import kg_conflict
+
+    rows = kg_conflict(spark, sf001).collect()
+    assert rows
+    for r in rows:
+        key = int(r["subj"].rsplit(":", 1)[1].rstrip(">"))
+        assert key % 17 == 3, "clean customer surfaced as conflict"
+        if key % 51 == 3:
+            assert r["n_objs"] == 3 and r["sources"] == "src_a,src_b,src_c"
+        else:
+            assert r["n_objs"] == 2 and r["sources"] == "src_a,src_b"
+        assert r["resolved_obj"].startswith("<urn:kg:e:nat:")
+
+
+def test_walks_follow_real_edges(spark, sf001):
+    from mxsparkg.graphquery import (
+        MINLABEL_ORDER_MOD,
+        WALK_STEPS,
+        _copurchase_edges,
+        _symmetrize,
+        graph_walk,
+    )
+
+    walks = graph_walk(spark, sf001).collect()
+    assert walks
+    sym = _symmetrize(
+        _copurchase_edges(spark, sf001, order_mod=MINLABEL_ORDER_MOD),
+        "u", "v",
+    )
+    edges = {(r["src"], r["dst"]) for r in sym.collect()}
+    for w in walks:
+        nodes = [int(x) for x in w["path"].split(">")]
+        assert len(nodes) == WALK_STEPS + 1
+        assert nodes[0] == w["walk_id"] and nodes[-1] == w["last_node"]
+        for a, b in zip(nodes, nodes[1:]):
+            assert (a, b) in edges, f"walk used non-edge {a}->{b}"
