@@ -1909,3 +1909,87 @@ def evt_anomaly(spark, sf):
         thresh.alias("thresh_n2"),
         (dev * dev > thresh).cast("int").alias("is_anomaly"),
     )
+
+
+@reg("evt_abtest",
+     """WITH u AS (
+       SELECT user_id, user_id % 2 AS arm,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cnt
+       FROM events GROUP BY 1, 2),
+     c AS (
+       SELECT arm,
+              CASE WHEN arm = 1 AND user_id % 8 <= 5 THEN 1
+                   ELSE cnt % 2 END AS converted
+       FROM u),
+     a AS (
+       SELECT arm, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(converted) AS BIGINT) AS x
+       FROM c GROUP BY arm),
+     w AS (
+       SELECT max(CASE WHEN arm = 0 THEN n END) AS n1,
+              max(CASE WHEN arm = 0 THEN x END) AS x1,
+              max(CASE WHEN arm = 1 THEN n END) AS n2,
+              max(CASE WHEN arm = 1 THEN x END) AS x2
+       FROM a)
+     SELECT n1, x1, n2, x2,
+            (x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1) * (n1 + n2)
+              AS dev2_scaled,
+            4 * (x1 + x2) * (n1 + n2 - x1 - x2) * n1 * n2 AS thresh_scaled,
+            CAST((x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1) * (n1 + n2)
+                 > 4 * (x1 + x2) * (n1 + n2 - x1 - x2) * n1 * n2 AS INT)
+              AS significant
+     FROM w""")
+def evt_abtest(spark, sf):
+    """Two-proportion A/B significance test — the experimentation staple
+    next to T28's anomaly flag: users split into arms by user_id parity
+    (the stand-in for a real assignment column) and the z > 2 test is
+    evaluated ENTIRELY IN INTEGERS: multiplying
+    (p1-p2)^2 > 4 * p(1-p) * (1/n1 + 1/n2) through by n1^2*n2^2*N gives
+      (x1*n2 - x2*n1)^2 * N  >  4 * S * (N - S) * n1 * n2
+    (S = x1+x2, N = n1+n2) — no float, no division, no cross-engine ulp
+    (the evt_anomaly/agg_moments discipline; decimal(38,0) escape hatch
+    past billions of users per arm). The naive outcome ("ever purchased")
+    is DEGENERATE on this corpus — every user converts at every sf, p = 1
+    and z is undefined — so the outcome is purchase-count PARITY (a
+    scale-free ~50% baseline) with a planted treatment lift (3/4 of arm 1
+    forced to convert), making the flag provably fire and both variance
+    factors provably nonzero at every gate sf.
+
+    Scale shape: per-user conversion is one map-side-combinable agg, the
+    per-arm rollup is 2 rows, the test itself a 1-row select — at 10^12
+    events this is exactly two partial-agg shuffles."""
+    u = (
+        _t(spark, sf, "events")
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("bigint"))
+            .alias("cnt")
+        )
+    )
+    c = u.select(
+        "arm",
+        F.when(
+            (F.col("arm") == 1) & (F.col("user_id") % 8 <= 5), F.lit(1)
+        ).otherwise(F.col("cnt") % 2).alias("converted"),
+    )
+    a = c.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    w = a.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x2"),
+    )
+    dev = F.col("x1") * F.col("n2") - F.col("x2") * F.col("n1")
+    s = F.col("x1") + F.col("x2")
+    n = F.col("n1") + F.col("n2")
+    dev2 = dev * dev * n
+    thresh = F.lit(4) * s * (n - s) * F.col("n1") * F.col("n2")
+    return w.select(
+        "n1", "x1", "n2", "x2",
+        dev2.alias("dev2_scaled"),
+        thresh.alias("thresh_scaled"),
+        (dev2 > thresh).cast("int").alias("significant"),
+    )

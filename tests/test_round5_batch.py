@@ -129,3 +129,21 @@ def test_walks_follow_real_edges(spark, sf001):
         assert nodes[0] == w["walk_id"] and nodes[-1] == w["last_node"]
         for a, b in zip(nodes, nodes[1:]):
             assert (a, b) in edges, f"walk used non-edge {a}->{b}"
+
+
+def test_abtest_integer_algebra_matches_float_z(spark, sf001):
+    """The integer test must agree with the float z-test wherever the
+    latter is defined, and the planted lift must read significant at
+    sf0.01 (150 users). At sf0.001 there are only ~7 users per arm —
+    the lift honestly fails z > 2 there, which is itself asserted."""
+    from mxsparkg.contract import evt_abtest
+
+    for sf, expect_sig in ((sf001, 0), ("/root/testdata/sf0.01", 1)):
+        r = evt_abtest(spark, sf).collect()[0]
+        n1, x1, n2, x2 = r["n1"], r["x1"], r["n2"], r["x2"]
+        p = (x1 + x2) / (n1 + n2)
+        assert 0 < p < 1, "outcome degenerated; the parity baseline broke"
+        p1, p2 = x1 / n1, x2 / n2
+        z2 = (p1 - p2) ** 2 / (p * (1 - p) * (1 / n1 + 1 / n2))
+        assert r["significant"] == int(z2 > 4.0)
+        assert r["significant"] == expect_sig
