@@ -21,6 +21,9 @@ ops:
               structural complement to kg_tools --op predict)
   assortativity  one-row exact degree-correlation moments of the
               undirected subj/obj graph (r = r_num/r_den offline)
+  walk        deterministic DeepWalk-style random-walk corpus over the
+              symmetrized subj/obj graph (md5-driven hops — reproducible;
+              --iters = walk length, --seed-mod = seed sampling rate)
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -40,7 +43,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
                     choices=["salience", "triangles", "components", "scc",
-                             "modularity", "linkpred", "assortativity"])
+                             "modularity", "linkpred", "assortativity",
+                             "walk"])
     ap.add_argument("--edges", required=True,
                     help="pipeline edges parquet (subj, pred, obj, n_support)")
     ap.add_argument("--nodes", default=None,
@@ -48,6 +52,8 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--top-k", type=int, default=100)
+    ap.add_argument("--seed-mod", type=int, default=10,
+                    help="walk op: start a walk from ~1/mod of nodes")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -107,6 +113,30 @@ def main() -> None:
             .distinct()
         )
         out_df = gq.linkpred_common_neighbors(und, top_k=args.top_k)
+    elif args.op == "walk":
+        # DeepWalk-style corpus: --iters hops per walk, one walk per node
+        # whose md5 lands in the 1/--seed-mod sample (deterministic; no
+        # F.rand) — see graphquery.random_walks
+        sym = (
+            edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .unionByName(
+                edges.select(F.col("obj").alias("src"),
+                             F.col("subj").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        seeds = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .filter(
+                F.conv(
+                    F.substring(F.md5(F.col("node").cast("binary")), 1, 6),
+                    16, 10,
+                ).cast("long") % args.seed_mod == 0
+            )
+        )
+        out_df = gq.random_walks(sym, seeds, steps=args.iters)
     elif args.op == "assortativity":
         und = (
             edges.select(

@@ -115,7 +115,7 @@ def _dense_entities(edges):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
-                    choices=["ntriples", "nquads", "turtle", "validate",
+                    choices=["conflicts", "ntriples", "nquads", "turtle", "validate",
                              "infer", "diff", "embed", "predict", "apply",
                              "bgp", "snapshot"])
     ap.add_argument("--delta", default=None,
@@ -190,6 +190,11 @@ def main() -> None:
     edges = spark.read.parquet(args.edges) if args.edges else None
     if args.op == "snapshot":
         out_df = kx.read_snapshot(spark, args.snapshots, args.version)
+        out_df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    elif args.op == "conflicts":
+        preds = args.pred.split(",") if args.pred else None
+        out_df = kx.detect_conflicts(edges, preds)
         out_df.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
     elif args.op == "ntriples":

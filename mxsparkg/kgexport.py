@@ -949,6 +949,33 @@ def kg_turtle_sql() -> str:
 
 
 
+def detect_conflicts(triples: DataFrame,
+                     functional_preds: list[str] | None = None) -> DataFrame:
+    """Production functional-property conflict report over a pipeline
+    edges/triples table (subj, pred, obj[, n_support]): subjects claiming
+    >1 distinct object for a functional predicate, with the
+    lexicographic-min resolution (swap the ORDER BY for source-reliability
+    weights when provenance carries them). Same rollup shape as the
+    kg_conflict gate key; per-(subj,pred) cost bounded by claim
+    multiplicity, never corpus size."""
+    t = triples.select("subj", "pred", "obj")
+    if functional_preds:
+        t = t.filter(F.col("pred").isin(list(functional_preds)))
+    return (
+        t.groupBy("subj", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_claims"),
+            F.countDistinct("obj").alias("n_objs"),
+            F.min("obj").alias("resolved_obj"),
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_set("obj")))
+                .cast("binary")
+            ).alias("objs_fp"),
+        )
+        .filter(F.col("n_objs") > 1)
+    )
+
+
 CONFLICT_MOD_2 = 17   # every 17th customer gets a 2nd in_nation claim
 CONFLICT_MOD_3 = 51   # every 51st (subset) gets a 3rd, from another source
 

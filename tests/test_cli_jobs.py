@@ -161,6 +161,26 @@ def test_graph_analytics_ops(cli, spark):
             "--iters", "3",
         ])
         assert res["op"] == op and res["rows"] >= 1, res
+    # walk: every node seeds one 3-hop walk (seed-mod 1); re-running is
+    # bit-identical (determinism is the op's whole point)
+    res = cli("graph_analytics", [
+        "--op", "walk", "--edges", ep, "--out", f"{ROOT}/ga_walk",
+        "--iters", "3", "--seed-mod", "1",
+    ])
+    assert res["op"] == "walk" and res["rows"] == 4, res
+    first = {
+        (r["walk_id"], r["path"])
+        for r in spark.read.parquet(f"{ROOT}/ga_walk").collect()
+    }
+    cli("graph_analytics", [
+        "--op", "walk", "--edges", ep, "--out", f"{ROOT}/ga_walk2",
+        "--iters", "3", "--seed-mod", "1",
+    ])
+    second = {
+        (r["walk_id"], r["path"])
+        for r in spark.read.parquet(f"{ROOT}/ga_walk2").collect()
+    }
+    assert first == second
 
 
 def test_kg_tools_exports_and_snapshots(cli, spark):
@@ -195,3 +215,19 @@ def test_kg_tools_exports_and_snapshots(cli, spark):
         "--out", f"{ROOT}/kt_asof",
     ])
     assert res["rows"] == 4
+
+    # conflicts: e1 claims two distinct objects for functional 'rel'
+    cedges = spark.createDataFrame(
+        [("e1", "rel", "e2"), ("e1", "rel", "e9"), ("e2", "rel", "e3"),
+         ("e1", "other", "x"), ("e1", "other", "y")],
+        ["subj", "pred", "obj"],
+    )
+    cep = f"{ROOT}/kt_cedges"
+    cedges.write.mode("overwrite").parquet(cep)
+    res = cli("kg_tools", [
+        "--op", "conflicts", "--edges", cep, "--pred", "rel",
+        "--out", f"{ROOT}/kt_conf",
+    ])
+    assert res["rows"] == 1
+    row = spark.read.parquet(f"{ROOT}/kt_conf").collect()[0]
+    assert row["subj"] == "e1" and row["resolved_obj"] == "e2"
