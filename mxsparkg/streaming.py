@@ -409,3 +409,81 @@ def hourly_ingest_stats(pages: DataFrame, watermark: str = "1 hour") -> DataFram
             "n_hosts",
         )
     )
+
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+_STREAM_DAY_US = 86_400_000_000
+
+
+def start_daily_count_stream(
+    events: DataFrame, index_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Continuous ingest-rate monitor, stage 1: fold each micro-batch
+    into per-(event_type, day) PARTIAL counts appended to a parquet
+    index. Counts are additive, so the index re-aggregated at any moment
+    equals the batch daily rollup over everything ingested so far —
+    arrival order, micro-batch boundaries and day-splits-across-batches
+    all cancel (the property the test pins). foreachBatch keeps the day
+    arithmetic identical to the batch evt_anomaly key; at-least-once
+    append on retry, exactly-once via batch_id-keyed partitions (the
+    standard foreachBatch hardening, as in start_detect_stream)."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.select(
+                "event_type",
+                (F.unix_micros("ts") - F.pmod(
+                    F.unix_micros("ts"), F.lit(_STREAM_DAY_US)
+                )).alias("day_us"),
+            )
+            .withColumn("day", (F.col("day_us") / _STREAM_DAY_US).cast("long"))
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("x_partial"))
+            .write.mode("append")
+            .parquet(index_dir)
+        )
+
+    return (
+        events.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def anomaly_flags_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Continuous ingest-rate monitor, stage 2 (run on demand, or per
+    micro-batch from a second foreachBatch): re-aggregate the partial
+    count index and flag days > 2 population-sigmas from their type's
+    daily mean, with the evt_anomaly whole-bit integer test
+    (n·x − s1)² > 4·(n·s2 − s1²) — no float, no division, so the monitor
+    and the batch key can never disagree on a flag. The index is
+    day-level (model-sized: days × types), so this re-aggregation costs
+    nothing regardless of event volume."""
+    daily = (
+        spark.read.parquet(index_dir)
+        .groupBy("event_type", "day")
+        .agg(F.sum("x_partial").alias("x"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("x") - F.col("s1")
+    thresh = F.lit(4) * (
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    return j.select(
+        "event_type", "day", F.col("x").alias("n_events"),
+        (dev * dev > thresh).cast("int").alias("is_anomaly"),
+    )

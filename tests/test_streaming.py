@@ -449,3 +449,86 @@ def test_streaming_media_dedup_near_dups_across_batches(spark):
         r.b_id for r in phash_candidate_pairs(all_fp).collect()
     }
     assert kept == sorted({1, 2, 3, 4, 5} - b_side)
+
+
+def test_streaming_anomaly_flags_match_batch(spark):
+    """The partial-count index folded across forced micro-batch
+    boundaries (one day deliberately SPLIT across two batches) must
+    re-aggregate to exactly the batch daily rollup, and the whole-bit
+    flags from the index must equal the batch flags — including the
+    planted burst day firing."""
+    import datetime as dt
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from mxsparkg.streaming import (
+        EVENTS_SCHEMA,
+        anomaly_flags_from_index,
+        start_daily_count_stream,
+    )
+
+    base = dt.datetime(2026, 2, 1, 0, 0, 0)
+
+    def ev(i, day, typ):
+        return (i, base + dt.timedelta(days=day, minutes=i % 600), i % 7, typ)
+
+    rows1, rows2 = [], []
+    i = 0
+    for day in range(8):
+        for _ in range(5):  # baseline: 5 click events per day
+            (rows1 if day < 4 else rows2).append(ev(i, day, "click"))
+            i += 1
+    # day 3 split across the two micro-batches AND bursting (5 + 30)
+    for _ in range(30):
+        rows2.append(ev(i, 3, "click"))
+        i += 1
+
+    src = f"{ROOT}/anom_src"
+    idx = f"{ROOT}/anom_idx"
+    for d in (src, idx, f"{ROOT}/anom_ckpt"):
+        shutil.rmtree(d, ignore_errors=True)
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_daily_count_stream(stream, idx, f"{ROOT}/anom_ckpt")
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_type"], r["day"], r["n_events"], r["is_anomaly"])
+        for r in anomaly_flags_from_index(spark, idx).collect()
+    }
+
+    # batch comparator: same day arithmetic, same integer test
+    daily = (
+        spark.read.parquet(src)
+        .select(
+            "event_type",
+            (F.unix_micros("ts") / 86_400_000_000)
+            .cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    j = daily.join(stats, "event_type")
+    want = set()
+    for r in j.collect():
+        dev = r["n"] * r["x"] - r["s1"]
+        th = 4 * (r["n"] * r["s2"] - r["s1"] * r["s1"])
+        want.add((r["event_type"], r["day"], r["x"], int(dev * dev > th)))
+    assert got == want
+    # the split burst day is one row with the merged count, flagged
+    burst = [g for g in got if g[2] == 35]
+    assert len(burst) == 1 and burst[0][3] == 1
