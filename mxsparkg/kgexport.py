@@ -1068,6 +1068,93 @@ def kg_conflict_sql() -> str:
     """
 
 
+def kg_source_reliability(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: per-source reliability scoring — the first iteration of
+    truth discovery over the SAME planted multi-source claim set as
+    kg_conflict: resolve every (subj, pred) to its lexicographic-min
+    object, then score each source by the ppm of its claims that agree
+    with the resolution. One round of the classic fixpoint (source
+    trust <- claim agreement <- resolved values <- source trust);
+    further rounds would weight the resolution by these scores, changing
+    only the argmin's ORDER BY. The planted geometry makes the scores
+    closed-form checkable: src_a always agrees on clean subjects and
+    wins min-resolution ties on conflicted ones exactly when its nation
+    IRI sorts lowest.
+
+    Scale shape: resolution is one map-side-combinable min per (subj,
+    pred); scoring is one equi-join back on (subj, pred) + one
+    per-source rollup — two shuffles at any corpus size, claims never
+    fan out."""
+    cust = _t(spark, sf, "customer")
+    base = cust.select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        iri("nat", F.col("c_nationkey")).alias("obj"),
+        F.lit("src_a").alias("source"),
+    )
+    extra2 = cust.filter(F.col("c_custkey") % CONFLICT_MOD_2 == 3).select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        iri("nat", (F.col("c_nationkey") + 1) % 25).alias("obj"),
+        F.lit("src_b").alias("source"),
+    )
+    extra3 = cust.filter(F.col("c_custkey") % CONFLICT_MOD_3 == 3).select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        iri("nat", (F.col("c_nationkey") + 2) % 25).alias("obj"),
+        F.lit("src_c").alias("source"),
+    )
+    claims = base.unionByName(extra2).unionByName(extra3)
+    resolved = claims.groupBy("subj").agg(F.min("obj").alias("res"))
+    scored = claims.join(resolved, "subj").select(
+        "source",
+        (F.col("obj") == F.col("res")).cast("bigint").alias("agree"),
+    )
+    g = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_claims"),
+        F.sum("agree").alias("n_agree"),
+    )
+    num = F.lit(1_000_000) * F.col("n_agree")
+    den = F.col("n_claims")
+    ppm = (num - F.pmod(num, den)) / den
+    return g.select(
+        "source", "n_claims", "n_agree",
+        ppm.cast("bigint").alias("agree_ppm"),
+    )
+
+
+def kg_source_reliability_sql() -> str:
+    s = f"'<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>'"
+
+    def o(shift: int) -> str:
+        if shift == 0:
+            return f"'<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>'"
+        return (f"'<{BASE_E}nat:' || CAST((c_nationkey + {shift}) % 25"
+                f" AS VARCHAR) || '>'")
+
+    return f"""
+      WITH claims AS (
+        SELECT {s} AS subj, {o(0)} AS obj, 'src_a' AS source FROM customer
+        UNION ALL
+        SELECT {s}, {o(1)}, 'src_b' FROM customer
+        WHERE c_custkey % {CONFLICT_MOD_2} = 3
+        UNION ALL
+        SELECT {s}, {o(2)}, 'src_c' FROM customer
+        WHERE c_custkey % {CONFLICT_MOD_3} = 3),
+      res AS (SELECT subj, min(obj) AS res FROM claims GROUP BY subj),
+      sc AS (
+        SELECT source,
+               CASE WHEN c.obj = r.res THEN 1 ELSE 0 END AS agree
+        FROM claims c JOIN res r USING (subj)),
+      g AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_claims,
+               CAST(sum(agree) AS BIGINT) AS n_agree
+        FROM sc GROUP BY source)
+      SELECT source, n_claims, n_agree,
+             CAST((1000000 * n_agree
+                   - ((1000000 * n_agree) % n_claims + n_claims) % n_claims)
+                  / n_claims AS BIGINT) AS agree_ppm
+      FROM g
+    """
+
+
 def kgexport_queries() -> dict:
     return {
         "kg_ntriples": kg_ntriples,
@@ -1075,6 +1162,7 @@ def kgexport_queries() -> dict:
         "kg_bgp_2hop": kg_bgp_2hop,
         "kg_type_check": kg_type_check,
         "kg_conflict": kg_conflict,
+        "kg_source_reliability": kg_source_reliability,
         "kg_temporal_diff": kg_temporal_diff,
         "kg_apply_delta": kg_apply_delta,
         "kg_negsample": kg_negsample,
@@ -1085,6 +1173,7 @@ def kgexport_queries() -> dict:
 def kgexport_oracle_sql() -> dict[str, str]:
     return {
         "kg_conflict": kg_conflict_sql(),
+        "kg_source_reliability": kg_source_reliability_sql(),
         "kg_ntriples": kg_ntriples_sql(),
         "kg_turtle": kg_turtle_sql(),
         "kg_bgp_2hop": kg_bgp_2hop_sql(),

@@ -164,3 +164,18 @@ def test_forecast_wape_matches_python(spark, sf001):
             // r["sum_actual"]
         )
         assert r["wape_ppm"] == (1_000_000 * r["sum_abs_err"]) // r["sum_actual"]
+
+
+def test_source_reliability_geometry(spark, sf001):
+    """src_a carries every clean subject (agreeing with itself) so its
+    score dominates; all three ppm values are exact floor(1e6 * a / n)."""
+    from mxsparkg.kgexport import kg_source_reliability
+
+    rows = {r["source"]: r for r in
+            kg_source_reliability(spark, sf001).collect()}
+    assert set(rows) == {"src_a", "src_b", "src_c"}
+    for r in rows.values():
+        assert 0 <= r["n_agree"] <= r["n_claims"]
+        assert r["agree_ppm"] == 1_000_000 * r["n_agree"] // r["n_claims"]
+    assert rows["src_a"]["agree_ppm"] > rows["src_b"]["agree_ppm"]
+    assert rows["src_a"]["agree_ppm"] > rows["src_c"]["agree_ppm"]
