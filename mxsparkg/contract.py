@@ -2061,3 +2061,42 @@ def evt_forecast(spark, sf):
         "event_type", "n_scored", "sum_abs_err", "sum_actual",
         wape.cast("bigint").alias("wape_ppm"),
     )
+
+
+@reg("fn_regexp",
+     """SELECT doc_id,
+            md5(regexp_replace(text, '[aeiou]', '*', 'g')) AS masked_fp,
+            md5(array_to_string(
+              regexp_extract_all(text, '[a-z]*a[a-z]*'), '|')) AS a_words_fp,
+            CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+              AS n_vowel_runs,
+            CAST(regexp_matches(text, '(^| )table( |$)') AS INT) AS has_table
+     FROM documents""")
+def fn_regexp(spark, sf):
+    """F-family III: the regexp surface F1/F1b/F3 only touch in passing —
+    global regexp_replace (Spark replaces ALL by default; DuckDB needs the
+    explicit 'g' flag or it silently replaces FIRST — the cross-engine trap
+    this key pins), regexp_extract_all (array result concat_ws'd to a
+    string before hashing: array hashing is engine-private, strings are
+    not), regexp_count == len(regexp_extract_all), and a word-boundary
+    match. Patterns stay in the character-class + anchors subset where
+    Java regex and RE2 provably agree; lookarounds and backreferences are
+    OUT (RE2 has neither) — the documented dialect boundary.
+
+    Scale shape: pure per-row JVM expressions, zero shuffle, zero Python;
+    at 10^12 docs the only cost knob is regex complexity per byte."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace("text", "[aeiou]", "*").cast("binary"))
+        .alias("masked_fp"),
+        F.md5(
+            F.concat_ws(
+                "|", F.expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)")
+            ).cast("binary")
+        ).alias("a_words_fp"),
+        F.expr("regexp_count(text, '[aeiou]+')").cast("bigint")
+        .alias("n_vowel_runs"),
+        F.expr("regexp_like(text, '(^| )table( |$)')").cast("int")
+        .alias("has_table"),
+    )

@@ -399,3 +399,27 @@ def test_crawl_revisit_partitioned_lag_no_python(spark):
     assert "Python" not in plan, plan
     # doc_id-partitioned window for the lag stage
     assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """The 100-TB table layout story: a day-partitioned parquet table
+    filtered on its partition column must prune at PLAN time —
+    PartitionFilters populated and only the matching directory read —
+    plus dynamic row-group pruning for the data filter (PushedFilters).
+    This is the physical contract catalog.write_partitioned relies on."""
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "part_tbl")
+    spark.range(1000).select(
+        "id", (F.col("id") % 7).alias("day"), (F.col("id") * 3).alias("v")
+    ).write.partitionBy("day").mode("overwrite").parquet(p)
+
+    df = spark.read.parquet(p).filter("day = 3 AND v > 100").select("v")
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    assert "(day" in plan.split("PartitionFilters:")[1].split("]")[0], plan
+    assert "PushedFilters: [IsNotNull(v), GreaterThan(v,100)]" in plan, plan
+    # and the result is right (pruning must not change semantics)
+    assert df.count() == sum(
+        1 for i in range(1000) if i % 7 == 3 and i * 3 > 100
+    )
