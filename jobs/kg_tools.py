@@ -115,7 +115,7 @@ def _dense_entities(edges):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
-                    choices=["conflicts", "ntriples", "nquads", "turtle", "validate",
+                    choices=["conflicts", "reliability", "ntriples", "nquads", "turtle", "validate",
                              "infer", "diff", "embed", "predict", "apply",
                              "bgp", "snapshot"])
     ap.add_argument("--delta", default=None,
@@ -195,6 +195,11 @@ def main() -> None:
     elif args.op == "conflicts":
         preds = args.pred.split(",") if args.pred else None
         out_df = kx.detect_conflicts(edges, preds)
+        out_df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    elif args.op == "reliability":
+        # --edges here is the pipeline TRIPLES table (subj,pred,obj,url)
+        out_df = kx.source_reliability(edges)
         out_df.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
     elif args.op == "ntriples":

@@ -1068,6 +1068,36 @@ def kg_conflict_sql() -> str:
     """
 
 
+def source_reliability(triples: DataFrame,
+                       source_col: str = "url") -> DataFrame:
+    """Production source scoring over the pipeline TRIPLES table
+    (subj, pred, obj, url): resolve each (subj, pred) to its
+    lexicographic-min object, score each source page by the exact-ppm
+    share of its claims agreeing with the resolution. The gate key
+    kg_source_reliability certifies this exact rollup shape on planted
+    claims; here the sources are the crawl pages themselves, so the
+    output ranks pages by how often they contradict the corpus — the
+    triage list a KG curator reads first."""
+    c = triples.select("subj", "pred", "obj",
+                       F.col(source_col).alias("source"))
+    resolved = c.groupBy("subj", "pred").agg(F.min("obj").alias("res"))
+    scored = c.join(resolved, ["subj", "pred"]).select(
+        "source",
+        (F.col("obj") == F.col("res")).cast("bigint").alias("agree"),
+    )
+    g = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_claims"),
+        F.sum("agree").alias("n_agree"),
+    )
+    num = F.lit(1_000_000) * F.col("n_agree")
+    den = F.col("n_claims")
+    ppm = (num - F.pmod(num, den)) / den
+    return g.select(
+        "source", "n_claims", "n_agree",
+        ppm.cast("bigint").alias("agree_ppm"),
+    )
+
+
 def kg_source_reliability(spark: SparkSession, sf: str) -> DataFrame:
     """Gate key: per-source reliability scoring — the first iteration of
     truth discovery over the SAME planted multi-source claim set as

@@ -231,3 +231,22 @@ def test_kg_tools_exports_and_snapshots(cli, spark):
     assert res["rows"] == 1
     row = spark.read.parquet(f"{ROOT}/kt_conf").collect()[0]
     assert row["subj"] == "e1" and row["resolved_obj"] == "e2"
+
+    # reliability: the pipeline triples table scores its source pages —
+    # src/1 asserts only resolved objects, a contradicting page scores 0
+    rel_triples = spark.createDataFrame(
+        [("e1", "rel", "e2", "http://src/1"),
+         ("e1", "rel", "e9", "http://src/bad"),
+         ("e2", "rel", "e3", "http://src/1")],
+        ["subj", "pred", "obj", "url"],
+    )
+    rtp = f"{ROOT}/kt_rel_triples"
+    rel_triples.write.mode("overwrite").parquet(rtp)
+    res = cli("kg_tools", [
+        "--op", "reliability", "--edges", rtp, "--out", f"{ROOT}/kt_rel",
+    ])
+    assert res["rows"] == 2
+    sc = {r["source"]: r["agree_ppm"]
+          for r in spark.read.parquet(f"{ROOT}/kt_rel").collect()}
+    assert sc["http://src/1"] == 1_000_000
+    assert sc["http://src/bad"] == 0
