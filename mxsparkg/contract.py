@@ -2100,3 +2100,31 @@ def fn_regexp(spark, sf):
         F.expr("regexp_like(text, '(^| )table( |$)')").cast("int")
         .alias("has_table"),
     )
+
+
+@reg("agg_bool",
+     """SELECT l_returnflag,
+            CAST(count_if(l_quantity > 25) AS BIGINT) AS n_large,
+            CAST(bool_and(l_quantity > 0) AS INT) AS all_positive,
+            CAST(bool_or(l_discount > 0.09) AS INT) AS any_deep_discount,
+            CAST(count_if(l_tax = 0) AS BIGINT) AS n_taxfree
+     FROM lineitem GROUP BY l_returnflag""")
+def agg_bool(spark, sf):
+    """A-family boolean aggregates — the predicate-rollup surface the
+    numeric aggs skip: count_if, bool_and (every), bool_or (any), all
+    map-side combinable and named identically in both engines. Booleans
+    are emitted as INT because the driver's value hash renders engine
+    booleans differently (True vs true) — the same render rule as every
+    flag column in this contract.
+
+    Scale shape: one partial-agg shuffle keyed on the group column;
+    predicates evaluate inside the scan's codegen stage."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_large"),
+        F.bool_and(F.col("l_quantity") > 0).cast("int")
+        .alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).cast("int")
+        .alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+    )
