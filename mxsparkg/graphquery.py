@@ -2017,6 +2017,111 @@ def graph_scc_sql() -> str:
 
 
 
+DIAM_SWEEP_ROUNDS = 3   # per-sweep hop budget (lower-bound semantics)
+
+
+def diameter_2sweep(sym_edges: DataFrame, rounds: int) -> DataFrame:
+    """Double-sweep diameter LOWER BOUND (the standard BFS heuristic,
+    bounded): sweep 1 runs BFS from the graph's min node; the farthest
+    node found (max dist, min node on ties — a deterministic argmax via
+    one orderBy-limit on the node-level distance table) seeds sweep 2,
+    whose eccentricity-within-budget is the reported bound. Exact
+    diameter is all-pairs and does not exist at 10^12 edges; the
+    two-sweep bound is what real systems report, and with a bounded hop
+    budget the semantics stay honest: a diameter >= the bound whenever
+    the second sweep still reached a frontier at the last round.
+
+    The sweep-2 seed crosses to the driver as ONE ROW and re-enters as a
+    literal — the constant-key ride-along join plans as an interpreted
+    BNLJ (the bpe-merges lesson), so the collect is the fast AND the
+    plan-clean path. Per round both sweeps are the bfs_hops equi-join +
+    groupBy(min): skew-safe, frontier never collected."""
+    from mxsparkg.mining import guarded_collect
+
+    src_row = guarded_collect(
+        sym_edges.select(F.min("src").alias("node")), "diameter seed")
+    seed1 = F.lit(src_row[0]["node"])
+    d1 = bfs_hops(
+        sym_edges,
+        sym_edges.select(F.col("src").alias("node")).distinct()
+        .filter(F.col("node") == seed1),
+        iters=rounds,
+    )
+    far = guarded_collect(
+        d1.orderBy(F.col("dist").desc(), F.col("node")).limit(1),
+        "diameter far node",
+    )
+    seed2 = far[0]["node"]
+    d2 = bfs_hops(
+        sym_edges,
+        sym_edges.select(F.col("src").alias("node")).distinct()
+        .filter(F.col("node") == F.lit(seed2)),
+        iters=rounds,
+    )
+    return d2.agg(
+        F.lit(src_row[0]["node"]).alias("sweep1_seed"),
+        F.lit(seed2).alias("sweep2_seed"),
+        F.max("dist").alias("diameter_lb"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )
+
+
+def graph_diameter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: bounded double-sweep diameter lower bound on the
+    sparsified co-purchase graph (graph_bfs's graph)."""
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    sym = _symmetrize(und, "u", "v")
+    return diameter_2sweep(sym, rounds=DIAM_SWEEP_ROUNDS)
+
+
+def _bfs_chain_sql(prefix: str, seed_cte: str,
+                   rounds: int) -> tuple[str, str]:
+    """Unrolled bounded-BFS CTE chain from a 1-node seed CTE (the
+    graph_bfs oracle's builder, parameterized so two sweeps can share
+    one WITH clause)."""
+    steps = []
+    prev = f"{prefix}0"
+    out = [f"""{prefix}0 AS (
+        SELECT node, 0 AS dist FROM {seed_cte})"""]
+    for i in range(1, rounds + 1):
+        out.append(f"""{prefix}c{i} AS (
+        SELECT e.dst AS node, min(p.dist) + 1 AS dist
+        FROM edges e JOIN {prev} p ON p.node = e.src GROUP BY e.dst)""")
+        out.append(f"""{prefix}{i} AS (
+        SELECT node, min(dist) AS dist FROM (
+          SELECT node, dist FROM {prev}
+          UNION ALL SELECT node, dist FROM {prefix}c{i})
+        GROUP BY node)""")
+        prev = f"{prefix}{i}"
+    return ",\n      ".join(out), prev
+
+
+def graph_diameter_sql() -> str:
+    c1, last1 = _bfs_chain_sql("da", "seed1", DIAM_SWEEP_ROUNDS)
+    c2, last2 = _bfs_chain_sql("db", "seed2", DIAM_SWEEP_ROUNDS)
+    return f"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey % {MINLABEL_ORDER_MOD} = 0),
+      e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      edges AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM e0
+        UNION ALL SELECT v AS src, u AS dst FROM e0),
+      seed1 AS (SELECT min(src) AS node FROM edges),
+      {c1},
+      seed2 AS (
+        SELECT node FROM {last1} ORDER BY dist DESC, node LIMIT 1),
+      {c2}
+      SELECT (SELECT node FROM seed1) AS sweep1_seed,
+             (SELECT node FROM seed2) AS sweep2_seed,
+             max(dist) AS diameter_lb,
+             CAST(count(*) AS BIGINT) AS n_reached
+      FROM {last2}
+    """
+
+
 WALK_STEPS = 4       # walk length (edges) — DeepWalk-corpus scale: 40-80
 WALK_SEED_MOD = 10   # every 10th graph node starts one walk
 
@@ -2143,6 +2248,7 @@ def graphquery_queries() -> dict:
         "graph_kcore": graph_kcore,
         "graph_bfs": graph_bfs,
         "graph_walk": graph_walk,
+        "graph_diameter": graph_diameter,
         "graph_path": graph_path,
         "graph_sssp": graph_sssp,
         "kg_edge_pmi": kg_edge_pmi,
@@ -2165,6 +2271,7 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_kcore": graph_kcore_sql(),
         "graph_bfs": graph_bfs_sql(),
         "graph_walk": graph_walk_sql(),
+        "graph_diameter": graph_diameter_sql(),
         "graph_path": graph_path_sql(),
         "graph_sssp": graph_sssp_sql(),
         "kg_edge_pmi": kg_edge_pmi_sql(),

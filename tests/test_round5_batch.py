@@ -179,3 +179,34 @@ def test_source_reliability_geometry(spark, sf001):
         assert r["agree_ppm"] == 1_000_000 * r["n_agree"] // r["n_claims"]
     assert rows["src_a"]["agree_ppm"] > rows["src_b"]["agree_ppm"]
     assert rows["src_a"]["agree_ppm"] > rows["src_c"]["agree_ppm"]
+
+
+def test_diameter_two_sweep_bounds(spark, sf001):
+    """Within the hop budget: the bound is in [1, rounds], the second
+    sweep reaches at least the first sweep's component, and the sweep-2
+    seed really is sweep 1's deterministic argmax."""
+    from mxsparkg.graphquery import (
+        DIAM_SWEEP_ROUNDS,
+        MINLABEL_ORDER_MOD,
+        _copurchase_edges,
+        _symmetrize,
+        bfs_hops,
+        graph_diameter,
+    )
+    import pyspark.sql.functions as F
+
+    r = graph_diameter(spark, sf001).collect()[0]
+    assert 1 <= r["diameter_lb"] <= DIAM_SWEEP_ROUNDS
+    assert r["n_reached"] >= 2
+    sym = _symmetrize(
+        _copurchase_edges(spark, sf001, order_mod=MINLABEL_ORDER_MOD),
+        "u", "v",
+    )
+    d1 = bfs_hops(
+        sym,
+        sym.select(F.col("src").alias("node")).distinct()
+        .filter(F.col("node") == r["sweep1_seed"]),
+        iters=DIAM_SWEEP_ROUNDS,
+    ).collect()
+    best = sorted(d1, key=lambda x: (-x["dist"], x["node"]))[0]
+    assert best["node"] == r["sweep2_seed"]
