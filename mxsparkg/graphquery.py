@@ -2096,6 +2096,34 @@ def _bfs_chain_sql(prefix: str, seed_cte: str,
     return ",\n      ".join(out), prev
 
 
+def graph_walk_pairs_sql() -> str:
+    # reuse the walk chain verbatim, then split each path and pair
+    # positions through a constant index table (DuckDB unnest has no
+    # ordinality here; the mm_decode_gif constant-index trick)
+    walk_core = graph_walk_sql()
+    body = walk_core[walk_core.index("WITH") + 4:]
+    body = body[: body.rindex("SELECT walk_id")].rstrip() + ","
+    last = "w" + str(WALK_STEPS)
+    n_pos = WALK_STEPS + 1
+    return f"""
+      WITH {body}
+      idx AS (SELECT unnest(range(1, {n_pos + 1})) AS i),
+      toks AS (
+        SELECT walk_id, string_split(path, '>') AS l FROM {last}),
+      nodes AS (
+        SELECT t.walk_id, i.i - 1 AS pos, CAST(t.l[i.i] AS BIGINT) AS node
+        FROM toks t JOIN idx i ON i.i <= len(t.l)),
+      pairs AS (
+        SELECT a.walk_id, a.node AS center, b.node AS context,
+               b.pos - a.pos AS "offset"
+        FROM nodes a JOIN nodes b ON a.walk_id = b.walk_id
+        WHERE a.pos <> b.pos AND abs(a.pos - b.pos) <= {WALK_WINDOW})
+      SELECT center, context, "offset",
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY 1, 2, 3
+    """
+
+
 def graph_diameter_sql() -> str:
     c1, last1 = _bfs_chain_sql("da", "seed1", DIAM_SWEEP_ROUNDS)
     c2, last2 = _bfs_chain_sql("db", "seed2", DIAM_SWEEP_ROUNDS)
@@ -2197,6 +2225,59 @@ def graph_walk(spark: SparkSession, sf: str) -> DataFrame:
     return random_walks(sym, seeds, WALK_STEPS)
 
 
+WALK_WINDOW = 2   # skip-gram context window over walk positions
+
+
+def walk_skipgram_pairs(walks: DataFrame, window: int) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus — the materialization
+    step between G16's walks and any word2vec-style trainer (the
+    training itself is the certified kg_transe integer-SGD shape; this
+    key certifies the DATA it would consume): for every walk, all
+    (center, context) node pairs within +-window positions, with the
+    offset kept (a trainer that down-weights far contexts needs it).
+
+    Scale shape: posexplode the path once, then ONE self-equi-join on
+    walk_id with the |pos difference| predicate — per-walk fanout is
+    (steps+1)·2·window, a constant; the join key is walk_id so pair
+    generation never shuffles more than the walk corpus itself."""
+    nodes = walks.select(
+        "walk_id",
+        F.posexplode(F.split("path", ">")).alias("pos", "node"),
+    )
+    a = nodes.select(
+        "walk_id", F.col("pos").alias("p1"),
+        F.col("node").cast("long").alias("center"),
+    )
+    b = nodes.select(
+        "walk_id", F.col("pos").alias("p2"),
+        F.col("node").cast("long").alias("context"),
+    )
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("p1") != F.col("p2"))
+            & (F.abs(F.col("p1") - F.col("p2")) <= window)
+        )
+        .select(
+            "walk_id", "center", "context",
+            (F.col("p2") - F.col("p1")).alias("offset"),
+        )
+    )
+
+
+def graph_walk_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: per-(center, context, offset) pair counts of the
+    skip-gram corpus derived from G16's walks (counts rather than raw
+    pairs keep the gate table canonical — raw pairs are certified by the
+    count anyway since every (walk, p1, p2) contributes exactly once)."""
+    w = graph_walk(spark, sf)
+    return (
+        walk_skipgram_pairs(w, WALK_WINDOW)
+        .groupBy("center", "context", "offset")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def graph_walk_sql() -> str:
     steps = []
     prev = "w0"
@@ -2249,6 +2330,7 @@ def graphquery_queries() -> dict:
         "graph_bfs": graph_bfs,
         "graph_walk": graph_walk,
         "graph_diameter": graph_diameter,
+        "graph_walk_pairs": graph_walk_pairs,
         "graph_path": graph_path,
         "graph_sssp": graph_sssp,
         "kg_edge_pmi": kg_edge_pmi,
@@ -2272,6 +2354,7 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_bfs": graph_bfs_sql(),
         "graph_walk": graph_walk_sql(),
         "graph_diameter": graph_diameter_sql(),
+        "graph_walk_pairs": graph_walk_pairs_sql(),
         "graph_path": graph_path_sql(),
         "graph_sssp": graph_sssp_sql(),
         "kg_edge_pmi": kg_edge_pmi_sql(),

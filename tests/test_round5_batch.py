@@ -210,3 +210,25 @@ def test_diameter_two_sweep_bounds(spark, sf001):
     ).collect()
     best = sorted(d1, key=lambda x: (-x["dist"], x["node"]))[0]
     assert best["node"] == r["sweep2_seed"]
+
+
+def test_walk_pairs_closed_form(spark, sf001):
+    """Every walk of L+1 positions emits exactly
+    sum over positions of |window-neighborhood| pairs; total =
+    n_walks * (2*W*(L+1) - W*(W+1)) for L >= 2W; offsets bounded."""
+    from mxsparkg.graphquery import (
+        WALK_STEPS,
+        WALK_WINDOW,
+        graph_walk,
+        graph_walk_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    n_walks = graph_walk(spark, sf001).count()
+    pairs = graph_walk_pairs(spark, sf001)
+    total = pairs.agg(F.sum("n_pairs")).collect()[0][0]
+    L, W = WALK_STEPS, WALK_WINDOW
+    expect_per_walk = 2 * W * (L + 1) - W * (W + 1)
+    assert total == n_walks * expect_per_walk
+    offs = {r["offset"] for r in pairs.select("offset").distinct().collect()}
+    assert offs == {o for o in range(-W, W + 1) if o != 0}
