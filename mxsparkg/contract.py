@@ -2128,3 +2128,29 @@ def agg_bool(spark, sf):
         .alias("any_deep_discount"),
         F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
     )
+
+
+@reg("fn_binary",
+     """SELECT doc_id,
+            base64(encode(substr(text, 1, 24))) AS b64_prefix,
+            hex(substr(text, 1, 8)) AS hex_prefix,
+            CAST(bit_length(text) AS BIGINT) AS n_bits,
+            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+     FROM documents""")
+def fn_binary(spark, sf):
+    """F-family IV: the binary-encoding surface — base64 (RFC 4648 with
+    padding, identical in both engines), hex (uppercase A-F in both —
+    probed, not assumed), bit_length / octet_length. The corpus is ASCII
+    so encode() is byte-identity; a UTF-8 corpus would make octet_length
+    diverge from char length, which is exactly what the column is for.
+
+    Scale shape: pure per-row codegen projection, zero shuffle."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.substring("text", 1, 24).cast("binary"))
+        .alias("b64_prefix"),
+        F.hex(F.substring("text", 1, 8).cast("binary")).alias("hex_prefix"),
+        F.bit_length("text").cast("bigint").alias("n_bits"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
