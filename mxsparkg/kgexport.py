@@ -1312,6 +1312,310 @@ def kg_fusion_sql() -> str:
     """
 
 
+BASE_C = "urn:kg:c:"   # class IRI prefix (rdfs:subClassOf hierarchy)
+WORLD_CLS = f"<{BASE_C}World>"
+XSD_INT = "<http://www.w3.org/2001/XMLSchema#integer>"
+
+# sparsification stride for the RDF-star annotation export key
+RDFSTAR_PART_MOD = 53
+
+
+def cls_iri(kind: str, key: Column) -> Column:
+    """`<urn:kg:c:{kind}:{key}>` — class IRI from a typed key column."""
+    return F.concat(F.lit(f"<{BASE_C}{kind}:"), key.cast("string"), F.lit(">"))
+
+
+def subclass_closure(subclass: DataFrame, max_iters: int = 16) -> DataFrame:
+    """Transitive closure of an rdfs:subClassOf DAG (rdfs11) by path
+    doubling: closed_{k+1} = closed_k ∪ (closed_k ∘ closed_k), so a
+    depth-d hierarchy converges in ceil(log2 d) rounds — the 16-round cap
+    covers depth 65536, far past any real ontology. Everything here runs
+    in ONTOLOGY space (classes, not instances): the inputs and outputs are
+    model-sized, the per-round count() fixpoint probe is cheap, and the
+    per-round localCheckpoint truncates the doubling lineage exactly like
+    the graph iteratives. Raises rather than silently truncating if the
+    cap is hit without a fixpoint (a cycle in subClassOf is a modelling
+    bug this surfaces, not a case to paper over)."""
+    closed = subclass.select("sub", "sup").distinct().localCheckpoint()
+    n = closed.count()
+    for _ in range(max_iters):
+        hop = (
+            closed.alias("a")
+            .join(closed.alias("b"), F.col("a.sup") == F.col("b.sub"))
+            .select(F.col("a.sub").alias("sub"), F.col("b.sup").alias("sup"))
+        )
+        closed = closed.unionByName(hop).distinct().localCheckpoint()
+        n2 = closed.count()
+        if n2 == n:
+            return closed
+        n = n2
+    raise ValueError(f"subclass closure did not converge in {max_iters} rounds"
+                     " (cycle in subClassOf?)")
+
+
+def rdfs_infer_types(types: DataFrame, subclass: DataFrame) -> DataFrame:
+    """RDFS type entailment (rdfs9 over the rdfs11-closed hierarchy):
+    (inst type C) ∧ (C ⊑* D) → (inst type D), keeping asserted types via
+    the reflexive closure. The 100-TB shape is the point: the closure is
+    computed purely in ontology space (model-sized), then the instance
+    table — the only thing that is web-scale — joins ONCE against the
+    broadcast reflexive closure and re-aggregates. Zero instance-side
+    iteration, one broadcast hash join, one shuffle for the final
+    distinct (RDF set semantics: entailment may re-derive an asserted
+    type)."""
+    closed = subclass_closure(subclass)
+    classes = (
+        closed.select(F.col("sub").alias("c"))
+        .unionByName(closed.select(F.col("sup").alias("c")))
+        .distinct()
+    )
+    reflexive = classes.select(F.col("c").alias("sub"), F.col("c").alias("sup"))
+    full = closed.unionByName(reflexive)
+    return (
+        types.join(F.broadcast(full), types["cls"] == full["sub"])
+        .select(types["inst"], full["sup"].alias("cls"))
+        .distinct()
+    )
+
+
+def kg_rdfs_closure(spark: SparkSession, sf: str) -> DataFrame:
+    """RDFS entailment over the nation ⊑ region ⊑ World class tree:
+    customers and suppliers are asserted into their nation class only;
+    the closure must materialize their region and World memberships.
+    Output is the per-class instance census split by instance kind — 31
+    classes whose counts pin both the closure (region rows == sum of
+    member nations) and the reflexive keep (nation rows survive)."""
+    nat = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    sub = (
+        nat.select(cls_iri("nat", F.col("n_nationkey")).alias("sub"),
+                   cls_iri("reg", F.col("n_regionkey")).alias("sup"))
+        .unionByName(nat.select(
+            cls_iri("reg", F.col("n_regionkey")).alias("sub"),
+            F.lit(WORLD_CLS).alias("sup")))
+        .distinct()
+    )
+    types = (
+        cust.select(iri("cust", F.col("c_custkey")).alias("inst"),
+                    cls_iri("nat", F.col("c_nationkey")).alias("cls"))
+        .unionByName(supp.select(
+            iri("supp", F.col("s_suppkey")).alias("inst"),
+            cls_iri("nat", F.col("s_nationkey")).alias("cls")))
+    )
+    inferred = rdfs_infer_types(types, sub)
+    is_cust = F.col("inst").startswith(f"<{BASE_E}cust:")
+    return (
+        inferred.groupBy("cls").agg(
+            F.count(F.lit(1)).alias("n_inst"),
+            F.sum(is_cust.cast("long")).alias("n_cust"),
+            F.sum((~is_cust).cast("long")).alias("n_supp"),
+        )
+        .orderBy("cls")
+    )
+
+
+def kg_rdfs_closure_sql() -> str:
+    return f"""
+      WITH RECURSIVE
+      sub AS (
+        SELECT DISTINCT
+               '<{BASE_C}nat:' || CAST(n_nationkey AS VARCHAR) || '>' AS sub,
+               '<{BASE_C}reg:' || CAST(n_regionkey AS VARCHAR) || '>' AS sup
+        FROM nation
+        UNION
+        SELECT DISTINCT
+               '<{BASE_C}reg:' || CAST(n_regionkey AS VARCHAR) || '>',
+               '{WORLD_CLS}'
+        FROM nation),
+      tc AS (
+        SELECT sub, sup FROM sub
+        UNION
+        SELECT tc.sub, s.sup FROM tc JOIN sub s ON tc.sup = s.sub),
+      cls AS (
+        SELECT DISTINCT sub AS c FROM sub
+        UNION SELECT DISTINCT sup FROM sub),
+      full_cl AS (
+        SELECT sub, sup FROM tc
+        UNION SELECT c, c FROM cls),
+      types AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS inst,
+               '<{BASE_C}nat:' || CAST(c_nationkey AS VARCHAR) || '>' AS cls
+        FROM customer
+        UNION ALL
+        SELECT '<{BASE_E}supp:' || CAST(s_suppkey AS VARCHAR) || '>',
+               '<{BASE_C}nat:' || CAST(s_nationkey AS VARCHAR) || '>'
+        FROM supplier),
+      inf AS (
+        SELECT DISTINCT t.inst, f.sup AS cls
+        FROM types t JOIN full_cl f ON t.cls = f.sub)
+      SELECT cls,
+             CAST(count(*) AS BIGINT) AS n_inst,
+             CAST(sum(CASE WHEN inst LIKE '<{BASE_E}cust:%' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cust,
+             CAST(sum(CASE WHEN inst LIKE '<{BASE_E}cust:%' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_supp
+      FROM inf GROUP BY cls ORDER BY cls
+    """
+
+
+def bgp_star(triples: DataFrame, preds: list[str]) -> DataFrame:
+    """Star-shaped BGP `?x p1 ?v1 . ?x p2 ?v2 . …` — the other canonical
+    SPARQL join shape next to bgp_2hop's chain: k legs sharing the
+    SUBJECT variable, returning (x, v1..vk). Each leg's pred equality
+    reaches the scan as a PushedFilter (partition pruning when triples
+    are PARTITIONED BY pred), and all k-1 joins are equi-joins on the
+    SAME key x — Catalyst reuses one hash partitioning across the whole
+    chain, so a k-leg star costs one shuffle of each leg, not k-1
+    re-shuffles. Celebrity subjects ride AQE skew splits."""
+    out: DataFrame | None = None
+    for i, p in enumerate(preds):
+        leg = triples.filter(F.col("pred") == p).select(
+            F.col("subj").alias("x"), F.col("obj").alias(f"v{i + 1}")
+        )
+        out = leg if out is None else out.join(leg, "x")
+    assert out is not None, "bgp_star needs at least one predicate"
+    return out
+
+
+def kg_bgp_star(spark: SparkSession, sf: str) -> DataFrame:
+    """3-leg star over customer triples: `?c in_nation ?n . ?c in_segment
+    ?s . ?c acct_band ?b`, rolled up to the (nation, segment, band)
+    census. A fourth `label` predicate shares the triple table but never
+    reaches any join — the pruning certificate, same trick as
+    kg_bgp_2hop."""
+    cust = _t(spark, sf, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(2500)).cast("long")
+    triples = (
+        cust.select(
+            iri("cust", F.col("c_custkey")).alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            iri("nat", F.col("c_nationkey")).alias("obj"),
+        )
+        .unionByName(cust.select(
+            iri("cust", F.col("c_custkey")).alias("subj"),
+            F.lit("in_segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        ))
+        .unionByName(cust.select(
+            iri("cust", F.col("c_custkey")).alias("subj"),
+            F.lit("acct_band").alias("pred"),
+            band.cast("string").alias("obj"),
+        ))
+        .unionByName(cust.select(
+            iri("cust", F.col("c_custkey")).alias("subj"),
+            F.lit("label").alias("pred"),
+            F.col("c_name").alias("obj"),
+        ))
+    )
+    stars = bgp_star(triples, ["in_nation", "in_segment", "acct_band"])
+    return (
+        stars.groupBy(
+            F.col("v1").alias("nat"),
+            F.col("v2").alias("segment"),
+            F.col("v3").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .orderBy("nat", "segment", "band")
+    )
+
+
+def kg_bgp_star_sql() -> str:
+    return f"""
+      WITH triples AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+               'in_nation' AS pred,
+               '<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>' AS obj
+        FROM customer
+        UNION ALL
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>',
+               'in_segment', c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>',
+               'acct_band', CAST(CAST(floor(c_acctbal / 2500) AS BIGINT)
+                                 AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>',
+               'label', c_name
+        FROM customer),
+      l1 AS (SELECT subj AS x, obj AS v1 FROM triples WHERE pred = 'in_nation'),
+      l2 AS (SELECT subj AS x, obj AS v2 FROM triples WHERE pred = 'in_segment'),
+      l3 AS (SELECT subj AS x, obj AS v3 FROM triples WHERE pred = 'acct_band')
+      SELECT l1.v1 AS nat, l2.v2 AS segment, l3.v3 AS band,
+             CAST(count(*) AS BIGINT) AS n_cust
+      FROM l1 JOIN l2 ON l1.x = l2.x JOIN l3 ON l1.x = l3.x
+      GROUP BY 1, 2, 3 ORDER BY nat, segment, band
+    """
+
+
+def to_rdfstar(
+    annotated: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    apred: str = "apred",
+    aval: str = "aval",
+    aval_dtype: str = XSD_INT,
+) -> DataFrame:
+    """RDF-star annotation serialization: one `<< s p o >> ap "v"^^dt .`
+    line per row — the quoted-triple surface for statement-level metadata
+    (support counts, confidence, provenance weight) that N-Quads (X13)
+    expresses per-graph and plain reification would explode to 4 triples.
+    Pure projection like to_ntriples: no shuffle, no Python, output
+    partitioning == input partitioning; the annotation value renders as a
+    typed literal so consumers round-trip it losslessly."""
+    s, p, o = F.col(subj), F.col(pred), F.col(obj)
+    line = F.concat(
+        F.lit("<< "), s, F.lit(" "), p, F.lit(" "), o, F.lit(" >> "),
+        F.col(apred), F.lit(' "'), escape_literal(F.col(aval).cast("string")),
+        F.lit(f'"^^{aval_dtype} .'),
+    )
+    return annotated.select(s.alias("subj"), line.alias("line"))
+
+
+def kg_rdfstar(spark: SparkSession, sf: str) -> DataFrame:
+    """RDF-star export of (supplier, supplies, part) triples annotated
+    with their lineitem support count — the statement-confidence surface
+    a fusion pipeline (kg_fusion) publishes. Sparsified by part-key
+    stride so the exported sample stays export-shaped at any sf; the
+    support agg is map-side combinable and the serialization is a pure
+    projection on top of it."""
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_partkey") % RDFSTAR_PART_MOD == 0
+    )
+    ann = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .select(
+            iri("supp", F.col("l_suppkey")).alias("subj"),
+            F.lit(f"<{BASE_P}supplies>").alias("pred"),
+            iri("part", F.col("l_partkey")).alias("obj"),
+            F.lit(f"<{BASE_P}support>").alias("apred"),
+            F.col("support").alias("aval"),
+        )
+    )
+    return to_rdfstar(ann)
+
+
+def kg_rdfstar_sql() -> str:
+    return f"""
+      WITH ann AS (
+        SELECT l_suppkey, l_partkey, count(*) AS support
+        FROM lineitem
+        WHERE l_partkey % {RDFSTAR_PART_MOD} = 0
+        GROUP BY l_suppkey, l_partkey)
+      SELECT '<{BASE_E}supp:' || CAST(l_suppkey AS VARCHAR) || '>' AS subj,
+             '<< ' || '<{BASE_E}supp:' || CAST(l_suppkey AS VARCHAR) || '>'
+             || ' <{BASE_P}supplies> '
+             || '<{BASE_E}part:' || CAST(l_partkey AS VARCHAR) || '>'
+             || ' >> <{BASE_P}support> "' || CAST(support AS VARCHAR)
+             || '"^^{XSD_INT} .' AS line
+      FROM ann
+    """
+
+
 def kgexport_queries() -> dict:
     return {
         "kg_ntriples": kg_ntriples,
@@ -1325,6 +1629,9 @@ def kgexport_queries() -> dict:
         "kg_apply_delta": kg_apply_delta,
         "kg_negsample": kg_negsample,
         "kg_schema_infer": kg_schema_infer,
+        "kg_rdfs_closure": kg_rdfs_closure,
+        "kg_bgp_star": kg_bgp_star,
+        "kg_rdfstar": kg_rdfstar,
     }
 
 
@@ -1341,4 +1648,7 @@ def kgexport_oracle_sql() -> dict[str, str]:
         "kg_apply_delta": kg_apply_delta_sql(),
         "kg_negsample": kg_negsample_sql(),
         "kg_schema_infer": kg_schema_infer_sql(),
+        "kg_rdfs_closure": kg_rdfs_closure_sql(),
+        "kg_bgp_star": kg_bgp_star_sql(),
+        "kg_rdfstar": kg_rdfstar_sql(),
     }
