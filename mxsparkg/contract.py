@@ -2154,3 +2154,164 @@ def fn_binary(spark, sf):
         F.bit_length("text").cast("bigint").alias("n_bits"),
         F.octet_length("text").cast("bigint").alias("n_bytes"),
     )
+
+
+# Markov power-iteration constants: integer mass like kg_pagerank. SCALE is
+# sized so a term's product mass*n stays far inside int64 — mass <= 1e9 and
+# a single transition-pair count would need to exceed 9.2e9 events to
+# overflow (four orders past a 10^12-event-per-type-pair corpus slice).
+MARKOV_SCALE = 10**9
+MARKOV_ITERS = 3
+
+
+def _markov_x0_values() -> list[tuple[str, int]]:
+    return [(t, MARKOV_SCALE // len(EVENT_TYPES)) for t in EVENT_TYPES]
+
+
+def _markov_sql() -> str:
+    x0 = ", ".join(
+        f"('{t}', CAST({m} AS BIGINT))" for t, m in _markov_x0_values()
+    )
+    steps = []
+    prev = "x0"
+    for i in range(1, MARKOV_ITERS + 1):
+        steps.append(
+            f"""x{i} AS (
+        SELECT t.to_type AS state,
+               CAST(sum(x.mass * t.n // t.tot) AS BIGINT) AS mass
+        FROM tr t JOIN {prev} x ON x.state = t.from_type
+        GROUP BY t.to_type)"""
+        )
+        prev = f"x{i}"
+    chain = ",\n      ".join(steps)
+    return f"""
+      WITH p AS (
+        SELECT lag(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+               event_type AS to_type
+        FROM events),
+      c AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+      r AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        FROM c GROUP BY from_type),
+      tr AS (
+        SELECT c.from_type, c.to_type, c.n, r.tot
+        FROM c JOIN r USING (from_type)),
+      x0(state, mass) AS (VALUES {x0}),
+      {chain}
+      SELECT state, mass,
+             CAST(mass * 1000000 // (SELECT sum(mass) FROM {prev})
+                  AS BIGINT) AS p_ppm
+      FROM {prev} ORDER BY state
+    """
+
+
+@reg("evt_markov_stationary", _markov_sql())
+def evt_markov_stationary(spark, sf):
+    """Stationary distribution of the clickstream's first-order Markov
+    chain (where does a long session SPEND its time) — the analytical
+    closure of evt_transitions: build the same transition-count matrix,
+    then power-iterate an integer mass vector from uniform for
+    MARKOV_ITERS rounds. Every term floors identically in both engines
+    ((mass·n) div tot, all nonnegative bigints), and integer sums are
+    order-independent — so three rounds of matrix-vector product are
+    bit-stable at any parallelism, the same discipline as the
+    integer-mass PageRank.
+
+    Scale shape: ONE shuffle pays for everything big (the lag window on
+    user_id, shared with evt_transitions); after the pair rollup the
+    chain lives in |types|² rows, so the iteration is model-sized —
+    at 10^12 events the cost is the window, not the algebra. Dangling
+    states (no outgoing edges) would leak mass by design; the event
+    vocabulary is closed so each round conserves all but floor dust."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    c = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = c.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("tot"))
+    tr = c.join(r, "from_type").persist()
+    x = spark.createDataFrame(_markov_x0_values(), "state string, mass long")
+    for _ in range(MARKOV_ITERS):
+        x = (
+            tr.join(x, tr["from_type"] == x["state"])
+            .select(
+                F.col("to_type").alias("state"),
+                F.expr("mass * n div tot").alias("term"),
+            )
+            .groupBy("state")
+            .agg(F.sum("term").cast("bigint").alias("mass"))
+        )
+    # the vector is |types| rows by here — the unpartitioned window is a
+    # single model-sized partition, not a scale hazard
+    total = F.sum("mass").over(Window.partitionBy())
+    return (
+        x.withColumn("total_mass", total)
+        .select(
+            "state", "mass",
+            F.expr("(mass * 1000000) div total_mass").alias("p_ppm"),
+        )
+        .orderBy("state")
+    )
+
+
+# multiset reconciliation stride: small enough that every residual value
+# class is populated at sf0.01, large enough that counts differ per value
+SETOP_MOD = 97
+
+
+@reg("setop_all",
+     f"""WITH a AS (SELECT l_partkey % {SETOP_MOD} AS v FROM lineitem),
+       b AS (SELECT p_partkey % {SETOP_MOD} AS v FROM part),
+       ex AS (SELECT v FROM a EXCEPT ALL SELECT v FROM b),
+       ia AS (SELECT v FROM a INTERSECT ALL SELECT v FROM b),
+       exc AS (SELECT v, CAST(count(*) AS BIGINT) AS n_except
+               FROM ex GROUP BY v),
+       inc AS (SELECT v, CAST(count(*) AS BIGINT) AS n_intersect
+               FROM ia GROUP BY v)
+     SELECT COALESCE(exc.v, inc.v) AS v,
+            CAST(COALESCE(exc.n_except, 0) AS BIGINT) AS n_except,
+            CAST(COALESCE(inc.n_intersect, 0) AS BIGINT) AS n_intersect
+     FROM exc FULL OUTER JOIN inc ON inc.v = exc.v
+     ORDER BY v""")
+def setop_all(spark, sf):
+    """T4 multiset set-ops — EXCEPT ALL / INTERSECT ALL keep DUPLICITY,
+    the bag semantics reconciliation needs (T2/T3's set forms answer
+    'which values', these answer 'how many copies remain'): per residual
+    class v, |A∸B| = max(n_a−n_b, 0) copies survive the except and
+    min(n_a, n_b) the intersect. The full-outer recombination is itself
+    the join_full surface in anger — values fully consumed by the except
+    exist only on the intersect side.
+
+    Scale shape: Spark plans exceptAll/intersectAll as a counted
+    aggregate + generate (sum of signed multiplicities, then replicate),
+    NOT a join of exploded duplicates — one shuffle keyed on the value,
+    skew = the value distribution itself. The residual-class projection
+    reaches both scans."""
+    a = _t(spark, sf, "lineitem").select(
+        (F.col("l_partkey") % SETOP_MOD).alias("v"))
+    b = _t(spark, sf, "part").select(
+        (F.col("p_partkey") % SETOP_MOD).alias("v"))
+    exc = a.exceptAll(b).groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_except"))
+    inc = a.intersectAll(b).groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_intersect"))
+    return (
+        exc.join(inc, "v", "full")
+        .select(
+            "v",
+            F.coalesce("n_except", F.lit(0).cast("bigint"))
+            .alias("n_except"),
+            F.coalesce("n_intersect", F.lit(0).cast("bigint"))
+            .alias("n_intersect"),
+        )
+        .orderBy("v")
+    )

@@ -2317,6 +2317,157 @@ def graph_walk_sql() -> str:
     """
 
 
+def louvain_move(
+    edges: DataFrame, labels: DataFrame, m_edges: int
+) -> DataFrame:
+    """One synchronized Louvain phase-1 local-move pass: every node
+    evaluates, against the CURRENT assignment, the exact modularity gain
+    of moving into each neighboring community and takes the best strictly
+    positive move (ties → min community label). Synchronized evaluation —
+    all gains computed against the old labels, then applied at once — is
+    what makes the pass deterministic and partition-invariant, unlike
+    classic sequential Louvain whose result depends on visit order (the
+    reason vanilla Louvain can't be a cross-engine gate op).
+
+    Gain is kept EXACT by the modularity_stats trick — multiply ΔQ
+    through by 2m² so it's pure bigint:
+      gain(u: D→C) = 2m·(k_uC − k_uD) − k_u·(Σ_C − Σ_D + k_u)
+    (k_uX = edges from u into X, Σ_X = degree mass of X; u's own degree
+    leaves D, hence the +k_u). No floats, no division anywhere.
+
+    Scale posture: k_uC is ONE sym-edge⋈label hash join + a map-side-
+    combinable (u, C) rollup — the same shape as a min-label round, so it
+    scales like one; Σ rides a community-count-sized table; the argmax is
+    a per-u window over a few candidate rows (bounded by u's distinct
+    neighbor communities). `edges` is symmetric (src, dst); `labels` is
+    (src, label); returns (src, label, moved)."""
+    deg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .withColumnRenamed("src", "x")
+    )
+    sig = (
+        labels.join(deg, labels["src"] == deg["x"])
+        .groupBy("label").agg(F.sum("d").cast("bigint").alias("s"))
+    )
+    lab_dst = labels.select(F.col("src").alias("dst"),
+                            F.col("label").alias("c"))
+    nbr = (
+        edges.join(lab_dst, "dst")
+        .groupBy(F.col("src").alias("u"), "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k_uc"))
+    )
+    own = nbr.select(F.col("u").alias("src"), F.col("c").alias("dlab"),
+                     F.col("k_uc").alias("k_ud"))
+    base = (
+        labels.join(deg, labels["src"] == deg["x"])
+        .join(sig.select(F.col("label").alias("dlab_s"),
+                         F.col("s").alias("sig_d")),
+              labels["label"] == F.col("dlab_s"))
+        .join(own, (labels["src"] == own["src"])
+              & (labels["label"] == own["dlab"]), "left")
+        .select(labels["src"].alias("u"), labels["label"].alias("dlab"),
+                F.col("d").cast("bigint").alias("ku"), "sig_d",
+                F.coalesce("k_ud", F.lit(0).cast("bigint")).alias("k_ud"))
+    )
+    cand = (
+        base.join(nbr, "u")
+        .filter(F.col("c") != F.col("dlab"))
+        .join(sig.select(F.col("label").alias("c"),
+                         F.col("s").alias("sig_c")), "c")
+        .select(
+            "u", "c",
+            (F.lit(2 * m_edges).cast("bigint")
+             * (F.col("k_uc") - F.col("k_ud"))
+             - F.col("ku") * (F.col("sig_c") - F.col("sig_d")
+                              + F.col("ku"))).alias("gain"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.col("gain").desc(), "c")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("gain") > 0))
+        .select(F.col("u").alias("src"), F.col("c").alias("new_label"))
+    )
+    return (
+        labels.join(best, "src", "left")
+        .select(
+            "src",
+            F.coalesce("new_label", F.col("label")).alias("label"),
+            F.col("new_label").isNotNull().alias("moved"),
+        )
+    )
+
+
+def graph_louvain(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: one synchronized Louvain refinement pass over the
+    3-round min-label partition of the sparsified co-purchase graph —
+    the local-move machinery that turns G5/G12's
+    label-propagation-plus-score stack into an actual modularity
+    OPTIMIZER. Output: post-move community census (top-20 by size) with
+    the number of arrivals per community, so the hash certifies both
+    which moves fired and where they landed."""
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    sym = _symmetrize(und, "u", "v").persist()
+    lab = minlabel_propagate(sym, iters=MINLABEL_ITERS)
+    m_edges = int(und.agg(F.count(F.lit(1))).first()[0])
+    moved = louvain_move(sym, lab, m_edges)
+    return (
+        moved.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("moved").cast("long")).alias("n_moved_in"),
+        )
+        .orderBy(F.col("n_members").desc(), "label")
+        .limit(20)
+    )
+
+
+def graph_louvain_sql() -> str:
+    ctes, fin = _minlabel_ctes()
+    return f"""
+      WITH {ctes},
+      deg AS (SELECT src AS x, CAST(count(*) AS BIGINT) AS d
+              FROM sym GROUP BY src),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e),
+      sig AS (
+        SELECT p.label, CAST(sum(d.d) AS BIGINT) AS s
+        FROM {fin} p JOIN deg d ON d.x = p.src GROUP BY p.label),
+      nbr AS MATERIALIZED (
+        SELECT e2.src AS u, pl.label AS c, CAST(count(*) AS BIGINT) AS k_uc
+        FROM sym e2 JOIN {fin} pl ON pl.src = e2.dst
+        GROUP BY e2.src, pl.label),
+      base AS (
+        SELECT p.src AS u, p.label AS dlab, d.d AS ku, sd.s AS sig_d,
+               COALESCE(nd.k_uc, 0) AS k_ud
+        FROM {fin} p
+        JOIN deg d ON d.x = p.src
+        JOIN sig sd ON sd.label = p.label
+        LEFT JOIN nbr nd ON nd.u = p.src AND nd.c = p.label),
+      cand AS (
+        SELECT b.u, n.c,
+               2 * m.m_edges * (n.k_uc - b.k_ud)
+                 - b.ku * (sc.s - b.sig_d + b.ku) AS gain
+        FROM base b
+        JOIN nbr n ON n.u = b.u AND n.c <> b.dlab
+        JOIN sig sc ON sc.label = n.c
+        CROSS JOIN m),
+      best AS (
+        SELECT u, c FROM (
+          SELECT u, c, gain, row_number() OVER (
+                   PARTITION BY u ORDER BY gain DESC, c) AS rn
+          FROM cand) WHERE rn = 1 AND gain > 0),
+      newlab AS (
+        SELECT p.src, COALESCE(mv.c, p.label) AS label,
+               (mv.u IS NOT NULL) AS moved
+        FROM {fin} p LEFT JOIN best mv ON mv.u = p.src)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved_in
+      FROM newlab GROUP BY label
+      ORDER BY n_members DESC, label LIMIT 20
+    """
+
+
 def graphquery_queries() -> dict:
     return {
         "kg_pagerank": kg_pagerank,
@@ -2338,6 +2489,7 @@ def graphquery_queries() -> dict:
         "kg_er_jaccard": kg_er_jaccard,
         "kg_er_edit": kg_er_edit,
         "graph_scc": graph_scc,
+        "graph_louvain": graph_louvain,
     }
 
 
@@ -2362,4 +2514,5 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "kg_er_jaccard": kg_er_jaccard_sql(),
         "kg_er_edit": kg_er_edit_sql(),
         "graph_scc": graph_scc_sql(),
+        "graph_louvain": graph_louvain_sql(),
     }
