@@ -121,7 +121,17 @@ def headline_queries() -> dict:
               # the event family), whole-bit token entropy (explode +
               # double rollup), and the deterministic walk corpus
               # (4 frontier-vs-adjacency join rounds)
-              "evt_attribution", "txt_entropy", "graph_walk"):
+              "evt_attribution", "txt_entropy", "graph_walk",
+              # closing round-5 batch 2: one synchronized Louvain
+              # local-move pass (edge⋈label rollup + per-node argmax
+              # window over the min-label partition), RDFS entailment
+              # closure (ontology-space path doubling + ONE broadcast
+              # instance join), the 3-leg star BGP (partitioning reused
+              # across the subject-keyed join chain), and the Markov
+              # stationary vector (the T23' lag window + model-sized
+              # integer matvec rounds)
+              "graph_louvain", "kg_rdfs_closure", "kg_bgp_star",
+              "evt_markov_stationary"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

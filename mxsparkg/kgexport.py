@@ -1333,9 +1333,12 @@ def subclass_closure(subclass: DataFrame, max_iters: int = 16) -> DataFrame:
     in ONTOLOGY space (classes, not instances): the inputs and outputs are
     model-sized, the per-round count() fixpoint probe is cheap, and the
     per-round localCheckpoint truncates the doubling lineage exactly like
-    the graph iteratives. Raises rather than silently truncating if the
-    cap is hit without a fixpoint (a cycle in subClassOf is a modelling
-    bug this surfaces, not a case to paper over)."""
+    the graph iteratives. A subClassOf CYCLE saturates to full mutual
+    reachability (every class in the cycle ⊑ every other) — still a
+    fixpoint, pytest-pinned, so cyclic ontologies degrade to the
+    RDFS-correct equivalence rather than hanging; the cap only fires on
+    a hierarchy deeper than 2^max_iters, where it raises rather than
+    silently truncating the entailment."""
     closed = subclass.select("sub", "sup").distinct().localCheckpoint()
     n = closed.count()
     for _ in range(max_iters):

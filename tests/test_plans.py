@@ -423,3 +423,33 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert df.count() == sum(
         1 for i in range(1000) if i % 7 == 3 and i * 3 > 100
     )
+
+
+def test_round5c_batch_no_interpreted_join_no_python(spark):
+    """Closing-batch hygiene: Louvain local move, star BGP, Markov
+    stationary, multiset set-ops, and RDF-star export stay free of
+    interpreted joins, Cartesian products, and Python in the relational
+    path."""
+    from mxsparkg.contract import contract_queries
+    from mxsparkg.graphquery import graph_louvain
+    from mxsparkg.kgexport import kg_bgp_star, kg_rdfstar
+
+    q = contract_queries()
+    for fn in (graph_louvain, kg_bgp_star, kg_rdfstar,
+               q["evt_markov_stationary"], q["setop_all"]):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        name = getattr(fn, "__name__", str(fn))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
+
+
+def test_rdfs_closure_instance_join_is_broadcast(spark):
+    """The 100-TB contract of X17: the ontology closure rides a
+    BROADCAST into the instance-table join — the web-scale side must
+    never shuffle for the entailment."""
+    from mxsparkg.kgexport import kg_rdfs_closure
+
+    plan = _plan(kg_rdfs_closure(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
