@@ -131,7 +131,10 @@ def headline_queries() -> dict:
               # stationary vector (the T23' lag window + model-sized
               # integer matvec rounds)
               "graph_louvain", "kg_rdfs_closure", "kg_bgp_star",
-              "evt_markov_stationary"):
+              "evt_markov_stationary",
+              # Kleene-plus reorder-chain closure (min-plus doubling
+              # rounds) and the Louvain phase-2 supernode collapse
+              "kg_property_path", "graph_coarsen"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

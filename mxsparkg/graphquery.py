@@ -2398,6 +2398,65 @@ def louvain_move(
     )
 
 
+def louvain_aggregate(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Louvain phase-2 coarsening: collapse a community assignment into
+    its supernode graph — one weighted edge per community pair (ca ≤ cb,
+    weight = inter-community edge count; ca == cb rows carry the
+    intra-community self-loop weight the next move pass needs). With
+    louvain_move this completes the Louvain loop: move until no gain,
+    coarsen, recurse on a graph that is communities-sized, not
+    nodes-sized — the property that makes hierarchical community
+    detection tractable at 10^9 nodes.
+
+    Scale shape: two label hash joins (broadcast when the assignment
+    fits, AQE decides) + ONE map-side-combinable groupBy on the
+    normalized (least, greatest) pair — the canonical orientation means
+    both directions of an inter-community edge combine map-side instead
+    of surviving as two rows. Input `edges` is oriented distinct (u, v);
+    output is oriented distinct (ca, cb, weight)."""
+    lu = labels.select(F.col("src").alias("u"), F.col("label").alias("cu"))
+    lv = labels.select(F.col("src").alias("v"), F.col("label").alias("cv"))
+    return (
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .select(
+            F.least("cu", "cv").alias("ca"),
+            F.greatest("cu", "cv").alias("cb"),
+        )
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+
+
+def graph_coarsen(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: the supernode graph of the 3-round min-label partition
+    on the sparsified co-purchase graph — top-30 super-edges by weight.
+    Self-loops (intra-community mass) and inter-community edges both
+    appear, so the hash certifies the full phase-2 contract, not just
+    the cut."""
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    lab = minlabel_propagate(_symmetrize(und, "u", "v"),
+                             iters=MINLABEL_ITERS)
+    return (
+        louvain_aggregate(und, lab)
+        .orderBy(F.col("weight").desc(), "ca", "cb")
+        .limit(30)
+    )
+
+
+def graph_coarsen_sql() -> str:
+    ctes, fin = _minlabel_ctes()
+    return f"""
+      WITH {ctes}
+      SELECT least(a.label, b.label) AS ca,
+             greatest(a.label, b.label) AS cb,
+             CAST(count(*) AS BIGINT) AS weight
+      FROM e JOIN {fin} a ON a.src = e.u JOIN {fin} b ON b.src = e.v
+      GROUP BY 1, 2
+      ORDER BY weight DESC, ca, cb LIMIT 30
+    """
+
+
 def graph_louvain(spark: SparkSession, sf: str) -> DataFrame:
     """Gate key: one synchronized Louvain refinement pass over the
     3-round min-label partition of the sparsified co-purchase graph —
@@ -2490,6 +2549,7 @@ def graphquery_queries() -> dict:
         "kg_er_edit": kg_er_edit,
         "graph_scc": graph_scc,
         "graph_louvain": graph_louvain,
+        "graph_coarsen": graph_coarsen,
     }
 
 
@@ -2515,4 +2575,5 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "kg_er_edit": kg_er_edit_sql(),
         "graph_scc": graph_scc_sql(),
         "graph_louvain": graph_louvain_sql(),
+        "graph_coarsen": graph_coarsen_sql(),
     }

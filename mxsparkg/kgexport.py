@@ -1462,6 +1462,100 @@ def kg_rdfs_closure_sql() -> str:
     """
 
 
+PATH_MAX_HOPS = 4  # gate bound for the Kleene-plus key (power of two)
+
+
+def property_path(edges: DataFrame, max_hops: int = PATH_MAX_HOPS) -> DataFrame:
+    """Bounded SPARQL property path `p+`: all (src, dst, min_hops) pairs
+    reachable via 1..max_hops repetitions of one predicate's edges — the
+    query shape behind `?x knows+ ?y` / category ancestors / redirect
+    chains. Min-plus path DOUBLING (Rₖ₊₁ = min-merge(Rₖ, Rₖ∘Rₖ)), so
+    ceil(log2(max_hops)) rounds instead of max_hops chain joins; each
+    round filters hops ≤ max_hops BEFORE the merge so intermediate
+    products never outgrow the answer, and localCheckpoint truncates the
+    doubling lineage (the graph_scc discipline). min() over hop sums is
+    exact — no floats anywhere."""
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max_hops)))
+    r = (
+        edges.select("src", "dst").distinct()
+        .withColumn("hops", F.lit(1).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        comp = (
+            r.alias("a")
+            .join(r.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(
+                F.col("a.src").alias("src"), F.col("b.dst").alias("dst"),
+                (F.col("a.hops") + F.col("b.hops")).alias("hops"),
+            )
+            .filter(F.col("hops") <= max_hops)
+        )
+        r = (
+            r.unionByName(comp)
+            .groupBy("src", "dst")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+    return r
+
+
+def kg_property_path(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: `next_order+` over the per-customer reorder chain (each
+    order points at the customer's next order by date) — per hop count,
+    how many (earlier, later) order pairs are within that many chain
+    steps, and how many distinct start orders have one. The chain is built
+    by ONE lead window; the closure must then discover pairs at hop 2, 3,
+    4 that no single edge asserts, and min-hops must pick the direct edge
+    over any longer route. The DuckDB oracle is a genuine WITH RECURSIVE —
+    cross-engine closure semantics, not an unrolled mirror."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    succ = (
+        o.select(
+            F.col("o_orderkey").alias("src"),
+            F.lead("o_orderkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    reach = property_path(succ, PATH_MAX_HOPS)
+    return (
+        reach.groupBy("hops")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("src").alias("n_src"),
+        )
+        .orderBy("hops")
+    )
+
+
+def kg_property_path_sql() -> str:
+    return f"""
+      WITH RECURSIVE
+      succ AS (
+        SELECT o_orderkey AS src,
+               lead(o_orderkey) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS dst
+        FROM orders),
+      e AS (SELECT src, dst FROM succ WHERE dst IS NOT NULL),
+      reach(src, dst, hops) AS (
+        SELECT src, dst, 1 FROM e
+        UNION
+        SELECT r.src, e.dst, r.hops + 1
+        FROM reach r JOIN e ON e.src = r.dst
+        WHERE r.hops < {PATH_MAX_HOPS}),
+      mn AS (
+        SELECT src, dst, CAST(min(hops) AS BIGINT) AS hops
+        FROM reach GROUP BY src, dst)
+      SELECT hops, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT src) AS BIGINT) AS n_src
+      FROM mn GROUP BY hops ORDER BY hops
+    """
+
+
 def bgp_star(triples: DataFrame, preds: list[str]) -> DataFrame:
     """Star-shaped BGP `?x p1 ?v1 . ?x p2 ?v2 . …` — the other canonical
     SPARQL join shape next to bgp_2hop's chain: k legs sharing the
@@ -1635,6 +1729,7 @@ def kgexport_queries() -> dict:
         "kg_rdfs_closure": kg_rdfs_closure,
         "kg_bgp_star": kg_bgp_star,
         "kg_rdfstar": kg_rdfstar,
+        "kg_property_path": kg_property_path,
     }
 
 
@@ -1654,4 +1749,5 @@ def kgexport_oracle_sql() -> dict[str, str]:
         "kg_rdfs_closure": kg_rdfs_closure_sql(),
         "kg_bgp_star": kg_bgp_star_sql(),
         "kg_rdfstar": kg_rdfstar_sql(),
+        "kg_property_path": kg_property_path_sql(),
     }

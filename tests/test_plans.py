@@ -431,11 +431,12 @@ def test_round5c_batch_no_interpreted_join_no_python(spark):
     interpreted joins, Cartesian products, and Python in the relational
     path."""
     from mxsparkg.contract import contract_queries
-    from mxsparkg.graphquery import graph_louvain
-    from mxsparkg.kgexport import kg_bgp_star, kg_rdfstar
+    from mxsparkg.graphquery import graph_coarsen, graph_louvain
+    from mxsparkg.kgexport import kg_bgp_star, kg_property_path, kg_rdfstar
 
     q = contract_queries()
-    for fn in (graph_louvain, kg_bgp_star, kg_rdfstar,
+    for fn in (graph_louvain, graph_coarsen, kg_bgp_star, kg_rdfstar,
+               kg_property_path,
                q["evt_markov_stationary"], q["setop_all"]):
         plan = _plan(fn(spark, "/root/testdata/sf0.001"))
         name = getattr(fn, "__name__", str(fn))

@@ -210,3 +210,48 @@ def test_rdfstar_line_shape(spark, sf001):
     assert lines, "rdfstar export empty at sf0.001"
     for ln in lines:
         assert pat.match(ln), ln
+
+
+# -------------------------------------------------- property path p+ ----
+
+def test_property_path_chain_min_hops(spark):
+    """On a 10-node chain with max_hops=4, reach is exactly the pairs
+    (i, j) with 1 ≤ j−i ≤ 4 and min_hops = j−i."""
+    from mxsparkg.kgexport import property_path
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    got = {(r.src, r.dst): r.hops for r in property_path(e, 4).collect()}
+    want = {(i, j): j - i for i in range(10) for j in range(10)
+            if 1 <= j - i <= 4 and j <= 9}
+    assert got == want
+
+
+def test_property_path_prefers_direct_edge(spark):
+    """A direct edge beats a longer route: with 0→1→2→3 and a shortcut
+    0→3, min_hops(0, 3) must be 1."""
+    from mxsparkg.kgexport import property_path
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long"
+    )
+    got = {(r.src, r.dst): r.hops for r in property_path(e, 4).collect()}
+    assert got[(0, 3)] == 1
+    assert got[(1, 3)] == 2
+
+
+# --------------------------------------------------- Louvain phase 2 ----
+
+def test_louvain_aggregate_planted(spark):
+    """Two 4-cliques + one bridge, correctly labeled: the supernode graph
+    is exactly two self-loops of weight 6 and one cut edge of weight 1."""
+    from mxsparkg.graphquery import louvain_aggregate
+
+    und, _ = _planted_two_cliques(spark)
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 4 else 4) for i in range(8)], "src long, label long"
+    )
+    got = {(r.ca, r.cb): r.weight
+           for r in louvain_aggregate(und, labels).collect()}
+    assert got == {(0, 0): 6, (4, 4): 6, (0, 4): 1}
