@@ -24,6 +24,11 @@ ops:
   walk        deterministic DeepWalk-style random-walk corpus over the
               symmetrized subj/obj graph (md5-driven hops — reproducible;
               --iters = walk length, --seed-mod = seed sampling rate)
+  louvain     min-label init + ONE synchronized Louvain local-move pass
+              over the undirected subj/obj graph: writes the full
+              (src, label, moved) assignment (--iters = init rounds)
+  coarsen     Louvain phase-2 supernode graph of the min-label communities:
+              (ca, cb, weight) with self-loop rows carrying intra mass
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -44,7 +49,7 @@ def main() -> None:
     ap.add_argument("--op", required=True,
                     choices=["salience", "triangles", "components", "scc",
                              "modularity", "linkpred", "assortativity",
-                             "walk"])
+                             "walk", "louvain", "coarsen"])
     ap.add_argument("--edges", required=True,
                     help="pipeline edges parquet (subj, pred, obj, n_support)")
     ap.add_argument("--nodes", default=None,
@@ -137,6 +142,22 @@ def main() -> None:
             )
         )
         out_df = gq.random_walks(sym, seeds, steps=args.iters)
+    elif args.op in ("louvain", "coarsen"):
+        und = (
+            edges.select(
+                F.least("subj", "obj").alias("u"),
+                F.greatest("subj", "obj").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        sym = gq._symmetrize(und, "u", "v").persist()
+        lab = gq.minlabel_propagate(sym, iters=args.iters)
+        if args.op == "louvain":
+            m_edges = und.count()
+            out_df = gq.louvain_move(sym, lab, m_edges)
+        else:
+            out_df = gq.louvain_aggregate(und, lab)
     elif args.op == "assortativity":
         und = (
             edges.select(

@@ -155,7 +155,7 @@ def test_graph_analytics_ops(cli, spark):
     ep = f"{ROOT}/ga_edges"
     edges.write.mode("overwrite").parquet(ep)
     for op in ("triangles", "modularity", "linkpred", "assortativity",
-               "scc"):
+               "scc", "louvain", "coarsen"):
         res = cli("graph_analytics", [
             "--op", op, "--edges", ep, "--out", f"{ROOT}/ga_{op}",
             "--iters", "3",
