@@ -2315,3 +2315,273 @@ def setop_all(spark, sf):
         )
         .orderBy("v")
     )
+
+
+# ------------------------------------------- round-5d batch: interval join,
+# null-safe join, column profiling ------------------------------------------
+
+# Interval-overlap join bucket width, in days. The scale rule: pick the
+# bucket near the MEDIAN interval length — shorter buckets explode the
+# fanout of long intervals, longer buckets pack unrelated intervals into
+# one bucket and push work into the post-join filter. Both gate sides
+# have intervals <= 25 days, so 32 keeps every interval in <= 2 buckets.
+INTERVAL_BUCKET_DAYS = 32
+_US_PER_DAY = 86_400_000_000
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str = "a_lo",
+    a_hi: str = "a_hi",
+    b_lo: str = "b_lo",
+    b_hi: str = "b_hi",
+    bucket: int = INTERVAL_BUCKET_DAYS,
+) -> DataFrame:
+    """Scale-safe interval-overlap join: rows (a, b) where
+    [a_lo, a_hi] ∩ [b_lo, b_hi] ≠ ∅ (closed integer intervals).
+
+    A raw overlap theta-join plans BroadcastNestedLoopJoin — O(|A|·|B|)
+    and interpreted, unusable past toy sizes. This is the standard
+    bucketized formulation instead: each interval explodes to the coarse
+    buckets it covers (F.sequence over lo div bucket .. hi div bucket),
+    the join becomes an EQUI-join on the bucket id (hash-partitionable,
+    AQE-skew-splittable), the exact overlap predicate filters the bucket
+    cohabitants, and DISTINCT collapses pairs that met in several buckets.
+    Cost is Σ_bucket |A_b|·|B_b| — bounded by the time-locality of the
+    data instead of |A|·|B|; hot buckets (everything overlaps Christmas)
+    are plain join skew, handled by AQE like any other hot key.
+
+    Both inputs keep all their columns; the caller dedupes on its own
+    pair identity (bucket multiplicity is at most
+    ceil(len/bucket)+1 per side)."""
+    ab = a.withColumn(
+        "_bk",
+        F.explode(F.expr(f"sequence({a_lo} div {bucket}, {a_hi} div {bucket})")),
+    )
+    bb = b.withColumn(
+        "_bk",
+        F.explode(F.expr(f"sequence({b_lo} div {bucket}, {b_hi} div {bucket})")),
+    )
+    return (
+        ab.join(bb, "_bk")
+        .filter((F.col(a_lo) <= F.col(b_hi)) & (F.col(b_lo) <= F.col(a_hi)))
+        .drop("_bk")
+    )
+
+
+@reg("join_interval",
+     """WITH a AS (
+       SELECT o_orderkey,
+              CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS a_lo,
+              CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                + o_orderkey % 20 AS a_hi
+       FROM orders WHERE o_orderkey % 17 = 0),
+     b AS (
+       SELECT n_nationkey,
+              9131 + n_nationkey * 40 AS b_lo,
+              9131 + n_nationkey * 40 + 25 AS b_hi
+       FROM nation)
+     SELECT n_nationkey,
+            CAST(count(*) AS BIGINT) AS n_overlaps,
+            CAST(sum(least(a_hi, b_hi) - greatest(a_lo, b_lo) + 1)
+                 AS BIGINT) AS overlap_days
+     FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+     GROUP BY 1 ORDER BY n_nationkey""")
+def join_interval(spark, sf):
+    """J11 interval-overlap join — order activity windows x nation
+    promo windows, the temporal-join shape (valid-time KG facts, session
+    x campaign, reservation conflicts) that equi-joins cannot express.
+    The oracle runs the plain theta-join; this runs the bucketized
+    equi-join plan (interval_overlap_join above) — value-hash equality
+    IS the certificate that the bucket decomposition computes the exact
+    theta-join pair set, duplicates collapsed, none dropped at bucket
+    boundaries (intervals here straddle them by construction: lengths
+    up to 25 vs bucket 32).
+
+    Time base: exact integer epoch-days (unix_micros div 86_400_000_000
+    — the sessionize discipline; TPC-H dates are all post-1970 so the
+    floor-vs-truncate div distinction never fires). 9131 = epoch day of
+    1995-01-01, planting the 25 nation windows mid-corpus so every one
+    genuinely overlaps orders."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    # o_orderdate is TIMESTAMP_NTZ: unix_micros() rejects it (the
+    # sessionize lesson) — unix_date over the date part is the zone-free
+    # exact epoch-day integer, == DuckDB's date subtraction.
+    a = o.select(
+        "o_orderkey",
+        F.expr("unix_date(cast(o_orderdate as date))").alias("a_lo"),
+        F.expr("unix_date(cast(o_orderdate as date))"
+               " + o_orderkey % 20").alias("a_hi"),
+    )
+    n = _t(spark, sf, "nation")
+    b = n.select(
+        "n_nationkey",
+        (F.lit(9131) + F.col("n_nationkey") * 40).alias("b_lo"),
+        (F.lit(9131) + F.col("n_nationkey") * 40 + 25).alias("b_hi"),
+    )
+    pairs = (
+        interval_overlap_join(a, b)
+        .select(
+            "o_orderkey", "n_nationkey",
+            (F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo") + 1)
+            .alias("ov"),
+        )
+        .distinct()  # pair identity: bucket multiplicity collapsed
+    )
+    return (
+        pairs.groupBy("n_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum("ov").cast("bigint").alias("overlap_days"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@reg("join_nullsafe",
+     """WITH neg AS (
+       SELECT nullif(c_mktsegment, 'BUILDING') AS band,
+              CAST(count(*) AS BIGINT) AS n_neg
+       FROM customer WHERE c_acctbal < 0 GROUP BY 1),
+     pos AS (
+       SELECT nullif(c_mktsegment, 'BUILDING') AS band,
+              CAST(count(*) AS BIGINT) AS n_pos
+       FROM customer WHERE c_acctbal >= 0 GROUP BY 1)
+     SELECT neg.band, n_neg, n_pos
+     FROM neg JOIN pos ON neg.band IS NOT DISTINCT FROM pos.band
+     ORDER BY neg.band NULLS FIRST""")
+def join_nullsafe(spark, sf):
+    """J12 null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    reconciliation-join companion to join_full for when the KEY ITSELF
+    is nullable (unknown segment, unresolved entity): ordinary `=` drops
+    every NULL-keyed row from both sides silently; `<=>` matches
+    NULL to NULL exactly once. The BUILDING segment is nulled via
+    nullif on both sides, so the NULL⟷NULL row surviving in the output
+    (with both counts) is the certificate — under a plain equi-join the
+    row vanishes and the hash changes.
+
+    Scale shape: Spark plans `<=>` as a normal hash join (the key
+    tuple's null bit participates in hashing), NOT a nested loop — same
+    shuffle cost as `=`; the NULL key is one more (possibly hot) key,
+    AQE-splittable like any other."""
+    c = _t(spark, sf, "customer")
+    band = F.expr("nullif(c_mktsegment, 'BUILDING')")
+    neg = (
+        c.filter(F.col("c_acctbal") < 0)
+        .groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neg"))
+    )
+    pos = (
+        c.filter(F.col("c_acctbal") >= 0)
+        .groupBy(band.alias("band_p"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pos"))
+    )
+    return (
+        neg.join(pos, neg.band.eqNullSafe(pos.band_p))
+        .select("band", "n_neg", "n_pos")
+        .orderBy(F.col("band").asc_nulls_first())
+    )
+
+
+@reg("profile_table",
+     """WITH t AS (SELECT o_custkey, nullif(o_orderstatus, 'P') AS st,
+                          o_orderpriority, o_orderdate FROM orders),
+     n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM t)
+     SELECT 'o_custkey' AS col_name, n_rows,
+            n_rows - CAST(count(o_custkey) AS BIGINT) AS n_null,
+            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+            CAST(min(o_custkey) AS VARCHAR) AS min_s,
+            CAST(max(o_custkey) AS VARCHAR) AS max_s
+     FROM t, n GROUP BY n_rows
+     UNION ALL
+     SELECT 'o_orderstatus', n_rows,
+            n_rows - CAST(count(st) AS BIGINT),
+            CAST(count(DISTINCT st) AS BIGINT),
+            min(st), max(st)
+     FROM t, n GROUP BY n_rows
+     UNION ALL
+     SELECT 'o_orderpriority', n_rows,
+            n_rows - CAST(count(o_orderpriority) AS BIGINT),
+            CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+            min(o_orderpriority), max(o_orderpriority)
+     FROM t, n GROUP BY n_rows
+     UNION ALL
+     SELECT 'o_orderdate', n_rows,
+            n_rows - CAST(count(o_orderdate) AS BIGINT),
+            CAST(count(DISTINCT o_orderdate) AS BIGINT),
+            strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+            strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+     FROM t, n GROUP BY n_rows
+     ORDER BY col_name""")
+def profile_table(spark, sf):
+    """P5 column profiling — the data-quality pass every ingest runs
+    before trusting a new snapshot (null rates, cardinalities, ranges
+    per column; schema-drift alarms diff two of these tables). ONE scan
+    computes every per-column statistic as sibling aggregates (count /
+    count-distinct / min / max per column), then the single result row
+    unnests to long form driver-free via explode of a struct array —
+    the unpivot trick, no second job, no per-column scans. o_orderstatus
+    is nulled on 'P' via nullif so the null-counting path is live, not
+    vacuously zero.
+
+    Scale shape: the only shuffle is the aggregate itself; the N
+    count-distincts make Catalyst plan an Expand (N× the scan rows
+    map-side, standard multi-distinct) — at 10^12 rows you swap exact
+    distinct for approx_count_distinct per column, which collapses the
+    Expand into one mergeable-sketch pass (the agg_approx_distinct
+    precedent). min/max render as strings so one profile schema fits
+    every column type cross-engine."""
+    t = _t(spark, sf, "orders").select(
+        "o_custkey",
+        F.expr("nullif(o_orderstatus, 'P')").alias("st"),
+        "o_orderpriority",
+        "o_orderdate",
+    )
+    row = t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("string").alias("mn_ck"),
+        F.max("o_custkey").cast("string").alias("mx_ck"),
+        F.count("st").alias("nn_st"),
+        F.countDistinct("st").alias("nd_st"),
+        F.min("st").alias("mn_st"),
+        F.max("st").alias("mx_st"),
+        F.count("o_orderpriority").alias("nn_pr"),
+        F.countDistinct("o_orderpriority").alias("nd_pr"),
+        F.min("o_orderpriority").alias("mn_pr"),
+        F.max("o_orderpriority").alias("mx_pr"),
+        F.count("o_orderdate").alias("nn_dt"),
+        F.countDistinct("o_orderdate").alias("nd_dt"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+        .alias("mn_dt"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+        .alias("mx_dt"),
+    )
+
+    def _prof(name, nn, nd, mn, mx):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(nn)).alias("n_null"),
+            F.col(nd).alias("n_distinct"),
+            F.col(mn).alias("min_s"),
+            F.col(mx).alias("max_s"),
+        )
+
+    return (
+        row.select(
+            F.explode(
+                F.array(
+                    _prof("o_custkey", "nn_ck", "nd_ck", "mn_ck", "mx_ck"),
+                    _prof("o_orderstatus", "nn_st", "nd_st", "mn_st", "mx_st"),
+                    _prof("o_orderpriority", "nn_pr", "nd_pr",
+                          "mn_pr", "mx_pr"),
+                    _prof("o_orderdate", "nn_dt", "nd_dt", "mn_dt", "mx_dt"),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .orderBy("col_name")
+    )

@@ -2527,6 +2527,73 @@ def graph_louvain_sql() -> str:
     """
 
 
+def message_pass_mean(edges_sym: DataFrame, feats: DataFrame) -> DataFrame:
+    """One GNN-style mean-aggregation message-passing round (the
+    GraphSAGE-mean / GCN layer DATA shape, before any learned weights):
+    h1(u) = (h0(u) + Σ_{v∈N(u)} h0(v)) div (1 + deg(u)) — the node's own
+    feature folded in as a self-loop, integer mean so the result is
+    exact and partition-order-independent (the integer-mass PageRank
+    discipline; a float mean would hash-drift on summation order).
+
+    `edges_sym`: symmetric (src, dst); `feats`: (node, h0 bigint).
+    Scale shape: ONE edge⋈feature equi-join on dst (the feature table
+    rides broadcast while it fits, hash-partitioned when it doesn't) +
+    one map-side-combinable (sum, count) rollup on src — the exact cost
+    of a min-label round; k layers = k such passes. Learned weights
+    would multiply AFTER the rollup (|nodes|-sized), never on messages."""
+    msg = edges_sym.join(
+        feats.select(F.col("node").alias("dst"), F.col("h0").alias("h_nbr")),
+        "dst",
+    )
+    acc = msg.groupBy(F.col("src").alias("node")).agg(
+        F.sum("h_nbr").alias("h_sum"),
+        F.count(F.lit(1)).alias("deg"),
+    )
+    return (
+        feats.join(acc, "node", "left")
+        .select(
+            "node",
+            F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"),
+            F.expr(
+                "(h0 + coalesce(h_sum, 0)) div (1 + coalesce(deg, 0))"
+            ).alias("h1"),
+        )
+    )
+
+
+def graph_msgpass(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: one integer mean-aggregation message-passing layer over
+    the sparsified co-purchase graph (isolated nodes impossible here —
+    every node has an edge — so the left-join null arm is exercised by
+    the pytest, the div-exactness by the gate). h0(v) = v % 1000 + 1:
+    a deterministic nonconstant feature, so unequal neighborhoods give
+    unequal means and the value hash discriminates real mixing."""
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    sym = _symmetrize(und, "u", "v")
+    nodes = (
+        sym.select(F.col("src").alias("node")).distinct()
+    )
+    feats = nodes.select("node", (F.col("node") % 1000 + 1).alias("h0"))
+    return message_pass_mean(sym, feats).orderBy("node")
+
+
+def graph_msgpass_sql() -> str:
+    return f"""
+      WITH {_copurchase_ctes()},
+      nodes AS (SELECT DISTINCT src AS node FROM sym),
+      feats AS (SELECT node, node % 1000 + 1 AS h0 FROM nodes),
+      acc AS (
+        SELECT s.src AS node, sum(f.h0) AS h_sum,
+               CAST(count(*) AS BIGINT) AS deg
+        FROM sym s JOIN feats f ON f.node = s.dst
+        GROUP BY s.src)
+      SELECT f.node, COALESCE(a.deg, 0) AS deg,
+             (f.h0 + COALESCE(a.h_sum, 0)) // (1 + COALESCE(a.deg, 0)) AS h1
+      FROM feats f LEFT JOIN acc a ON a.node = f.node
+      ORDER BY f.node
+    """
+
+
 def graphquery_queries() -> dict:
     return {
         "kg_pagerank": kg_pagerank,
@@ -2550,6 +2617,7 @@ def graphquery_queries() -> dict:
         "graph_scc": graph_scc,
         "graph_louvain": graph_louvain,
         "graph_coarsen": graph_coarsen,
+        "graph_msgpass": graph_msgpass,
     }
 
 
@@ -2576,4 +2644,5 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_scc": graph_scc_sql(),
         "graph_louvain": graph_louvain_sql(),
         "graph_coarsen": graph_coarsen_sql(),
+        "graph_msgpass": graph_msgpass_sql(),
     }

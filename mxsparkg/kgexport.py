@@ -1713,6 +1713,257 @@ def kg_rdfstar_sql() -> str:
     """
 
 
+def bgp_optional(
+    triples: DataFrame, required_pred: str, optional_pred: str
+) -> DataFrame:
+    """SPARQL OPTIONAL — `?x req ?v . OPTIONAL { ?x opt ?w }` compiles to
+    a LEFT OUTER join of the two pred-filtered legs on the shared
+    subject: rows where the optional pattern has no match survive with
+    w = NULL (SPARQL's unbound), never drop. This is the algebra's
+    LeftJoin operator; both pred equalities reach the scan as
+    PushedFilters (partition pruning under PARTITIONED BY pred)."""
+    req = triples.filter(F.col("pred") == required_pred).select(
+        F.col("subj").alias("x"), F.col("obj").alias("v")
+    )
+    opt = triples.filter(F.col("pred") == optional_pred).select(
+        F.col("subj").alias("x"), F.col("obj").alias("w")
+    )
+    return req.join(opt, "x", "left")
+
+
+def bgp_not_exists(
+    triples: DataFrame, required_pred: str, absent_pred: str
+) -> DataFrame:
+    """SPARQL FILTER NOT EXISTS — `?x req ?v . FILTER NOT EXISTS
+    { ?x absent ?y }` compiles to a LEFT ANTI join of the required leg
+    against the (distinct-subject) absent leg: the negation-as-failure
+    operator, the shape of every blocklist / already-processed /
+    missing-property query. ANTI (not a null-filtered outer join) keeps
+    the build side subject-distinct and never widens the output."""
+    req = triples.filter(F.col("pred") == required_pred).select(
+        F.col("subj").alias("x"), F.col("obj").alias("v")
+    )
+    absent = triples.filter(F.col("pred") == absent_pred).select(
+        F.col("subj").alias("x")
+    )
+    return req.join(absent, "x", "left_anti")
+
+
+BGP_FLAG_MOD = 7  # 1-in-7 customers carry the `flagged` triple
+
+
+def _bgp_customer_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared triple table for the OPTIONAL / NOT EXISTS keys:
+    `in_nation` for every customer, `acct_band` only for nonnegative
+    balances (the optional leg's genuinely-missing rows), `flagged` for
+    every 7th customer (the negation leg), plus a `label` pred that
+    never reaches any join — the pruning certificate (kg_bgp_star
+    trick)."""
+    cust = _t(spark, sf, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(2500)).cast("long")
+    subj = iri("cust", F.col("c_custkey"))
+    return (
+        cust.select(
+            subj.alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            iri("nat", F.col("c_nationkey")).alias("obj"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_acctbal") >= 0).select(
+                subj.alias("subj"),
+                F.lit("acct_band").alias("pred"),
+                band.cast("string").alias("obj"),
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % BGP_FLAG_MOD == 0).select(
+                subj.alias("subj"),
+                F.lit("flagged").alias("pred"),
+                F.lit("true").alias("obj"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                subj.alias("subj"),
+                F.lit("label").alias("pred"),
+                F.col("c_name").alias("obj"),
+            )
+        )
+    )
+
+
+_BGP_TRIPLES_CTE = f"""triples AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+               'in_nation' AS pred,
+               '<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>' AS obj
+        FROM customer
+        UNION ALL
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>',
+               'acct_band',
+               CAST(CAST(floor(c_acctbal / 2500) AS BIGINT) AS VARCHAR)
+        FROM customer WHERE c_acctbal >= 0
+        UNION ALL
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>',
+               'flagged', 'true'
+        FROM customer WHERE c_custkey % {BGP_FLAG_MOD} = 0
+        UNION ALL
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>',
+               'label', c_name
+        FROM customer)"""
+
+
+def kg_bgp_optional(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: OPTIONAL over customer triples — nation census split by
+    (possibly unbound) account band. Negative-balance customers carry no
+    acct_band triple, so the NULL-band rows in the census are live at
+    every gate SF: a LeftJoin that degenerates to inner certifies
+    nothing (the join_full lesson). Unbound band is emitted RAW (not
+    coalesced) so the value hash certifies SPARQL's unbound semantics."""
+    triples = _bgp_customer_triples(spark, sf)
+    rows = bgp_optional(triples, "in_nation", "acct_band")
+    return (
+        rows.groupBy(F.col("v").alias("nat"), F.col("w").alias("band"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .orderBy(F.col("nat"), F.col("band").asc_nulls_first())
+    )
+
+
+def kg_bgp_optional_sql() -> str:
+    return f"""
+      WITH {_BGP_TRIPLES_CTE},
+      req AS (SELECT subj AS x, obj AS v FROM triples
+              WHERE pred = 'in_nation'),
+      opt AS (SELECT subj AS x, obj AS w FROM triples
+              WHERE pred = 'acct_band')
+      SELECT req.v AS nat, opt.w AS band,
+             CAST(count(*) AS BIGINT) AS n_cust
+      FROM req LEFT JOIN opt ON req.x = opt.x
+      GROUP BY 1, 2 ORDER BY nat, band NULLS FIRST
+    """
+
+
+def kg_bgp_negation(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: FILTER NOT EXISTS over customer triples — per-nation
+    census of customers WITHOUT the `flagged` triple. n_clean is a
+    strict subset count (flag mod plants 1-in-7 flagged), so an anti
+    join that silently behaved as semi or inner flips the hash."""
+    triples = _bgp_customer_triples(spark, sf)
+    rows = bgp_not_exists(triples, "in_nation", "flagged")
+    return (
+        rows.groupBy(F.col("v").alias("nat"))
+        .agg(F.count(F.lit(1)).alias("n_clean"))
+        .orderBy("nat")
+    )
+
+
+def kg_bgp_negation_sql() -> str:
+    return f"""
+      WITH {_BGP_TRIPLES_CTE},
+      req AS (SELECT subj AS x, obj AS v FROM triples
+              WHERE pred = 'in_nation'),
+      flg AS (SELECT subj AS x FROM triples WHERE pred = 'flagged')
+      SELECT req.v AS nat, CAST(count(*) AS BIGINT) AS n_clean
+      FROM req ANTI JOIN flg ON req.x = flg.x
+      GROUP BY 1 ORDER BY nat
+    """
+
+
+CASCADE_DEL_MOD = 4  # nation pages with n_nationkey % 4 == 1 are deleted
+
+
+def cascade_delete(
+    triples: DataFrame, deleted_urls: DataFrame
+) -> DataFrame:
+    """GDPR/takedown deletion propagation: drop every triple whose
+    provenance url is in the deletion set (LEFT ANTI on url — the
+    deletion set is a table, never a broadcast IN-list, because legal
+    holds grow unboundedly), returning the surviving triples. Node-level
+    cascade is a CONSEQUENCE, not a step: a node is orphaned exactly
+    when no surviving triple mentions it — materialize nodes from the
+    survivors (the house nodes/edges discipline) and orphans disappear
+    without ever being enumerated."""
+    return triples.join(deleted_urls, "url", "left_anti")
+
+
+def kg_cascade_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: takedown cascade over provenance-carrying claims. Each
+    customer's in_nation claim cites its nation's page (url = page per
+    nation), every 4th-plus-1 nation page is taken down; the census
+    certifies BOTH directions — deleted nations survive with n_after=0 /
+    orphaned=1 (the nation NODE has lost every mention), kept nations
+    with n_after == n_before / orphaned=0. The all-nations left join is
+    what makes zero-survivor groups visible at all: a groupBy of the
+    survivors alone silently omits exactly the rows the audit is about."""
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    claims = cust.select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        iri("nat", F.col("c_nationkey")).alias("obj"),
+        F.concat(
+            F.lit("https://ex.org/nation/"), F.col("c_nationkey")
+        ).alias("url"),
+    )
+    deleted = nat.filter(
+        F.col("n_nationkey") % CASCADE_DEL_MOD == 1
+    ).select(
+        F.concat(
+            F.lit("https://ex.org/nation/"), F.col("n_nationkey")
+        ).alias("url")
+    )
+    before = claims.groupBy("obj").agg(
+        F.count(F.lit(1)).alias("n_before"))
+    after = (
+        cascade_delete(claims, deleted)
+        .groupBy("obj")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    allnat = nat.select(iri("nat", F.col("n_nationkey")).alias("obj"))
+    return (
+        allnat.join(before, "obj", "left")
+        .join(after, "obj", "left")
+        .select(
+            "obj",
+            F.coalesce("n_before", F.lit(0)).cast("bigint")
+            .alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            F.when(F.coalesce("n_after", F.lit(0)) == 0, F.lit(1))
+            .otherwise(F.lit(0)).alias("orphaned"),
+        )
+        .orderBy("obj")
+    )
+
+
+def kg_cascade_delete_sql() -> str:
+    return f"""
+      WITH claims AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+               '<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>' AS obj,
+               'https://ex.org/nation/' || CAST(c_nationkey AS VARCHAR)
+                 AS url
+        FROM customer),
+      deleted AS (
+        SELECT 'https://ex.org/nation/' || CAST(n_nationkey AS VARCHAR)
+                 AS url
+        FROM nation WHERE n_nationkey % {CASCADE_DEL_MOD} = 1),
+      survivors AS (
+        SELECT c.* FROM claims c ANTI JOIN deleted d ON c.url = d.url),
+      b AS (SELECT obj, CAST(count(*) AS BIGINT) AS n_before
+            FROM claims GROUP BY obj),
+      a AS (SELECT obj, CAST(count(*) AS BIGINT) AS n_after
+            FROM survivors GROUP BY obj)
+      SELECT n.obj, COALESCE(b.n_before, 0) AS n_before,
+             COALESCE(a.n_after, 0) AS n_after,
+             CASE WHEN COALESCE(a.n_after, 0) = 0 THEN 1 ELSE 0 END
+               AS orphaned
+      FROM (SELECT '<{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR) || '>'
+              AS obj FROM nation) n
+      LEFT JOIN b ON b.obj = n.obj
+      LEFT JOIN a ON a.obj = n.obj
+      ORDER BY n.obj
+    """
+
+
 def kgexport_queries() -> dict:
     return {
         "kg_ntriples": kg_ntriples,
@@ -1730,6 +1981,9 @@ def kgexport_queries() -> dict:
         "kg_bgp_star": kg_bgp_star,
         "kg_rdfstar": kg_rdfstar,
         "kg_property_path": kg_property_path,
+        "kg_bgp_optional": kg_bgp_optional,
+        "kg_bgp_negation": kg_bgp_negation,
+        "kg_cascade_delete": kg_cascade_delete,
     }
 
 
@@ -1750,4 +2004,7 @@ def kgexport_oracle_sql() -> dict[str, str]:
         "kg_bgp_star": kg_bgp_star_sql(),
         "kg_rdfstar": kg_rdfstar_sql(),
         "kg_property_path": kg_property_path_sql(),
+        "kg_bgp_optional": kg_bgp_optional_sql(),
+        "kg_bgp_negation": kg_bgp_negation_sql(),
+        "kg_cascade_delete": kg_cascade_delete_sql(),
     }

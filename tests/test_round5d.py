@@ -1,0 +1,209 @@
+"""Round-5d batch: interval-overlap join, null-safe join, column
+profiling, GNN mean message passing, SPARQL OPTIONAL / NOT EXISTS,
+takedown cascade. The cross-engine gate certifies the sf0.01 values;
+these pin the semantics the gate's fixed dataset can't discriminate —
+bucket-boundary exactness, NULL-key matching, the unbound/negation
+algebra, isolated-node arms."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------- interval-overlap join ----
+
+def _intervals(spark, rows, lo, hi):
+    return spark.createDataFrame(rows, f"id bigint, {lo} bigint, {hi} bigint")
+
+
+def test_interval_join_equals_brute_force(spark):
+    """The bucketized plan must compute the EXACT theta-join pair set —
+    including intervals that straddle bucket boundaries (len > bucket:
+    multi-bucket explode) and pairs that meet in several buckets
+    (collapsed by the caller's distinct)."""
+    from mxsparkg.contract import interval_overlap_join
+
+    a_rows = [(i, i * 7, i * 7 + (i * 13 % 50)) for i in range(40)]
+    b_rows = [(j, j * 11, j * 11 + (j * 17 % 60)) for j in range(30)]
+    a = _intervals(spark, a_rows, "a_lo", "a_hi")
+    b = (
+        _intervals(spark, b_rows, "b_lo", "b_hi")
+        .withColumnRenamed("id", "bid")
+    )
+    got = {
+        (r.id, r.bid)
+        for r in interval_overlap_join(a, b, bucket=16)
+        .select("id", "bid").distinct().collect()
+    }
+    want = {
+        (ai, bi)
+        for (ai, alo, ahi) in a_rows
+        for (bi, blo, bhi) in b_rows
+        if alo <= bhi and blo <= ahi
+    }
+    assert got == want and len(want) > 100
+
+
+def test_interval_join_touching_endpoints_closed(spark):
+    """Closed-interval semantics: a_hi == b_lo IS an overlap (one shared
+    day); a_hi == b_lo - 1 is not. Both pairs sit inside one bucket so
+    the distinction is the filter's, not the bucketing's."""
+    from mxsparkg.contract import interval_overlap_join
+
+    a = _intervals(spark, [(1, 10, 20)], "a_lo", "a_hi")
+    b = _intervals(
+        spark, [(1, 20, 25), (2, 21, 25)], "b_lo", "b_hi"
+    ).withColumnRenamed("id", "bid")
+    got = [
+        r.bid
+        for r in interval_overlap_join(a, b).select("bid").collect()
+    ]
+    assert got == [1]
+
+
+# ------------------------------------------------- null-safe join ----
+
+def test_nullsafe_join_matches_null_to_null_once(spark):
+    """`<=>` must produce exactly ONE row for the NULL⟷NULL key pair
+    (not zero like `=`, not a cross product)."""
+    a = spark.createDataFrame([("x",), (None,)], "k string")
+    b = spark.createDataFrame([("x",), (None,)], "k string") \
+        .withColumnRenamed("k", "k2")
+    eq = a.join(b, a.k == b.k2).count()
+    ns = a.join(b, a.k.eqNullSafe(b.k2)).count()
+    assert eq == 1  # plain = drops the NULL key
+    assert ns == 2  # null-safe keeps it, exactly once
+
+
+# ----------------------------------------------- column profiling ----
+
+def test_profile_table_null_and_distinct_counts(spark):
+    """The profile's n_null must equal the count of the nulled-out
+    sentinel ('P' statuses) and n_distinct must see the surviving two
+    statuses — checked against direct aggregation of the same table."""
+    from mxsparkg.contract import profile_table
+
+    sf = "/root/testdata/sf0.001"
+    prof = {r.col_name: r for r in profile_table(spark, sf).collect()}
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    n_p = o.filter(F.col("o_orderstatus") == "P").count()
+    st = prof["o_orderstatus"]
+    assert st.n_null == n_p
+    assert st.n_distinct == 2  # O and F survive the nullif
+    ck = prof["o_custkey"]
+    assert ck.n_null == 0
+    assert int(ck.min_s) <= int(ck.max_s)
+    assert {r.n_rows for r in prof.values()} == {o.count()}
+
+
+# ------------------------------------------- mean message passing ----
+
+def test_msgpass_exact_mean_and_isolated_node(spark):
+    """Triangle {1,2,3} with features 10/20/40 plus isolated node 9
+    (feature 7): every triangle node averages the full feature set,
+    h1 = (10+20+40) div 3 = 23. Node 9 has no edges: the left-join
+    null arm must return its own feature unchanged with deg 0."""
+    from mxsparkg.graphquery import message_pass_mean
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)],
+        "src bigint, dst bigint",
+    )
+    feats = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 40), (9, 7)], "node bigint, h0 bigint"
+    )
+    got = {r.node: (r.deg, r.h1)
+           for r in message_pass_mean(edges, feats).collect()}
+    assert got[1] == (2, (10 + 20 + 40) // 3)
+    assert got[2] == (2, (20 + 10 + 40) // 3)
+    assert got[3] == (2, (40 + 10 + 20) // 3)
+    assert got[9] == (0, 7)  # isolated: identity, the null arm
+
+
+def test_msgpass_constant_feature_is_fixpoint(spark):
+    """A constant feature vector is a fixpoint of mean aggregation on
+    ANY graph — the smoothing sanity check (integer div exact here)."""
+    from mxsparkg.graphquery import message_pass_mean
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src bigint, dst bigint"
+    )
+    feats = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5)], "node bigint, h0 bigint"
+    )
+    assert {r.h1 for r in message_pass_mean(edges, feats).collect()} == {5}
+
+
+# --------------------------------------- OPTIONAL / NOT EXISTS ----
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+
+
+def test_bgp_optional_keeps_unbound(spark):
+    """OPTIONAL == left outer: subjects missing the optional leg
+    survive with w unbound (NULL); subjects with k optional matches
+    fan out k times (SPARQL multiset semantics)."""
+    from mxsparkg.kgexport import bgp_optional
+
+    t = _triples(spark, [
+        ("s1", "req", "a"),
+        ("s2", "req", "b"),
+        ("s1", "opt", "x"),
+        ("s1", "opt", "y"),
+    ])
+    rows = sorted(
+        (r.x, r.v, r.w)
+        for r in bgp_optional(t, "req", "opt").collect()
+    )
+    assert rows == [("s1", "a", "x"), ("s1", "a", "y"), ("s2", "b", None)]
+
+
+def test_bgp_not_exists_removes_and_preserves_multiplicity(spark):
+    """NOT EXISTS removes every row of a flagged subject (even
+    multi-valued required legs) and must not dedupe the survivors."""
+    from mxsparkg.kgexport import bgp_not_exists
+
+    t = _triples(spark, [
+        ("s1", "req", "a"),
+        ("s1", "req", "b"),      # multi-valued required leg
+        ("s2", "req", "c"),
+        ("s2", "flag", "true"),
+        ("s2", "flag", "also"),  # multiple flags still remove once
+    ])
+    rows = sorted(
+        (r.x, r.v) for r in bgp_not_exists(t, "req", "flag").collect()
+    )
+    assert rows == [("s1", "a"), ("s1", "b")]
+
+
+# ------------------------------------------------ cascade delete ----
+
+def test_cascade_delete_survivors_and_orphans(spark):
+    """Survivors are exactly the triples citing a non-deleted url; a
+    node is orphaned iff NO surviving triple mentions it — the node
+    whose only mention came from the deleted page disappears from the
+    survivor-derived node set, while a node also cited elsewhere
+    stays."""
+    from mxsparkg.kgexport import cascade_delete
+
+    t = spark.createDataFrame(
+        [
+            ("s1", "p", "only_deleted", "u_del"),
+            ("s2", "p", "shared", "u_del"),
+            ("s3", "p", "shared", "u_keep"),
+        ],
+        "subj string, pred string, obj string, url string",
+    )
+    deleted = spark.createDataFrame([("u_del",)], "url string")
+    surv = cascade_delete(t, deleted)
+    assert {r.subj for r in surv.collect()} == {"s3"}
+    nodes = {
+        r.n
+        for r in surv.select(F.col("subj").alias("n"))
+        .unionByName(surv.select(F.col("obj").alias("n")))
+        .distinct().collect()
+    }
+    assert "only_deleted" not in nodes and "shared" in nodes
