@@ -992,6 +992,131 @@ def kcore_peel(
     )
 
 
+KTRUSS_K = 4        # every surviving edge must sit in >= k-2 = 2 triangles
+KTRUSS_ROUNDS = 2   # bounded unroll for the cross-engine gate
+
+
+def ktruss_peel(
+    edges: DataFrame,
+    k: int = KTRUSS_K,
+    rounds: int = KTRUSS_ROUNDS,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Bounded k-truss peeling over oriented (u < v) distinct edges: each
+    round computes every edge's SUPPORT (the number of triangles it
+    closes) and drops edges with support < k−2; removals cascade because
+    a dropped edge destroys the triangles it participated in. The truss
+    is the edge-analogue of the k-core and the standard stronger density
+    screen (cores keep hub-and-spoke noise a truss rejects — a star has
+    arbitrarily high core number but zero triangles). Run to fixpoint
+    it's the k-truss; truncated at `rounds` it unrolls into pure SQL for
+    the gate, the kcore_peel contract.
+
+    Relational shape per round: the oriented triangle enumeration
+    (e⋈e⋈e, each triangle a<b<c found exactly once — Σ deg⁺² cost, the
+    triangle_stats bound), one explode of each triangle into its three
+    edges, one map-side-combinable (u,v) support rollup, one inner join
+    back to the edge list. Zero-support edges vanish via the join (no
+    supp row ⇒ no output row) — the semantics, not an accident.
+    localCheckpoint truncates lineage per round (the kcore_peel policy:
+    each round references the previous round's output three times in the
+    triangle join — untruncated lineage re-evaluates multiplicatively).
+    Returns the surviving oriented edges with their final support."""
+    e = edges.select("u", "v")
+    for i in range(rounds):
+        e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        supp = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                        F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                        F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+                    )
+                ).alias("t")
+            )
+            .groupBy("t.u", "t.v")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        e = (
+            e.select("u", "v")  # drop the previous round's sup column
+            .join(supp, ["u", "v"])
+            .filter(F.col("sup") >= k - 2)
+            .select("u", "v", "sup")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+            e = e.localCheckpoint(eager=True)
+    return e
+
+
+def graph_ktruss(spark: SparkSession, sf: str) -> DataFrame:
+    """2-round 4-truss peel on the 1-in-50-sparsified co-purchase graph:
+    per-node degree + summed edge support inside the surviving truss,
+    top-20. The sparsified graph's per-order cliques carry real triangle
+    structure while its bridges/pendants have none, so round 1 removes
+    triangle-poor edges and round 2's support RECOMPUTATION (on the
+    shrunken graph) removes more — the cascade the unrolled oracle
+    certifies round-by-round."""
+    e = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    truss = ktruss_peel(e, k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
+    both = truss.select(F.col("u").alias("x"), "sup").unionByName(
+        truss.select(F.col("v").alias("x"), "sup")
+    )
+    return (
+        both.groupBy(F.col("x").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("degree"),
+            F.sum("sup").cast("bigint").alias("support_sum"),
+        )
+        .orderBy(F.col("degree").desc(), F.col("support_sum").desc(), "node")
+        .limit(20)
+    )
+
+
+def graph_ktruss_sql() -> str:
+    k, rounds = KTRUSS_K, KTRUSS_ROUNDS
+    steps = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""t{i} AS (
+        SELECT x1.u AS a, x1.v AS b, x2.v AS c
+        FROM {prev} x1 JOIN {prev} x2 ON x1.v = x2.u
+        JOIN {prev} x3 ON x3.u = x1.u AND x3.v = x2.v),
+      s{i} AS (
+        SELECT u, v, count(*) AS sup FROM (
+          SELECT a AS u, b AS v FROM t{i}
+          UNION ALL SELECT b, c FROM t{i}
+          UNION ALL SELECT a, c FROM t{i})
+        GROUP BY u, v),
+      e{i} AS (
+        SELECT e.u, e.v, s.sup FROM {prev} e
+        JOIN s{i} s ON s.u = e.u AND s.v = e.v
+        WHERE s.sup >= {k - 2})"""
+        )
+        prev = f"e{i}"
+    chain = ",\n      ".join(steps)
+    return f"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey % {MINLABEL_ORDER_MOD} = 0),
+      e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      {chain}
+      SELECT node, CAST(degree AS BIGINT) AS degree,
+             CAST(support_sum AS BIGINT) AS support_sum FROM (
+        SELECT x AS node, count(*) AS degree, sum(sup) AS support_sum
+        FROM (SELECT u AS x, sup FROM {prev}
+              UNION ALL SELECT v AS x, sup FROM {prev})
+        GROUP BY x)
+      ORDER BY degree DESC, support_sum DESC, node LIMIT 20
+    """
+
+
 def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     """3-round k-core peel (k=3) on the 1-in-50-sparsified part
     co-purchase graph: surviving-subgraph degrees, top-20. The sparsified
@@ -2618,6 +2743,7 @@ def graphquery_queries() -> dict:
         "graph_louvain": graph_louvain,
         "graph_coarsen": graph_coarsen,
         "graph_msgpass": graph_msgpass,
+        "graph_ktruss": graph_ktruss,
     }
 
 
@@ -2645,4 +2771,5 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_louvain": graph_louvain_sql(),
         "graph_coarsen": graph_coarsen_sql(),
         "graph_msgpass": graph_msgpass_sql(),
+        "graph_ktruss": graph_ktruss_sql(),
     }

@@ -293,6 +293,50 @@ def streaming_content_dedup(
     )
 
 
+def streaming_click_attribution(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    watermark: str = "1 hour",
+    attribution_window: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join — the canonical two-stream shape (an
+    impression stream joined to a click stream on the same user within
+    the attribution window; for the crawl it is fetch⋈fetch revisit
+    pairing, for the KG it is claim⋈retraction). Stream-STATIC joins
+    (streaming_content_dedup) keep no state; stream-STREAM joins must
+    buffer BOTH sides, and the join is only executable at scale because
+    the event-time range condition lets Spark evict state: an impression
+    older than (watermark + attribution window) can never match a future
+    click, so the state store holds a sliding horizon, not history.
+    Omit the time bound and state grows forever — Spark accepts the
+    query and the job dies weeks later; the range predicate is the
+    correctness contract, not an optimization.
+
+    Inner join, append mode: every emitted (impression, click) pair is
+    final the moment it appears (both events exist — nothing to retract),
+    so downstream consumers get exactly-once attribution rows. The equi
+    half (user id) is the shuffle key: both streams hash-partition on
+    user, the range predicate filters within the partition-local state,
+    and a celebrity user is ordinary join skew. stream == batch on the
+    full pair set is asserted in tests/test_streaming.py, including
+    pairs whose two sides arrive in different micro-batches."""
+    imp = impressions.withWatermark("imp_ts", watermark)
+    clk = clicks.withWatermark("click_ts", watermark)
+    return imp.join(
+        clk,
+        F.expr(
+            "imp_user = click_user"
+            " AND click_ts >= imp_ts"
+            f" AND click_ts <= imp_ts + interval {attribution_window}"
+        ),
+    ).select(
+        "imp_user", "imp_id", "click_id", "imp_ts", "click_ts",
+        (
+            F.unix_micros("click_ts") - F.unix_micros("imp_ts")
+        ).alias("latency_us"),
+    )
+
+
 def start_media_dedup_stream(
     media_stream: DataFrame,
     index_dir: str,

@@ -207,3 +207,54 @@ def test_cascade_delete_survivors_and_orphans(spark):
         .distinct().collect()
     }
     assert "only_deleted" not in nodes and "shared" in nodes
+
+
+# ------------------------------------------------------ k-truss ----
+
+def test_ktruss_rejects_star_keeps_clique(spark):
+    """The discrimination that makes the truss stronger than the core:
+    a star has edges in zero triangles (every edge dies round 1 at any
+    k >= 3) while a 4-clique's edges each close 2 triangles and survive
+    k=4 intact — including after recomputation rounds (a clique is its
+    own truss fixpoint)."""
+    from mxsparkg.graphquery import ktruss_peel
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "u bigint, v bigint"
+    )
+    assert ktruss_peel(star, k=4, rounds=1).count() == 0
+
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(i + 1, 4)],
+        "u bigint, v bigint",
+    )
+    out = ktruss_peel(clique, k=4, rounds=3).collect()
+    assert len(out) == 6 and all(r.sup == 2 for r in out)
+
+
+def test_ktruss_cascade_needs_recomputation(spark):
+    """A triangle chain glued to a 4-clique: the pendant triangle's
+    edges have support 1 (< k-2 = 2) and die round 1; the bridge edge
+    into the clique loses its triangle partner and can only die in
+    round 2 AFTER support recomputation — the cascade a single-pass
+    support filter gets wrong."""
+    from mxsparkg.graphquery import ktruss_peel
+
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    # pendant triangle {3, 10, 11} hanging off clique node 3
+    pendant = [(3, 10), (3, 11), (10, 11)]
+    g = spark.createDataFrame(clique + pendant, "u bigint, v bigint")
+    r1 = ktruss_peel(g, k=4, rounds=1)
+    r2 = ktruss_peel(g, k=4, rounds=2)
+    assert r1.count() == 6  # pendant triangle gone, clique intact
+    assert r2.count() == 6 == r1.count()  # clique IS the 4-truss
+    # now weaken the clique: remove one clique edge so supports drop
+    weak = [e for e in clique if e != (0, 1)]
+    g2 = spark.createDataFrame(weak + pendant, "u bigint, v bigint")
+    # round 1: edge (2,3) sits in BOTH surviving triangles ({0,2,3} and
+    # {1,2,3}) so its support is 2 and it survives while every other
+    # edge dies; round 2's recomputation finds its triangles gone and
+    # kills it — the two-step cascade a single-pass filter cannot see
+    c1 = ktruss_peel(g2, k=4, rounds=1).count()
+    c2 = ktruss_peel(g2, k=4, rounds=2).count()
+    assert c1 == 1 and c2 == 0

@@ -532,3 +532,78 @@ def test_streaming_anomaly_flags_match_batch(spark):
     # the split burst day is one row with the merged count, flagged
     burst = [g for g in got if g[2] == 35]
     assert len(burst) == 1 and burst[0][3] == 1
+
+
+def test_streaming_click_attribution_matches_batch(spark):
+    """Stream-stream interval join == the batch join on the full pair
+    set, including pairs whose impression and click arrive in DIFFERENT
+    micro-batches (the buffered-state case a per-batch join would miss)
+    and excluding same-user clicks outside the attribution window."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from mxsparkg.streaming import streaming_click_attribution
+
+    base = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    imps = [  # (imp_id, imp_user, imp_ts)
+        (1, "u1", base + 0 * m),
+        (2, "u1", base + 50 * m),   # second impression, same user
+        (3, "u2", base + 5 * m),
+        (4, "u3", base + 10 * m),   # never clicked
+    ]
+    clks = [  # (click_id, click_user, click_ts)
+        (11, "u1", base + 10 * m),   # matches imp 1 (in window)
+        (12, "u1", base + 70 * m),   # matches imp 2 only (imp 1 +30min past)
+        (13, "u2", base + 45 * m),   # 40min after imp 3: OUTSIDE window
+    ]
+    root = "/tmp/mxsparkg_test_attrib"
+    shutil.rmtree(root, ignore_errors=True)
+    for d in ("imp", "clk"):
+        _os.makedirs(f"{root}/{d}")
+    # impressions land in batch 0; clicks in batch 1 — every surviving
+    # pair spans micro-batches, so only buffered state can produce it
+    spark.createDataFrame(
+        imps, "imp_id bigint, imp_user string, imp_ts timestamp"
+    ).coalesce(1).write.parquet(f"{root}/imp/f0")
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        clks, "click_id bigint, click_user string, click_ts timestamp"
+    ).coalesce(1).write.parquet(f"{root}/clk/f0")
+    imp_schema = spark.read.parquet(f"{root}/imp/f0").schema
+    clk_schema = spark.read.parquet(f"{root}/clk/f0").schema
+    imp_s = (
+        spark.readStream.schema(imp_schema)
+        .option("maxFilesPerTrigger", 1).parquet(f"{root}/imp/f*")
+    )
+    clk_s = (
+        spark.readStream.schema(clk_schema)
+        .option("maxFilesPerTrigger", 1).parquet(f"{root}/clk/f*")
+    )
+    q = (
+        streaming_click_attribution(imp_s, clk_s)
+        .writeStream.format("memory").queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.imp_id, r.click_id, r.latency_us)
+        for r in spark.sql("select * from attrib").collect()
+    }
+    batch = streaming_click_attribution(
+        spark.createDataFrame(
+            imps, "imp_id bigint, imp_user string, imp_ts timestamp"
+        ),
+        spark.createDataFrame(
+            clks, "click_id bigint, click_user string, click_ts timestamp"
+        ),
+    )
+    want = {
+        (r.imp_id, r.click_id, r.latency_us) for r in batch.collect()
+    }
+    assert got == want
+    assert want == {(1, 11, 600_000_000), (2, 12, 1_200_000_000)}
