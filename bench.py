@@ -134,7 +134,15 @@ def headline_queries() -> dict:
               "evt_markov_stationary",
               # Kleene-plus reorder-chain closure (min-plus doubling
               # rounds) and the Louvain phase-2 supernode collapse
-              "kg_property_path", "graph_coarsen"):
+              "kg_property_path", "graph_coarsen",
+              # round-5d batch: the bucketized interval-overlap join
+              # (explode + bucket equi-join + distinct), bounded k-truss
+              # peel (two triangle-enumeration rounds — the heaviest new
+              # graph op), the GNN mean message-passing layer, the
+              # Naive Bayes classifier (count rollups + broadcast score),
+              # and the SPARQL OPTIONAL census
+              "join_interval", "graph_ktruss", "graph_msgpass",
+              "txt_nb_classify", "kg_bgp_optional"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

@@ -101,7 +101,12 @@ def run_once(cores: int, pages_path: str, fdir: str, zpath: str) -> dict:
             # 24g 222/238s) — large execution memory lets aggregation
             # state balloon in-heap instead of spilling early, and
             # 16-thread G1 GC churn dominates the tail stages.
-            "--driver-memory", "2g",
+            # The floor scales with threads past 16: local[32] OOMs
+            # (SparkExitCode 52) at 2g — 32 concurrent tasks each hold
+            # aggregation/Arrow state, so the never-OOM floor is
+            # ~128m/thread. Keep 2g through 16 threads (the measured
+            # sweet spot), grow linearly above.
+            "--driver-memory", f"{max(2, cores // 8)}g",
             # match a real cluster submit: shuffle partitions ≈ 2× cores;
             # input parallelism comes from the multi-file corpus layout —
             # 4MB splits + 1MB open cost keep ~2-3 of these heavily

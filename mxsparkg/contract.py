@@ -2585,3 +2585,33 @@ def profile_table(spark, sf):
         .select("p.*")
         .orderBy("col_name")
     )
+
+
+@reg("agg_mode",
+     """WITH cnt AS (
+       SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+       FROM documents GROUP BY 1, 2),
+     mx AS (SELECT lang, max(n) AS n FROM cnt GROUP BY 1)
+     SELECT cnt.lang, min(cnt.source) AS mode_source, mx.n AS n_mode
+     FROM cnt JOIN mx ON cnt.lang = mx.lang AND cnt.n = mx.n
+     GROUP BY cnt.lang, mx.n ORDER BY cnt.lang""")
+def agg_mode(spark, sf):
+    """A14 per-group mode — the most frequent value per group with a
+    DETERMINISTIC tie-break (max count, then lexicographic-min value —
+    the kg_fusion two-stage-argmax discipline: engine arg_max/mode
+    builtins have engine-private tie rules, so the portable spelling is
+    two rollups + a join back). Scale shape: the (group, value) count is
+    the only data-sized shuffle (map-side combinable); everything after
+    runs at distinct-pair size. A group whose values are all unique
+    degenerates to 'min value at count 1' — still deterministic."""
+    d = _t(spark, sf, "documents")
+    cnt = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"))
+    mx = cnt.groupBy("lang").agg(F.max("n").alias("n"))
+    return (
+        cnt.join(mx, ["lang", "n"])
+        .groupBy("lang", "n")
+        .agg(F.min("source").alias("mode_source"))
+        .select("lang", "mode_source", F.col("n").alias("n_mode"))
+        .orderBy("lang")
+    )

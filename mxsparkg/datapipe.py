@@ -3828,16 +3828,13 @@ def txt_classify_trained(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _cls_train_ctes(epochs: int) -> str:
-    """The training loop unrolled into CTEs (the kg_transe / BPE oracle
-    pattern). AS MATERIALIZED is load-bearing: each w{e} is referenced
-    twice by epoch e+1 and DuckDB would otherwise inline it
-    exponentially. Floor division spelled (g - ((g%b + b)%b)) // b ==
-    Python's // == Spark's (g - pmod(g, b)) div b for b > 0."""
+def _cls_corpus_ctes() -> str:
+    """The planted corpus + hashed binary features as shared CTEs — the
+    SQL mirror of _cls_corpus, consumed by the GD trainer's oracle and
+    the Naive Bayes oracle below."""
     good = ", ".join(f"'{t}'" for t in _CLS_GOOD)
     bad = ", ".join(f"'{t}'" for t in _CLS_BAD)
-    ctes = [f"""
-      planted AS (
+    return f"""planted AS (
         SELECT doc_id,
                CASE WHEN doc_id % 19 = 5 THEN -y0 ELSE y0 END AS y,
                (doc_id // 2) % 4 <> 3 AS is_train,
@@ -3858,7 +3855,17 @@ def _cls_train_ctes(epochs: int) -> str:
                ('0x' || substr(md5(f), 1, 6))::BIGINT % {CLS_B} AS bucket
         FROM (SELECT doc_id, y, is_train,
                      unnest(string_split(t2, ' ')) AS f
-              FROM planted)),
+              FROM planted))"""
+
+
+def _cls_train_ctes(epochs: int) -> str:
+    """The training loop unrolled into CTEs (the kg_transe / BPE oracle
+    pattern). AS MATERIALIZED is load-bearing: each w{e} is referenced
+    twice by epoch e+1 and DuckDB would otherwise inline it
+    exponentially. Floor division spelled (g - ((g%b + b)%b)) // b ==
+    Python's // == Spark's (g - pmod(g, b)) div b for b > 0."""
+    ctes = [f"""
+      {_cls_corpus_ctes()},
       tfeats AS MATERIALIZED (
         SELECT doc_id, y, bucket FROM feats WHERE is_train),
       nn AS (
@@ -3899,6 +3906,125 @@ def txt_classify_trained_sql() -> str:
         SELECT t.doc_id, t.y, sum(coalesce(w.w, 0)) AS score
         FROM (SELECT doc_id, y, bucket FROM feats WHERE NOT is_train) t
         LEFT JOIN w{CLS_EPOCHS} w USING (bucket)
+        GROUP BY t.doc_id, t.y)
+      SELECT doc_id, y AS label, score,
+             CASE WHEN score > 0 THEN 1 ELSE -1 END AS pred,
+             CAST((CASE WHEN score > 0 THEN 1 ELSE -1 END) = y AS INT)
+               AS correct
+      FROM scored
+    """
+
+
+# ------------------------------------------------- Naive Bayes sibling --
+# The closed-form counting classifier next to the GD trainer: Bernoulli-
+# presence Naive Bayes with WHOLE-BIT integer log-likelihood ratios
+# (floor-log2 via length(bin()) — the edge-PMI / bigram-surprisal
+# quantization, partition-order-proof by construction). Add-one smoothed:
+#   w_b = bits((n_b⁺+1)·(D⁻+2)) − bits((n_b⁻+1)·(D⁺+2))
+# ≈ floor-log2 P(b|+)/P(b|−); marker buckets score ~±10 bits while
+# class-balanced corpus tokens land in {−1,0,+1}, so the planted signal
+# dominates the quantization noise (held-out accuracy 0.952 at sf0.01 ==
+# the 5%-label-flip noise ceiling, same as the GD model — measured).
+# Unlike the GD trainer there is NO driver loop and NO collect at all:
+# training is two map-side-combinable rollups, the purest possible
+# trained-model shape at 10^12 docs (the presence-only score drops
+# Bernoulli's absence term — standard for sparse text, documented).
+
+
+def _nb_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """(bucket, n_pos, n_neg, w_bits) from the train split — class
+    totals ride a 1-row join (the triangle_stats `_k` pattern), never a
+    collect."""
+    feats = _cls_corpus(spark, sf).filter("is_train")
+    k = F.lit(1).alias("_k")
+    dd = (
+        feats.select("doc_id", "y").distinct()
+        .agg(
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+            .cast("long").alias("dpos"),
+            F.sum(F.when(F.col("y") == -1, 1).otherwise(0))
+            .cast("long").alias("dneg"),
+        )
+        .select(k, "dpos", "dneg")
+    )
+    cnt = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        .cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("y") == -1, 1).otherwise(0))
+        .cast("long").alias("n_neg"),
+    )
+    return cnt.select(k, "bucket", "n_pos", "n_neg").join(
+        F.broadcast(dd), "_k"
+    ).select(
+        "bucket", "n_pos", "n_neg",
+        F.expr(
+            "cast(length(bin((n_pos + 1) * (dneg + 2)))"
+            " - length(bin((n_neg + 1) * (dpos + 2))) as bigint)"
+        ).alias("w_bits"),
+    )
+
+
+def txt_nb_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: the Naive Bayes model table — per-bucket class counts
+    and the whole-bit smoothed log-ratio weight."""
+    return _nb_weights(spark, sf)
+
+
+def txt_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: the NB model applied to the HELD-OUT split — per-doc
+    integer bit score, prediction, correctness vs the planted noisy
+    label (txt_classify_trained's exact output shape, so the two
+    trained models are directly comparable). Scoring is one broadcast
+    model join + one map-side-combinable sum, zero Python."""
+    w = _nb_weights(spark, sf).select("bucket", "w_bits")
+    te = _cls_corpus(spark, sf).filter(~F.col("is_train"))
+    pred = F.when(F.col("score") > 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        te.join(F.broadcast(w), "bucket", "left")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.coalesce(F.col("w_bits"), F.lit(0))).alias("score"))
+        .select(
+            "doc_id", F.col("y").alias("label"), "score",
+            pred.alias("pred"),
+            (pred == F.col("y")).cast("int").alias("correct"),
+        )
+    )
+
+
+def _nb_ctes() -> str:
+    return f"""{_cls_corpus_ctes()},
+      tr AS (SELECT DISTINCT doc_id, y FROM feats WHERE is_train),
+      dd AS (
+        SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS dpos,
+               sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS dneg FROM tr),
+      nbw AS MATERIALIZED (
+        SELECT bucket,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               CAST(length(bin((n_pos + 1) * (dneg + 2)))
+                    - length(bin((n_neg + 1) * (dpos + 2))) AS BIGINT)
+                 AS w_bits
+        FROM (
+          SELECT bucket,
+                 sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n_pos,
+                 sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS n_neg
+          FROM feats WHERE is_train GROUP BY bucket), dd)"""
+
+
+def txt_nb_train_sql() -> str:
+    return f"""
+      WITH {_nb_ctes()}
+      SELECT bucket, n_pos, n_neg, w_bits FROM nbw
+    """
+
+
+def txt_nb_classify_sql() -> str:
+    return f"""
+      WITH {_nb_ctes()},
+      scored AS (
+        SELECT t.doc_id, t.y, sum(coalesce(w.w_bits, 0)) AS score
+        FROM (SELECT doc_id, y, bucket FROM feats WHERE NOT is_train) t
+        LEFT JOIN nbw w USING (bucket)
         GROUP BY t.doc_id, t.y)
       SELECT doc_id, y AS label, score,
              CASE WHEN score > 0 THEN 1 ELSE -1 END AS pred,
@@ -6455,6 +6581,8 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_classify": txt_classify,
         "txt_classify_train": txt_classify_train,
         "txt_classify_trained": txt_classify_trained,
+        "txt_nb_train": txt_nb_train,
+        "txt_nb_classify": txt_nb_classify,
         "txt_filter_gate": txt_filter_gate,
         "txt_boilerplate": txt_boilerplate,
         "txt_chunk": txt_chunk,
@@ -6518,6 +6646,8 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_classify": txt_classify_sql(),
         "txt_classify_train": txt_classify_train_sql(),
         "txt_classify_trained": txt_classify_trained_sql(),
+        "txt_nb_train": txt_nb_train_sql(),
+        "txt_nb_classify": txt_nb_classify_sql(),
         "txt_filter_gate": txt_filter_gate_sql(),
         "txt_boilerplate": txt_boilerplate_sql(),
         "txt_chunk": txt_chunk_sql(),

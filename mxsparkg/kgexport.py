@@ -1868,6 +1868,48 @@ def kg_bgp_negation_sql() -> str:
     """
 
 
+def kg_bgp_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: SPARQL UNION — `{ ?x acct_band ?v } UNION { ?x flagged
+    ?v }` is a MULTISET union of the two pattern solutions (no dedup:
+    a subject matching both patterns contributes both rows — the
+    census's n > n_distinct subjects certifies bag semantics). With
+    join (bgp_star/2hop), OPTIONAL, NOT EXISTS, property path and this,
+    the engine covers the full SPARQL 1.1 algebra core.
+
+    Scale shape: unionByName is a zero-shuffle plan concatenation; the
+    only shuffle is the census rollup, and both pred filters reach the
+    scan."""
+    triples = _bgp_customer_triples(spark, sf)
+    leg1 = triples.filter(F.col("pred") == "acct_band").select(
+        "subj", F.col("obj").alias("v")
+    )
+    leg2 = triples.filter(F.col("pred") == "flagged").select(
+        "subj", F.col("obj").alias("v")
+    )
+    both = leg1.unionByName(leg2)
+    return (
+        both.groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n_solutions"),
+            F.countDistinct("subj").alias("n_subjects"),
+        )
+        .orderBy("v")
+    )
+
+
+def kg_bgp_union_sql() -> str:
+    return f"""
+      WITH {_BGP_TRIPLES_CTE},
+      legs AS (
+        SELECT subj, obj AS v FROM triples WHERE pred = 'acct_band'
+        UNION ALL
+        SELECT subj, obj AS v FROM triples WHERE pred = 'flagged')
+      SELECT v, CAST(count(*) AS BIGINT) AS n_solutions,
+             CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects
+      FROM legs GROUP BY v ORDER BY v
+    """
+
+
 CASCADE_DEL_MOD = 4  # nation pages with n_nationkey % 4 == 1 are deleted
 
 
@@ -1983,6 +2025,7 @@ def kgexport_queries() -> dict:
         "kg_property_path": kg_property_path,
         "kg_bgp_optional": kg_bgp_optional,
         "kg_bgp_negation": kg_bgp_negation,
+        "kg_bgp_union": kg_bgp_union,
         "kg_cascade_delete": kg_cascade_delete,
     }
 
@@ -2006,5 +2049,6 @@ def kgexport_oracle_sql() -> dict[str, str]:
         "kg_property_path": kg_property_path_sql(),
         "kg_bgp_optional": kg_bgp_optional_sql(),
         "kg_bgp_negation": kg_bgp_negation_sql(),
+        "kg_bgp_union": kg_bgp_union_sql(),
         "kg_cascade_delete": kg_cascade_delete_sql(),
     }

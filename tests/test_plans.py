@@ -454,3 +454,38 @@ def test_rdfs_closure_instance_join_is_broadcast(spark):
     plan = _plan(kg_rdfs_closure(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_interval_join_is_equi_not_bnlj(spark):
+    """The bucketized interval join must plan a HASH equi-join on the
+    bucket id — never the interpreted BroadcastNestedLoopJoin a raw
+    overlap theta-join degenerates to."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["join_interval"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_nullsafe_join_is_hash_join(spark):
+    """`<=>` must participate in hashing (the null bit is part of the
+    key) — a null-safe join that falls back to nested-loop would be
+    unusable at scale."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["join_nullsafe"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_profile_table_single_scan(spark):
+    """The column profile must read the orders table ONCE — sibling
+    aggregates + struct-explode unpivot, not one job per column (the
+    multi-distinct Expand is expected; a second scan is the bug)."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["profile_table"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan

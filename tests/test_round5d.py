@@ -258,3 +258,84 @@ def test_ktruss_cascade_needs_recomputation(spark):
     c1 = ktruss_peel(g2, k=4, rounds=1).count()
     c2 = ktruss_peel(g2, k=4, rounds=2).count()
     assert c1 == 1 and c2 == 0
+
+
+# ------------------------------------------------- Naive Bayes ----
+
+def test_nb_matches_gd_noise_ceiling(spark):
+    """The counting classifier must reach the same held-out accuracy as
+    the GD-trained linear model: the planted labels carry 5% flips, so
+    ~0.95 is the ceiling and both models sit on it. Also pins the
+    model's internals: every GOOD marker bucket weighs strongly
+    positive, every BAD one strongly negative, and the class-balanced
+    corpus buckets stay within the ±1-bit quantization band."""
+    from mxsparkg.datapipe import (
+        _CLS_BAD,
+        _CLS_GOOD,
+        _cls_bucket,
+        txt_nb_classify,
+        txt_nb_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    scored = txt_nb_classify(spark, sf).collect()
+    acc = sum(r.correct for r in scored) / len(scored)
+    assert acc >= 0.90, acc
+
+    w = {r.bucket: r.w_bits for r in txt_nb_train(spark, sf).collect()}
+    # mq8/mq12 are ALSO class-correlated plants (the secondary markers)
+    marker_buckets = {
+        t: spark.range(1).select(_cls_bucket(F.lit(t))).collect()[0][0]
+        for t in _CLS_GOOD + _CLS_BAD + ("mq8", "mq12")
+    }
+    # marker magnitude ~ floor-log2 of the per-class marker count, so it
+    # shrinks with corpus size: >= 3 bits at sf0.001 (~8 train docs per
+    # marker), ~10 at sf0.01 — either way far outside the corpus band
+    for t in _CLS_GOOD:
+        assert w[marker_buckets[t]] >= 3, (t, w[marker_buckets[t]])
+    for t in _CLS_BAD:
+        assert w[marker_buckets[t]] <= -3, (t, w[marker_buckets[t]])
+    corpus_w = [
+        v for b, v in w.items() if b not in marker_buckets.values()
+    ]
+    # the non-marker mass is quantization noise: strictly inside the
+    # weakest planted marker's magnitude
+    weakest = min(abs(w[b]) for b in marker_buckets.values())
+    assert corpus_w and max(abs(v) for v in corpus_w) < weakest
+
+
+# ----------------------------------------------- UNION BGP / mode ----
+
+def test_bgp_union_is_multiset(spark):
+    """UNION keeps both solutions for a subject matching both patterns
+    (bag semantics) — the non-dedup the census key certifies at sf."""
+    from mxsparkg.kgexport import _bgp_customer_triples  # noqa: F401
+    t = _triples(spark, [
+        ("s1", "acct_band", "3"),
+        ("s1", "flagged", "3"),   # same (subj, v) via BOTH patterns
+        ("s2", "acct_band", "1"),
+    ])
+    leg1 = t.filter(F.col("pred") == "acct_band").select("subj", "obj")
+    leg2 = t.filter(F.col("pred") == "flagged").select("subj", "obj")
+    both = leg1.unionByName(leg2)
+    assert both.count() == 3          # multiset: no collapse
+    assert both.distinct().count() == 2
+
+
+def test_agg_mode_tie_breaks_to_min_value(spark):
+    """Two values tied at the max count -> the lexicographic-min value
+    wins, deterministically, at any partitioning."""
+    from mxsparkg.contract import agg_mode  # noqa: F401 (shape ref)
+    d = spark.createDataFrame(
+        [("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"), ("g1", "c")],
+        "lang string, source string",
+    )
+    cnt = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    mx = cnt.groupBy("lang").agg(F.max("n").alias("n"))
+    got = (
+        cnt.join(mx, ["lang", "n"])
+        .groupBy("lang", "n")
+        .agg(F.min("source").alias("mode_source"))
+        .collect()
+    )
+    assert [(r.lang, r.mode_source, r.n) for r in got] == [("g1", "a", 2)]
