@@ -52,6 +52,36 @@ def write_table(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a BUCKETED managed table — the co-located-join layout for
+    keys two big tables join on repeatedly (nodes⋈edges, triples⋈triples
+    on subj): both sides hash-partitioned into the same n_buckets files
+    AT WRITE TIME, so every later equi-join on the bucket key plans with
+    ZERO Exchange on either side (plan-asserted in tests/test_plans.py)
+    — the shuffle is paid once at ingest instead of per query, the
+    single biggest repeated-join saving at 100 TB. sort_cols additionally
+    pre-sorts within buckets, turning the join's per-partition sort into
+    a no-op.
+
+    Bucketing requires the session catalog (`saveAsTable` — bucket
+    metadata lives in the table, not the files), which is why this is a
+    TABLE api while everything else here is path-based; on the Iceberg
+    production target the same layout is `bucket(n, col)` partition
+    transforms. n_buckets sizes like shuffle partitions: ~2x the
+    cluster's cores, bounded by per-bucket file size."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 class Checkpointer:
     """Stage-boundary persistence with resume detection."""
 
