@@ -82,6 +82,58 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    compression: str = "zstd",
+) -> dict:
+    """Small-file compaction — the table-maintenance op every streaming
+    sink and incremental-append table needs (each micro-batch/delta
+    writes its own files; thousands of tiny files turn every later scan
+    into an open()-bound crawl and blow the driver's file-listing
+    memory at 10^12-row scale). Rewrites the directory into
+    ceil(bytes/target) files via a ROUND-ROBIN repartition (no shuffle
+    key — pure rebalance, every output file the same size regardless of
+    data skew), then commits by atomic directory swap: readers see the
+    old layout or the new one, never a mix; the pre-swap directory is
+    left beside the table as `<path>.pre-compact` until the caller
+    drops it (the crash-safety window).
+
+    Returns {files_before, files_after, bytes}. On Iceberg the same op
+    is rewrite_data_files; this is the path-table form."""
+    files = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") or f.startswith("part-")
+    ]
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    (
+        df.repartition(int(n_out))
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(tmp)
+    )
+    pre = path.rstrip("/") + ".pre-compact"
+    if os.path.exists(pre):
+        import shutil
+
+        shutil.rmtree(pre)
+    os.replace(path, pre)
+    os.replace(tmp, path)
+    after = len([
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") or f.startswith("part-")
+    ])
+    return {
+        "files_before": len(files),
+        "files_after": after,
+        "bytes": total,
+    }
+
+
 class Checkpointer:
     """Stage-boundary persistence with resume detection."""
 

@@ -339,3 +339,33 @@ def test_agg_mode_tie_breaks_to_min_value(spark):
         .collect()
     )
     assert [(r.lang, r.mode_source, r.n) for r in got] == [("g1", "a", 2)]
+
+
+# ------------------------------------------------- compaction ----
+
+def test_compact_table_preserves_data_and_reduces_files(spark, tmp_path):
+    """Compaction must (a) cut the file count to the byte-target
+    estimate, (b) leave the DATA bit-identical as a multiset, (c) keep
+    a pre-swap copy for crash recovery. Many tiny files -> 1 (the exact
+    pre-count is AQE's business — it coalesces the rebalance — so the
+    assertion is relative)."""
+    import os
+
+    from mxsparkg.catalog import compact_table
+
+    path = str(tmp_path / "t")
+    spark.range(40).repartition(40).write.parquet(path)
+    before = {
+        tuple(r) for r in spark.read.parquet(path).collect()
+    }
+    n_files_before = len(
+        [f for f in os.listdir(path) if f.startswith("part-")]
+    )
+    assert n_files_before > 10
+    stats = compact_table(spark, path, target_bytes=1 << 30)
+    assert stats["files_before"] == n_files_before
+    assert stats["files_after"] == 1
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    # crash-safety window: the old layout is parked next to the table
+    assert os.path.isdir(path + ".pre-compact")
