@@ -29,6 +29,13 @@ ops:
               (src, label, moved) assignment (--iters = init rounds)
   coarsen     Louvain phase-2 supernode graph of the min-label communities:
               (ca, cb, weight) with self-loop rows carrying intra mass
+  ktruss      bounded k-truss peel of the undirected subj/obj graph
+              (--top-k = k, --iters = peel rounds): surviving oriented
+              edges with their triangle support — the density screen
+              that rejects hub-and-spoke noise k-core keeps
+  msgpass     one GNN-style integer mean message-passing round over the
+              undirected subj/obj graph, features = support-sum per node:
+              (node, deg, h1)
 
 Prints one JSON line {op, rows, wall_sec, out}.
 """
@@ -49,7 +56,8 @@ def main() -> None:
     ap.add_argument("--op", required=True,
                     choices=["salience", "triangles", "components", "scc",
                              "modularity", "linkpred", "assortativity",
-                             "walk", "louvain", "coarsen"])
+                             "walk", "louvain", "coarsen", "ktruss",
+                             "msgpass"])
     ap.add_argument("--edges", required=True,
                     help="pipeline edges parquet (subj, pred, obj, n_support)")
     ap.add_argument("--nodes", default=None,
@@ -158,6 +166,36 @@ def main() -> None:
             out_df = gq.louvain_move(sym, lab, m_edges)
         else:
             out_df = gq.louvain_aggregate(und, lab)
+    elif args.op == "ktruss":
+        oriented = (
+            edges.select(
+                F.least("subj", "obj").alias("u"),
+                F.greatest("subj", "obj").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        out_df = gq.ktruss_peel(
+            oriented, k=max(3, args.top_k), rounds=args.iters
+        )
+    elif args.op == "msgpass":
+        sym = (
+            edges.select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst"))
+            .unionByName(
+                edges.select(F.col("obj").alias("src"),
+                             F.col("subj").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        feats = (
+            edges.select(F.col("subj").alias("node"), "n_support")
+            .unionByName(
+                edges.select(F.col("obj").alias("node"), "n_support"))
+            .groupBy("node")
+            .agg(F.sum("n_support").cast("long").alias("h0"))
+        )
+        out_df = gq.message_pass_mean(sym, feats)
     elif args.op == "assortativity":
         und = (
             edges.select(

@@ -161,6 +161,18 @@ def test_graph_analytics_ops(cli, spark):
             "--iters", "3",
         ])
         assert res["op"] == op and res["rows"] >= 1, res
+    # ktruss at k=3 (support >= 1): the a-b-c triangle's 3 edges
+    # survive, the pendant c-d edge (zero triangles) dies
+    res = cli("graph_analytics", [
+        "--op", "ktruss", "--edges", ep, "--out", f"{ROOT}/ga_ktruss",
+        "--iters", "2", "--top-k", "3",
+    ])
+    assert res["op"] == "ktruss" and res["rows"] == 3, res
+    # msgpass: one row per node of the subj/obj graph
+    res = cli("graph_analytics", [
+        "--op", "msgpass", "--edges", ep, "--out", f"{ROOT}/ga_msgpass",
+    ])
+    assert res["op"] == "msgpass" and res["rows"] == 4, res
     # walk: every node seeds one 3-hop walk (seed-mod 1); re-running is
     # bit-identical (determinism is the op's whole point)
     res = cli("graph_analytics", [
