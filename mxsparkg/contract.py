@@ -2615,3 +2615,132 @@ def agg_mode(spark, sf):
         .select("lang", "mode_source", F.col("n").alias("n_mode"))
         .orderBy("lang")
     )
+
+
+@reg("evt_scd2",
+     """WITH o AS (
+       SELECT user_id, event_type, ts,
+              lag(event_type) OVER w AS prev_type
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+     chg AS (
+       SELECT user_id, event_type AS attr, ts
+       FROM o WHERE prev_type IS NULL OR prev_type <> event_type),
+     v AS (
+       SELECT user_id, attr,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+              strftime(lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, attr),
+                       '%Y-%m-%d %H:%M:%S') AS valid_to
+       FROM chg)
+     SELECT user_id, attr, valid_from,
+            coalesce(valid_to, '9999-12-31 00:00:00') AS valid_to,
+            CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+              AS is_current
+     FROM v""")
+def evt_scd2(spark, sf):
+    """T31' slowly-changing-dimension type-2 build — the lakehouse
+    dimension-history staple: collapse each user's event stream into
+    versioned attribute rows (attr = event_type as the tracked column)
+    with [valid_from, valid_to) intervals and an is_current flag. The
+    change-point detection is one lag() over (user, ts, event_id) — the
+    event_id tiebreak makes equal-timestamp streams deterministic in
+    both engines — and the interval close is one lead() over the
+    surviving change rows; the open interval coalesces to the sentinel
+    high date, the convention downstream as-of joins (evt_asof) expect.
+
+    Scale shape: two window passes over the SAME (user_id) hash
+    partitioning — Catalyst reuses one Exchange; no self-join, no
+    driver state. Per-user history length bounds window memory, and a
+    user's whole history lives in one partition — exactly how an SCD2
+    MERGE lands on a real lakehouse table (kg_apply_delta is the write
+    side of this read-side build)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = _t(spark, sf, "events").select(
+        "user_id", "event_type", "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    chg = o.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", F.col("event_type").alias("attr"), "ts")
+    # (ts, attr) is a total order on a user's change rows: two changes at
+    # one timestamp necessarily carry different attrs, so lead() is
+    # deterministic in both engines even on tied-timestamp streams.
+    w2 = Window.partitionBy("user_id").orderBy("ts", "attr")
+    v = chg.select(
+        "user_id", "attr",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss")
+        .alias("valid_to"),
+    )
+    return v.select(
+        "user_id", "attr", "valid_from",
+        F.coalesce("valid_to", F.lit("9999-12-31 00:00:00"))
+        .alias("valid_to"),
+        F.when(F.col("valid_to").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("is_current"),
+    )
+
+
+@reg("evt_item_cooccur",
+     """WITH ui AS (
+       SELECT DISTINCT user_id, event_type FROM events),
+     n AS (
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+       FROM ui GROUP BY 1),
+     pair AS (
+       SELECT a.event_type AS item_a, b.event_type AS item_b,
+              CAST(count(*) AS BIGINT) AS n_both
+       FROM ui a JOIN ui b
+         ON a.user_id = b.user_id AND a.event_type < b.event_type
+       GROUP BY 1, 2)
+     SELECT p.item_a, p.item_b, p.n_both,
+            na.n_users AS n_a, nb.n_users AS n_b,
+            CAST(1000000 * p.n_both
+                 // (na.n_users + nb.n_users - p.n_both) AS BIGINT)
+              AS jaccard_ppm
+     FROM pair p
+     JOIN n na ON na.event_type = p.item_a
+     JOIN n nb ON nb.event_type = p.item_b""")
+def evt_item_cooccur(spark, sf):
+    """T32' item–item co-occurrence similarity (bipartite projection) —
+    the 'users who did A also did B' recommendation primitive: project
+    the user→item bipartite graph onto items by joining a user's
+    distinct item set against itself (a < b kills mirror+diagonal),
+    then integer-ppm Jaccard from the per-item user counts. Floor
+    division keeps both engines on the same integer — the dedup_minhash
+    ppm discipline.
+
+    Scale shape: the distinct(user, item) pass is one map-side-combined
+    shuffle; the self-join fans out per-user as |items_u|² — bounded
+    here by the event-type vocabulary, and in a general deployment by
+    the same hot-key cap the ER self-joins use (cap items per user
+    BEFORE pairing, kg_er_jaccard:1636 discipline), so a power user
+    can't go quadratic. The n-counts join is model-sized (one row per
+    item) and broadcasts."""
+    ui = _t(spark, sf, "events").select("user_id", "event_type").distinct()
+    n = ui.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    a = ui.select("user_id", F.col("event_type").alias("item_a"))
+    b = ui.select("user_id", F.col("event_type").alias("item_b"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    na = n.select(F.col("event_type").alias("item_a"),
+                  F.col("n_users").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("item_b"),
+                  F.col("n_users").alias("n_b"))
+    return (
+        pair.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a", "item_b", "n_both", "n_a", "n_b",
+            (F.lit(1000000) * F.col("n_both")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_both")))
+            .cast("bigint").alias("jaccard_ppm"),
+        )
+    )

@@ -6534,6 +6534,108 @@ def txt_entropy_sql() -> str:
     """
 
 
+# ------------------------------------------------- heavy hitters (MG) --
+
+HH_K = 32          # report terms with count > N / HH_K
+HH_CAPACITY = 128  # Misra-Gries summary size per partition (>= HH_K)
+
+
+def heavy_hitters_exact(
+    tokens: DataFrame, col: str = "term",
+    k: int = HH_K, capacity: int = HH_CAPACITY,
+) -> DataFrame:
+    """EXACT phi-heavy hitters (count > N/k) by the candidate+verify
+    pattern that survives unbounded key cardinality: a bounded-memory
+    Misra-Gries summary per partition proposes candidates, an exact
+    recount over just the candidate set verifies. On a vocabulary of
+    10^9+ keys a straight groupBy(term) shuffles every key; here the
+    shuffle after pass 1 carries at most capacity x n_partitions rows,
+    and pass 2's recount semi-joins the token stream against a
+    broadcast candidate list so only candidate rows ever aggregate.
+
+    Correctness is NOT approximate: MG with capacity c on a partition
+    of n_p items keeps every item whose local count exceeds n_p/c, and
+    summing the per-partition bound over partitions gives sum(n_p)/c =
+    N/c — so any item with global count > N/k >= N/capacity survives in
+    at least one partition (capacity >= k enforced below). The exact
+    recount then removes every false positive. The candidate set varies
+    with the partition layout; the RESULT is partition-invariant
+    (property-tested), which is why the DuckDB oracle can be the plain
+    one-line HAVING query.
+
+    Python appears only in the pass-1 summary (an Arrow-batched
+    per-partition loop, the _tag_batch posture: bounded dict, no
+    per-row UDF); pass 2 is pure built-ins under whole-stage codegen.
+    """
+    if capacity < k:
+        raise ValueError(f"capacity {capacity} must be >= k {k}")
+
+    def mg(batches):
+        import pandas as pd
+
+        cnt: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf[col]:
+                if t in cnt:
+                    cnt[t] += 1
+                elif len(cnt) < capacity:
+                    cnt[t] = 1
+                else:
+                    # decrement-all: amortized O(1) per item (each
+                    # decrement pays back an earlier increment)
+                    dead = []
+                    for x in cnt:
+                        cnt[x] -= 1
+                        if cnt[x] == 0:
+                            dead.append(x)
+                    for x in dead:
+                        del cnt[x]
+        if cnt:
+            yield pd.DataFrame({col: list(cnt.keys())})
+
+    cand = (
+        tokens.select(col)
+        .mapInPandas(mg, f"{col} string")
+        .distinct()
+    )
+    n_total = (
+        tokens.select(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        .withColumn("_k", F.lit(1))
+    )
+    hits = (
+        tokens.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("_k", F.lit(1))
+    )
+    return (
+        hits.join(F.broadcast(n_total), "_k")  # constant-key 1-row ride-along
+        .filter(F.col("cnt") * k > F.col("n_total"))
+        .select(col, "cnt", "n_total")
+    )
+
+
+def txt_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus heavy hitters: every term above 1/HH_K of total token mass
+    — the stopword/boilerplate-token detector that must NOT shuffle the
+    whole vocabulary at 100 TB (txt_vocab's top-k keeps a full groupBy;
+    this is the unbounded-cardinality-safe form)."""
+    toks = _docs(spark, sf).select(
+        F.explode(F.split("text", " ")).alias("term"))
+    return heavy_hitters_exact(toks)
+
+
+def txt_heavy_hitters_sql() -> str:
+    return f"""
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt, n.n_total
+      FROM toks, n GROUP BY term, n.n_total
+      HAVING count(*) * {HH_K} > n.n_total
+    """
+
+
 def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": dedup_exact,
@@ -6573,6 +6675,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_decontam": txt_decontam,
         "txt_tfidf": txt_tfidf,
         "txt_vocab": txt_vocab,
+        "txt_heavy_hitters": txt_heavy_hitters,
         "txt_bpe_merges": txt_bpe_merges,
         "txt_bpe_encode": txt_bpe_encode,
         "txt_collocations": txt_collocations,
@@ -6638,6 +6741,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_decontam": txt_decontam_sql(),
         "txt_tfidf": txt_tfidf_sql(),
         "txt_vocab": txt_vocab_sql(),
+        "txt_heavy_hitters": txt_heavy_hitters_sql(),
         "txt_bpe_merges": txt_bpe_merges_sql(),
         "txt_bpe_encode": txt_bpe_encode_sql(),
         "txt_collocations": txt_collocations_sql(),

@@ -2719,6 +2719,125 @@ def graph_msgpass_sql() -> str:
     """
 
 
+# ------------------------------------------- landmark harmonic centrality --
+
+HARMONIC_SEED_MOD = 100  # landmark sample: every 100th part key
+HARMONIC_SCALE = 6       # LCM(1..BFS_ROUNDS): 6/d is integer for d<=3
+
+
+def bfs_hops_per_seed(
+    edges: DataFrame, seeds: DataFrame, iters: int = BFS_ROUNDS
+) -> DataFrame:
+    """Per-seed bounded BFS: (seed, node, dist) for every node within
+    `iters` hops of each seed INDIVIDUALLY — bfs_hops collapses the seed
+    set to a nearest-seed min, this keeps the per-landmark distances the
+    centrality estimators need. Same round shape (edge equi-join +
+    groupBy(min), map-side combined), state keyed on (seed, node) so the
+    working set is |landmarks| x reach, linear in the landmark count —
+    the knob that makes this a SAMPLING method at web scale."""
+    edges = edges.select("src", "dst").persist()
+    dist = seeds.select(
+        F.col("node").alias("seed"), F.col("node"), F.lit(0).alias("dist"))
+    for _ in range(iters):
+        nbr = (
+            edges.join(
+                dist.withColumnRenamed("node", "_s"),
+                F.col("src") == F.col("_s"),
+            )
+            .select(
+                "seed", F.col("dst").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(nbr)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def harmonic_centrality(
+    edges: DataFrame, seeds: DataFrame, iters: int = BFS_ROUNDS,
+    scale: int = HARMONIC_SCALE,
+) -> DataFrame:
+    """Landmark harmonic centrality (Eppstein-Wang sampling estimator,
+    bounded to `iters` hops): for each node, sum scale/d(s, node) over
+    the landmark set — harmonic (not classic closeness) because it is
+    well-defined on disconnected graphs (unreached landmarks contribute
+    0, no infinite-distance special case). `scale` must be divisible by
+    every d in 1..iters so the per-landmark contribution is an exact
+    integer in both engines — the integer-PageRank discipline; with the
+    default 3 hops the terms are 6, 3, 2. Self-distances (d=0) are
+    excluded. Output is (node, n_src, harmonic_x6): rank by harmonic_x6
+    for 'most central entities', the KG triage query."""
+    for d in range(1, iters + 1):
+        if scale % d:
+            raise ValueError(f"scale {scale} not divisible by hop {d}")
+    pairs = bfs_hops_per_seed(edges, seeds, iters)
+    return (
+        pairs.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_src"),
+            F.sum(F.lit(scale).cast("bigint") / F.col("dist"))
+            .cast("bigint").alias("harmonic_x6"),
+        )
+    )
+
+
+def graph_harmonic(spark: SparkSession, sf: str) -> DataFrame:
+    """G16 landmark harmonic centrality on the sparsified co-purchase
+    graph: landmarks = part keys divisible by HARMONIC_SEED_MOD, 3 hops.
+    Certifies the per-seed BFS state (seed, node) and the exact-integer
+    1/d rollup against the unrolled oracle."""
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    sym = _symmetrize(und, "u", "v")
+    seeds = (
+        sym.select(F.col("src").alias("node"))
+        .filter(F.col("node") % HARMONIC_SEED_MOD == 0)
+        .distinct()
+    )
+    return harmonic_centrality(sym, seeds)
+
+
+def graph_harmonic_sql() -> str:
+    rounds, mod, scale = BFS_ROUNDS, HARMONIC_SEED_MOD, HARMONIC_SCALE
+    steps = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""c{i} AS (
+        SELECT p.seed, e.dst AS node, min(p.dist) + 1 AS dist
+        FROM edges e JOIN {prev} p ON p.node = e.src GROUP BY 1, 2),
+      d{i} AS (
+        SELECT seed, node, min(dist) AS dist FROM (
+          SELECT seed, node, dist FROM {prev}
+          UNION ALL SELECT seed, node, dist FROM c{i})
+        GROUP BY 1, 2)"""
+        )
+        prev = f"d{i}"
+    chain = ",\n      ".join(steps)
+    return f"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey % {MINLABEL_ORDER_MOD} = 0),
+      e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      edges AS (
+        SELECT u AS src, v AS dst FROM e0
+        UNION ALL SELECT v AS src, u AS dst FROM e0),
+      d0 AS (
+        SELECT DISTINCT src AS seed, src AS node, 0 AS dist FROM edges
+        WHERE src % {mod} = 0),
+      {chain}
+      SELECT node, CAST(count(*) AS BIGINT) AS n_src,
+             CAST(sum({scale} // dist) AS BIGINT) AS harmonic_x6
+      FROM {prev} WHERE dist > 0 GROUP BY node
+    """
+
+
 def graphquery_queries() -> dict:
     return {
         "kg_pagerank": kg_pagerank,
@@ -2732,6 +2851,7 @@ def graphquery_queries() -> dict:
         "graph_bfs": graph_bfs,
         "graph_walk": graph_walk,
         "graph_diameter": graph_diameter,
+        "graph_harmonic": graph_harmonic,
         "graph_walk_pairs": graph_walk_pairs,
         "graph_path": graph_path,
         "graph_sssp": graph_sssp,
@@ -2760,6 +2880,7 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_bfs": graph_bfs_sql(),
         "graph_walk": graph_walk_sql(),
         "graph_diameter": graph_diameter_sql(),
+        "graph_harmonic": graph_harmonic_sql(),
         "graph_walk_pairs": graph_walk_pairs_sql(),
         "graph_path": graph_path_sql(),
         "graph_sssp": graph_sssp_sql(),

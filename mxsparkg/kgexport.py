@@ -2006,6 +2006,160 @@ def kg_cascade_delete_sql() -> str:
     """
 
 
+# -------------------------------------------------- VoID dataset stats --
+
+
+def kg_void_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """VoID-style property-partition statistics (the W3C VoID vocabulary:
+    void:triples / void:distinctSubjects / void:distinctObjects per
+    property partition) over a 3-predicate KG slice — the dataset
+    descriptor every published KG ships and every query planner reads
+    before choosing a join order. One union of key-projected scans, one
+    groupBy(pred) with two distinct-counts; at 10^12 triples the stats
+    table is |predicates| rows and the distinct-counts are the standard
+    two-level partial aggs (count_distinct rewrites to a per-(pred,key)
+    pre-aggregation, map-side combined)."""
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    sup = _t(spark, sf, "supplier")
+    t = (
+        cust.select(
+            iri("cust", F.col("c_custkey")).alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            iri("nat", F.col("c_nationkey")).alias("obj"),
+        )
+        .unionByName(sup.select(
+            iri("sup", F.col("s_suppkey")).alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            iri("nat", F.col("s_nationkey")).alias("obj"),
+        ))
+        .unionByName(nat.select(
+            iri("nat", F.col("n_nationkey")).alias("subj"),
+            F.lit("in_region").alias("pred"),
+            iri("reg", F.col("n_regionkey")).alias("obj"),
+        ))
+    )
+    return t.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triples"),
+        F.count_distinct("subj").cast("bigint").alias("n_subj"),
+        F.count_distinct("obj").cast("bigint").alias("n_obj"),
+    )
+
+
+def kg_void_stats_sql() -> str:
+    return f"""
+      WITH t AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+               'in_nation' AS pred,
+               '<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>' AS obj
+        FROM customer
+        UNION ALL
+        SELECT '<{BASE_E}sup:' || CAST(s_suppkey AS VARCHAR) || '>',
+               'in_nation',
+               '<{BASE_E}nat:' || CAST(s_nationkey AS VARCHAR) || '>'
+        FROM supplier
+        UNION ALL
+        SELECT '<{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR) || '>',
+               'in_region',
+               '<{BASE_E}reg:' || CAST(n_regionkey AS VARCHAR) || '>'
+        FROM nation)
+      SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+             CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+             CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+      FROM t GROUP BY pred
+    """
+
+
+# ---------------------------------------- SHACL cardinality validation --
+
+SHACL_DROP_MOD = 41  # plant a missing in_nation every 41st customer
+SHACL_DUP_MOD = 37   # plant a duplicate in_nation every 37th customer
+
+
+def shacl_cardinality(
+    subjects: DataFrame, triples: DataFrame, constraints: DataFrame
+) -> DataFrame:
+    """SHACL-style sh:minCount / sh:maxCount validation: for each
+    (subject, pred) in the constraint table, count the subject's
+    outgoing pred-edges and report 'min' / 'max' violations. The
+    subject UNIVERSE is an explicit input — a missing edge is invisible
+    to any scan of the triple table itself, so minCount needs the
+    entity registry (nodes table) as the left side. Left join from
+    universe x constraints (both sides of that cross are
+    |nodes| x |shapes|, shapes model-sized and broadcast), coalesce
+    absent counts to 0; violations never shuffle data-sized rows twice
+    because the per-(subj,pred) count is the only data shuffle."""
+    cnt = triples.groupBy("subj", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    univ = subjects.join(F.broadcast(constraints), "styp")
+    return (
+        univ.join(cnt, ["subj", "pred"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0).cast("bigint")))
+        .withColumn(
+            "violation",
+            F.when(F.col("n") < F.col("min_cnt"), F.lit("min"))
+            .when(F.col("n") > F.col("max_cnt"), F.lit("max")),
+        )
+        .filter(F.col("violation").isNotNull())
+        .select("subj", "pred", "n", "violation")
+    )
+
+
+def kg_shacl_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate slice for shacl_cardinality: shape = 'every customer has
+    EXACTLY ONE in_nation'. Violations planted deterministically — every
+    SHACL_DROP_MOD-th customer's edge is dropped (minCount arm), every
+    SHACL_DUP_MOD-th gets a second nation (maxCount arm); keys hit by
+    both mods keep the duplicate (drop filter applies first, so n=0
+    wins) — the oracle replays the same plant order."""
+    cust = _t(spark, sf, "customer")
+    base = cust.filter(F.col("c_custkey") % SHACL_DROP_MOD != 0).select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        iri("nat", F.col("c_nationkey")).alias("obj"),
+    )
+    dup = cust.filter(
+        (F.col("c_custkey") % SHACL_DROP_MOD != 0)
+        & (F.col("c_custkey") % SHACL_DUP_MOD == 0)
+    ).select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        iri("nat", (F.col("c_nationkey") + 1) % 25).alias("obj"),
+    )
+    triples = base.unionByName(dup)
+    subjects = cust.select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        F.lit("cust").alias("styp"),
+    )
+    constraints = spark.createDataFrame(
+        [("cust", "in_nation", 1, 1)],
+        "styp string, pred string, min_cnt int, max_cnt int",
+    )
+    return shacl_cardinality(subjects, triples, constraints)
+
+
+def kg_shacl_card_sql() -> str:
+    return f"""
+      WITH t AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj
+        FROM customer WHERE c_custkey % {SHACL_DROP_MOD} != 0
+        UNION ALL
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>'
+        FROM customer
+        WHERE c_custkey % {SHACL_DROP_MOD} != 0
+          AND c_custkey % {SHACL_DUP_MOD} = 0),
+      cnt AS (SELECT subj, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+      u AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj
+        FROM customer)
+      SELECT u.subj, 'in_nation' AS pred, coalesce(cnt.n, 0) AS n,
+             CASE WHEN coalesce(cnt.n, 0) < 1 THEN 'min' ELSE 'max' END
+               AS violation
+      FROM u LEFT JOIN cnt ON cnt.subj = u.subj
+      WHERE coalesce(cnt.n, 0) != 1
+    """
+
+
 def kgexport_queries() -> dict:
     return {
         "kg_ntriples": kg_ntriples,
@@ -2027,6 +2181,8 @@ def kgexport_queries() -> dict:
         "kg_bgp_negation": kg_bgp_negation,
         "kg_bgp_union": kg_bgp_union,
         "kg_cascade_delete": kg_cascade_delete,
+        "kg_void_stats": kg_void_stats,
+        "kg_shacl_card": kg_shacl_card,
     }
 
 
@@ -2051,4 +2207,6 @@ def kgexport_oracle_sql() -> dict[str, str]:
         "kg_bgp_negation": kg_bgp_negation_sql(),
         "kg_bgp_union": kg_bgp_union_sql(),
         "kg_cascade_delete": kg_cascade_delete_sql(),
+        "kg_void_stats": kg_void_stats_sql(),
+        "kg_shacl_card": kg_shacl_card_sql(),
     }
