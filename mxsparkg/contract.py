@@ -2744,3 +2744,145 @@ def evt_item_cooccur(spark, sf):
             .cast("bigint").alias("jaccard_ppm"),
         )
     )
+
+
+@reg("evt_concurrency",
+     """WITH b AS (
+       SELECT event_type, ts AS t, 1 AS d FROM events
+       UNION ALL
+       SELECT event_type, ts + INTERVAL 1 HOUR, -1 FROM events),
+     net AS (
+       SELECT event_type, t, CAST(sum(d) AS BIGINT) AS nd
+       FROM b GROUP BY 1, 2),
+     sweep AS (
+       SELECT event_type, t,
+              sum(nd) OVER (PARTITION BY event_type ORDER BY t) AS conc
+       FROM net),
+     mx AS (
+       SELECT event_type, max(conc) AS peak FROM sweep GROUP BY 1)
+     SELECT s.event_type, CAST(m.peak AS BIGINT) AS peak,
+            strftime(min(s.t), '%Y-%m-%d %H:%M:%S') AS peak_ts
+     FROM sweep s JOIN mx m
+       ON m.event_type = s.event_type AND s.conc = m.peak
+     GROUP BY 1, 2""")
+def evt_concurrency(spark, sf):
+    """T33' peak concurrency by sweep-line — 'how many 1-hour activity
+    windows were open at once, per event type': each event contributes a
+    half-open [ts, ts+1h) interval; +1/-1 boundary deltas are grouped
+    per distinct timestamp (ends at t close BEFORE the cumsum is read at
+    t, so the net delta per t encodes the half-open convention with no
+    tie-ordering ambiguity inside the window frame — both engines sum
+    the same per-t net), then one running sum per type gives the active
+    count at every boundary and max() the peak. The earliest timestamp
+    attaining the peak makes the answer a deterministic single row per
+    type.
+
+    Scale shape: the naive formulation is an interval self-join
+    (O(n²) on a hot hour); the sweep is two map-side-combinable aggs +
+    ONE window cumsum over (type)-hash partitions ordered by time —
+    O(n log n) per partition, no join at all. This is the same
+    boundary-delta trick the funnel/retention family avoids self-joins
+    with, applied to interval counting."""
+    ev = _t(spark, sf, "events")
+    b = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
+    ).unionByName(ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+        F.lit(-1).alias("d"),
+    ))
+    net = b.groupBy("event_type", "t").agg(
+        F.sum("d").cast("bigint").alias("nd"))
+    w = (
+        Window.partitionBy("event_type").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = net.select(
+        "event_type", "t", F.sum("nd").over(w).alias("conc"))
+    mx = sweep.groupBy("event_type").agg(F.max("conc").alias("peak"))
+    return (
+        sweep.join(F.broadcast(mx), "event_type")
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.date_format(F.min("t"), "yyyy-MM-dd HH:mm:ss")
+             .alias("peak_ts"))
+        .select("event_type", F.col("peak").cast("bigint").alias("peak"),
+                "peak_ts")
+    )
+
+
+EQUIDEPTH_BUCKETS = 8
+
+
+@reg("agg_equidepth",
+     f"""WITH r AS (
+       SELECT l_extendedprice AS v,
+              ntile({EQUIDEPTH_BUCKETS}) OVER (
+                ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                AS bucket
+       FROM lineitem)
+     SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+            round(min(v), 2) AS lo, round(max(v), 2) AS hi
+     FROM r GROUP BY bucket""")
+def agg_equidepth(spark, sf):
+    """A15 equi-depth histogram — the optimizer-statistics / data-skew
+    diagnostic complement to A9's fixed-width histogram: ntile() assigns
+    equal-POPULATION buckets (fixed-width buckets collapse on skewed
+    values; equi-depth boundaries ARE the distribution), then per-bucket
+    count + [lo, hi] value bounds. The ORDER BY carries (orderkey,
+    linenumber) tiebreaks so tied prices land deterministically — the
+    SQL-standard ntile remainder rule (first n%b buckets take one extra
+    row) then agrees bit-for-bit across engines.
+
+    Scale shape: ntile over an unpartitioned ORDER BY is a global sort —
+    the honest cost of exact equi-depth; at 10^12 rows the production
+    swap is approx_percentile boundaries (the agg_approx_percentile key)
+    + one hash-agg bucketing pass against the broadcast boundary list.
+    This key pins the exact semantics that approximation is judged
+    against."""
+    r = _t(spark, sf, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        F.ntile(EQUIDEPTH_BUCKETS).over(
+            Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        ).alias("bucket"),
+    )
+    return r.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("v"), 2).alias("lo"),
+        F.round(F.max("v"), 2).alias("hi"),
+    )
+
+
+def _fn_zorder_sql():
+    from mxsparkg.layout import zorder_key_sql
+
+    z = zorder_key_sql("x", "y", bits=16)
+    return f"""
+      WITH d AS (
+        SELECT l_orderkey, l_linenumber,
+               l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber, x, y, {z} AS z
+      FROM d
+    """
+
+
+@reg("fn_zorder", _fn_zorder_sql())
+def fn_zorder(spark, sf):
+    """F11 Z-order (Morton) key — the data-skipping sort key for 2-D
+    predicate pruning (see mxsparkg/layout.py:zorder_key for the layout
+    rationale and the locality proof test). Certifies the 32-term
+    shift/and/multiply interleave value-exactly against the identically
+    generated DuckDB expression; whole-stage codegen end to end, zero
+    shuffle (pure projection)."""
+    from mxsparkg.layout import zorder_key
+
+    d = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_partkey") % 65536).alias("x"),
+        (F.col("l_suppkey") % 65536).alias("y"),
+    )
+    return d.select(
+        "l_orderkey", "l_linenumber", "x", "y",
+        zorder_key(F.col("x"), F.col("y"), bits=16).alias("z"),
+    )

@@ -6636,6 +6636,98 @@ def txt_heavy_hitters_sql() -> str:
     """
 
 
+# ----------------------------------------------- containment detection --
+
+CONTAIN_MIN_PPM = 500000  # report pairs where >= 50% of a's shingles are in b
+CONTAIN_TOP = 50
+
+
+def containment_pairs(
+    docs: DataFrame, min_ppm: int = CONTAIN_MIN_PPM,
+    max_doc_freq: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """ASYMMETRIC containment C(a->b) = |sh(a) & sh(b)| / |sh(a)| — the
+    quote/subset detector Jaccard misses: a paragraph quoted inside a
+    10x-longer page has tiny Jaccard but containment ~1.0 in the
+    quote->page direction, which is exactly the signal a training-data
+    pipeline needs to drop derived copies while keeping the original
+    (pair D7's substring tier with a doc-granularity decision). Directed
+    pairs (a != b, both directions scored independently); integer-ppm
+    floor division keeps both engines on the same value.
+
+    Scale shape: same inverted-index self-join as dedup_ngram_jaccard —
+    O(sum postings^2) with the df-cap bounding the worst shingle
+    (capped intersection is a lower bound on containment, never
+    inflated; denominators keep true per-doc counts). Deterministic
+    total order (cont_ppm desc, a_id, b_id), top-{CONTAIN_TOP}."""
+    sh = _shingles(docs)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    capped = sh
+    if max_doc_freq is not None:
+        over_cap = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("sh")
+        )
+        capped = sh.join(F.broadcast(over_cap), "sh", "left_anti")
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"),
+                       F.col("n_sh").alias("n_a"))
+    out = (
+        inter.join(ca, "a_id")
+        .withColumn(
+            "cont_ppm",
+            (F.lit(1000000) * F.col("n_common") / F.col("n_a"))
+            .cast("bigint"),
+        )
+        .filter(F.col("cont_ppm") >= min_ppm)
+    )
+    return (
+        out.select("a_id", "b_id", "n_common", "n_a", "cont_ppm")
+        .orderBy(F.col("cont_ppm").desc(), "a_id", "b_id")
+        .limit(CONTAIN_TOP)
+    )
+
+
+def txt_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate slice for containment_pairs over the documents table."""
+    return containment_pairs(_docs(spark, sf))
+
+
+def txt_containment_pairs_sql() -> str:
+    return f"""
+      WITH {_SQL_SHINGLES},
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY 1),
+      capped AS (
+        SELECT doc_id, sh FROM shingles
+        QUALIFY count(*) OVER (PARTITION BY sh) <= {MAX_SHINGLE_DF}),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM capped a JOIN capped b
+          ON a.sh = b.sh AND a.doc_id != b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.a_id, i.b_id, i.n_common, ca.n_sh AS n_a,
+             1000000 * i.n_common // ca.n_sh AS cont_ppm
+      FROM inter i JOIN counts ca ON ca.doc_id = i.a_id
+      WHERE 1000000 * i.n_common // ca.n_sh >= {CONTAIN_MIN_PPM}
+      ORDER BY cont_ppm DESC, i.a_id, i.b_id
+      LIMIT {CONTAIN_TOP}
+    """
+
+
 def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": dedup_exact,
@@ -6676,6 +6768,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tfidf": txt_tfidf,
         "txt_vocab": txt_vocab,
         "txt_heavy_hitters": txt_heavy_hitters,
+        "txt_containment_pairs": txt_containment_pairs,
         "txt_bpe_merges": txt_bpe_merges,
         "txt_bpe_encode": txt_bpe_encode,
         "txt_collocations": txt_collocations,
@@ -6742,6 +6835,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_tfidf": txt_tfidf_sql(),
         "txt_vocab": txt_vocab_sql(),
         "txt_heavy_hitters": txt_heavy_hitters_sql(),
+        "txt_containment_pairs": txt_containment_pairs_sql(),
         "txt_bpe_merges": txt_bpe_merges_sql(),
         "txt_bpe_encode": txt_bpe_encode_sql(),
         "txt_collocations": txt_collocations_sql(),

@@ -2838,6 +2838,98 @@ def graph_harmonic_sql() -> str:
     """
 
 
+# ------------------------------------------ sorted-neighborhood ER --
+
+SNM_WINDOW = 3        # compare each name to its 3 sort-successors
+SNM_MAX_LEV = 6       # candidate pairs must be within this edit distance
+SNM_PLANT_MOD = 31    # every 31st part gets a sort-adjacent variant
+SNM_PLANT_OFFSET = 9000000
+
+
+def er_sorted_neighborhood(
+    names: DataFrame, window: int = SNM_WINDOW, max_lev: int = SNM_MAX_LEV
+) -> DataFrame:
+    """Sorted-neighborhood-method ER blocking (Hernandez-Stolfo): rank
+    every surface form in ONE global lexicographic order, then compare
+    each record only to its `window` sort-successors — O(n * w) pairs
+    regardless of how skewed the name distribution is, the complement
+    to key-blocking (kg_er_edit), which collapses when one block is hot.
+    The window join is an EQUI-join: explode rank+k for k in 1..w on one
+    side and match rank exactly — never a theta-join/BNLJ.
+
+    The rank is a row_number over (name, id) — a total order, so ranks
+    and therefore pairs are deterministic cross-engine. At gate scale a
+    single window sort is honest; at 10^12 names the global rank comes
+    from the DataFrame-only two-phase range-partitioned prefix sum this
+    repo already ships (jobs/kg_tools.py:64-77) — same ranks, no
+    single-partition window.
+
+    Returns (a_id, b_id, rank_dist, lev) for neighbors within max_lev,
+    ordered (lev, a_id, b_id)."""
+    r = names.select(
+        "id", "name",
+        F.row_number().over(Window.orderBy("name", "id")).alias("rk"),
+    )
+    probes = r.select(
+        F.col("id").alias("a_id"), F.col("name").alias("a_name"),
+        F.col("rk").alias("a_rk"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("_d"),
+    ).select(
+        "a_id", "a_name", "a_rk", (F.col("a_rk") + F.col("_d")).alias("rk"),
+    )
+    cand = probes.join(
+        r.select(F.col("id").alias("b_id"),
+                 F.col("name").alias("b_name"), "rk"),
+        "rk",
+    )
+    return (
+        cand.select(
+            "a_id", "b_id",
+            (F.col("rk") - F.col("a_rk")).cast("bigint").alias("rank_dist"),
+            F.levenshtein("a_name", "b_name").cast("bigint").alias("lev"),
+        )
+        .filter(F.col("lev") <= max_lev)
+        .orderBy("lev", "a_id", "b_id")
+    )
+
+
+def kg_er_sortednbr(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: sorted-neighborhood ER over part surface forms with
+    deterministic plants — every SNM_PLANT_MOD-th part gets a variant
+    whose name appends ' zz' (sorts immediately after the original, edit
+    distance 3), so real merge pairs exist at rank_dist 1 and the
+    window, the equi-join, and the edit filter all discriminate under
+    the value hash."""
+    p = spark.read.parquet(f"{sf}/part.parquet").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+    plants = p.filter(F.col("id") % SNM_PLANT_MOD == 0).select(
+        (F.col("id") + SNM_PLANT_OFFSET).alias("id"),
+        F.concat(F.col("name"), F.lit(" zz")).alias("name"),
+    )
+    return er_sorted_neighborhood(p.unionByName(plants))
+
+
+def kg_er_sortednbr_sql() -> str:
+    return f"""
+      WITH names AS (
+        SELECT p_partkey AS id, p_name AS name FROM part
+        UNION ALL
+        SELECT p_partkey + {SNM_PLANT_OFFSET}, p_name || ' zz'
+        FROM part WHERE p_partkey % {SNM_PLANT_MOD} = 0),
+      r AS (
+        SELECT id, name,
+               row_number() OVER (ORDER BY name, id) AS rk
+        FROM names),
+      k AS (SELECT unnest(range(1, {SNM_WINDOW} + 1)) AS dist)
+      SELECT a.id AS a_id, b.id AS b_id,
+             CAST(k.dist AS BIGINT) AS rank_dist,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+      FROM r a JOIN k ON true JOIN r b ON b.rk = a.rk + k.dist
+      WHERE levenshtein(a.name, b.name) <= {SNM_MAX_LEV}
+      ORDER BY lev, a_id, b_id
+    """
+
+
 def graphquery_queries() -> dict:
     return {
         "kg_pagerank": kg_pagerank,
@@ -2852,6 +2944,7 @@ def graphquery_queries() -> dict:
         "graph_walk": graph_walk,
         "graph_diameter": graph_diameter,
         "graph_harmonic": graph_harmonic,
+        "kg_er_sortednbr": kg_er_sortednbr,
         "graph_walk_pairs": graph_walk_pairs,
         "graph_path": graph_path,
         "graph_sssp": graph_sssp,
@@ -2881,6 +2974,7 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_walk": graph_walk_sql(),
         "graph_diameter": graph_diameter_sql(),
         "graph_harmonic": graph_harmonic_sql(),
+        "kg_er_sortednbr": kg_er_sortednbr_sql(),
         "graph_walk_pairs": graph_walk_pairs_sql(),
         "graph_path": graph_path_sql(),
         "graph_sssp": graph_sssp_sql(),

@@ -74,3 +74,43 @@ def bucketed_join(
     if merge_hint:
         left, right = left.hint("merge"), right.hint("merge")
     return left.join(right, on)
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative int columns into
+    one sort key: bit i of x lands at position 2i, bit i of y at 2i+1.
+    Sorting/range-partitioning by the z-key before writing gives every
+    file a small bounding BOX in (x, y) instead of a thin stripe in one
+    dimension — so min/max file statistics (parquet row-group stats,
+    Iceberg manifest ranges) prune candidate files for 2-D predicates
+    (`x BETWEEN a AND b AND y BETWEEN c AND d`), the data-skipping
+    layout trick behind DELTA/Iceberg OPTIMIZE ZORDER. Pure integer
+    bit-arithmetic (shift/and/multiply by power-of-two literals), bit-
+    identical in any engine; `bits` caps each dimension at 2^bits-1 —
+    callers bucket wider domains first (e.g. `% 65536`).
+
+    locality proof: tests/test_round5f.py sorts a uniform grid by z-key
+    vs by x alone and asserts the box-query candidate-chunk fraction
+    drops; the fn_zorder gate key pins the interleave values themselves
+    cross-engine."""
+    from pyspark.sql import functions as F
+
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftright(x, i).bitwiseAND(F.lit(1))
+                     * F.lit(1 << (2 * i)))
+        terms.append(F.shiftright(y, i).bitwiseAND(F.lit(1))
+                     * F.lit(1 << (2 * i + 1)))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z.cast("bigint")
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """The identical interleave as portable SQL (DuckDB oracle side)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({y} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
