@@ -142,7 +142,19 @@ def headline_queries() -> dict:
               # Naive Bayes classifier (count rollups + broadcast score),
               # and the SPARQL OPTIONAL census
               "join_interval", "graph_ktruss", "graph_msgpass",
-              "txt_nb_classify", "kg_bgp_optional"):
+              "txt_nb_classify", "kg_bgp_optional",
+              # round-5e/f batch: exact Misra-Gries heavy hitters (the
+              # unbounded-cardinality-safe vocab shuffle: Arrow MG pass +
+              # broadcast-semi recount), asymmetric containment (the
+              # directed inverted-index self-join — strictly more pairs
+              # than jaccard's a<b half), SCD2 dimension build (two
+              # windows over one user partitioning), sweep-line peak
+              # concurrency (boundary-delta cumsum), landmark harmonic
+              # centrality (per-seed BFS: state |landmarks| x reach),
+              # and sorted-neighborhood ER (global rank + exploded
+              # rank+k equi-join)
+              "txt_heavy_hitters", "txt_containment_pairs", "evt_scd2",
+              "evt_concurrency", "graph_harmonic", "kg_er_sortednbr"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect
