@@ -6598,20 +6598,20 @@ def heavy_hitters_exact(
         .mapInPandas(mg, f"{col} string")
         .distinct()
     )
-    n_total = (
-        tokens.select(F.count(F.lit(1)).cast("bigint").alias("n_total"))
-        .withColumn("_k", F.lit(1))
-    )
+    # the total crosses to the driver as ONE scalar and re-enters as a
+    # literal (the graph_diameter/bpe lesson: a constant-key ride-along
+    # join constant-folds its equi-condition away and plans
+    # BroadcastNestedLoopJoin); the count is a map-side-combined scan,
+    # same cost as the ride-along's build side.
+    n_total = tokens.count()
     hits = (
         tokens.join(F.broadcast(cand), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .withColumn("_k", F.lit(1))
     )
     return (
-        hits.join(F.broadcast(n_total), "_k")  # constant-key 1-row ride-along
-        .filter(F.col("cnt") * k > F.col("n_total"))
-        .select(col, "cnt", "n_total")
+        hits.filter(F.col("cnt") * k > F.lit(n_total))
+        .select(col, "cnt", F.lit(n_total).cast("bigint").alias("n_total"))
     )
 
 

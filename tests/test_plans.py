@@ -528,3 +528,81 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_stats_b")
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark):
+    """txt_heavy_hitters pass 2: the exact recount must semi-join the
+    token stream against a BROADCAST candidate list (candidates are
+    capacity x partitions — model-sized by the MG bound), and the final
+    threshold filter rides a broadcast 1-row total — no full-vocabulary
+    hash Exchange anywhere after the candidate stage."""
+    from mxsparkg.datapipe import txt_heavy_hitters
+
+    plan = _plan(txt_heavy_hitters(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan  # total is a literal
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """evt_scd2's lag pass and lead pass are both keyed on user_id: the
+    plan must carry exactly ONE user_id hash Exchange (the SCD2 build is
+    a single shuffle), fully JVM-side."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["evt_scd2"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_concurrency_single_window_pass_no_join(spark):
+    """evt_concurrency: the sweep is boundary-union + ONE windowed cumsum
+    per event_type partitioning + a broadcast peak lookup — the naive
+    interval SELF-JOIN must be absent; the only joins are broadcast."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["evt_concurrency"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_item_cooccur_marginals_are_broadcast(spark):
+    """evt_item_cooccur: the per-item user counts (model-sized: one row
+    per item) must attach by BroadcastHashJoin; the user self-join is the
+    only data-sized join."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["evt_item_cooccur"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Python" not in plan, plan
+
+
+def test_snm_window_join_is_equi_not_bnlj(spark):
+    """kg_er_sortednbr: the rank+k window pairing must plan as an
+    EQUI-join on the exploded rank (SortMergeJoin/ShuffledHashJoin ok) —
+    a naive `b.rk BETWEEN a.rk+1 AND a.rk+w` range predicate would plan
+    BroadcastNestedLoopJoin and die at scale."""
+    from mxsparkg.graphquery import kg_er_sortednbr
+
+    plan = _plan(kg_er_sortednbr(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zorder_is_pure_codegen_projection(spark):
+    """fn_zorder: the 32-term interleave must stay inside ONE
+    whole-stage-codegen projection over the scan — no shuffle, no
+    Python, no join."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["fn_zorder"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "*(1) Project" in plan, plan  # one codegen stage, star notation
