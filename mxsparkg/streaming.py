@@ -531,3 +531,87 @@ def anomaly_flags_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
         "event_type", "day", F.col("x").alias("n_events"),
         (dev * dev > thresh).cast("int").alias("is_anomaly"),
     )
+
+
+def _scd2_change_rows(events: DataFrame) -> DataFrame:
+    """Per-user attribute change points: rows whose event_type differs
+    from the previous event in (ts, event_id) order — the first event
+    (lag NULL) always survives. Shared by the batch SCD2 build
+    (contract.evt_scd2 computes the same detection inline) and both
+    stages of the streaming form below."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("_prev"),
+        )
+        .filter(F.col("_prev").isNull()
+                | (F.col("_prev") != F.col("event_type")))
+        .select("user_id", F.col("event_type").alias("attr"),
+                "ts", "event_id")
+    )
+
+
+def start_scd2_stream(
+    events: DataFrame, index_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Streaming SCD2 dimension maintenance, stage 1: fold each
+    micro-batch into an append-only CHANGE-CANDIDATE index. Per batch,
+    within-batch change points survive plus each user's batch-first
+    event (the cross-batch predecessor is unknown inside foreachBatch,
+    so the first row is a candidate by construction — possibly a false
+    one). The candidate set provably CONTAINS every true change point
+    of the full stream under per-user in-order arrival: a change point
+    is either interior to some batch (kept by the batch lag) or that
+    batch's first row for the user (kept unconditionally). False
+    batch-first candidates (same attr as the suppressed cross-batch
+    predecessor) are removed by stage 2's re-detection — the case the
+    stream==batch test pins across a forced micro-batch boundary.
+
+    The index grows with CHANGES (+ one row per active user per batch),
+    not with events — the additive-index discipline of
+    start_daily_count_stream. Late data that retroactively splits an
+    already-folded interval needs a batch rebuild (evt_scd2 over the
+    log), the same open-boundary posture as stateful_sessions."""
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        _scd2_change_rows(batch).write.mode("append").parquet(index_dir)
+
+    return (
+        events.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def scd2_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Streaming SCD2, stage 2 (on demand): re-run change detection over
+    the candidate index (false batch-first candidates collapse because
+    their predecessor candidate carries the same attr), then close
+    intervals with one lead() pass — identical output columns and
+    semantics to the batch evt_scd2 key, and provably equal to it on
+    everything ingested so far (asserted in tests/test_streaming.py).
+    The re-detection runs at INDEX size (changes, not events), so this
+    costs nothing regardless of stream volume."""
+    from pyspark.sql import Window
+
+    cand = spark.read.parquet(index_dir).select(
+        "user_id", F.col("attr").alias("event_type"), "ts", "event_id")
+    chg = _scd2_change_rows(cand)
+    w2 = Window.partitionBy("user_id").orderBy("ts", "attr")
+    v = chg.select(
+        "user_id", "attr",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss")
+        .alias("valid_to"),
+    )
+    return v.select(
+        "user_id", "attr", "valid_from",
+        F.coalesce("valid_to", F.lit("9999-12-31 00:00:00"))
+        .alias("valid_to"),
+        F.when(F.col("valid_to").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("is_current"),
+    )

@@ -607,3 +607,81 @@ def test_streaming_click_attribution_matches_batch(spark):
     }
     assert got == want
     assert want == {(1, 11, 600_000_000), (2, 12, 1_200_000_000)}
+
+
+def test_streaming_scd2_matches_batch_across_boundary(spark):
+    """The change-candidate index folded across a FORCED micro-batch
+    boundary must rebuild to exactly the batch SCD2 table — including
+    the false batch-first candidate case (a user whose attr does NOT
+    change across the boundary: batch 2's first row enters the index as
+    a candidate and stage 2's re-detection must collapse it) and the
+    true cross-batch change (a user whose attr flips exactly at the
+    boundary, visible to no single batch's lag)."""
+    import datetime as dt
+    import shutil
+
+    from mxsparkg.streaming import (
+        EVENTS_SCHEMA,
+        scd2_from_index,
+        start_scd2_stream,
+    )
+
+    base = dt.datetime(2026, 3, 1, 12, 0, 0)
+
+    def ev(i, minutes, user, typ):
+        return (i, base + dt.timedelta(minutes=minutes), user, typ)
+
+    # user 1: A A | A B   (no change at boundary, change inside batch 2)
+    # user 2: X X | Y Y   (change exactly AT the boundary)
+    # user 3: only batch 1 (open interval survives the fold)
+    rows1 = [ev(0, 0, 1, "A"), ev(1, 10, 1, "A"),
+             ev(2, 0, 2, "X"), ev(3, 10, 2, "X"),
+             ev(4, 5, 3, "Q")]
+    rows2 = [ev(5, 20, 1, "A"), ev(6, 30, 1, "B"),
+             ev(7, 20, 2, "Y"), ev(8, 30, 2, "Y")]
+
+    src = f"{ROOT}/scd2_src"
+    idx = f"{ROOT}/scd2_idx"
+    for d in (src, idx, f"{ROOT}/scd2_ckpt"):
+        shutil.rmtree(d, ignore_errors=True)
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_scd2_stream(stream, idx, f"{ROOT}/scd2_ckpt")
+    q.awaitTermination(120)
+
+    got = {
+        tuple(r) for r in scd2_from_index(spark, idx).collect()
+    }
+
+    # batch comparator: the evt_scd2 gate key over the full log
+    import os
+
+    from mxsparkg.contract import contract_queries
+
+    batch_dir = f"{ROOT}/scd2_batch"
+    shutil.rmtree(batch_dir, ignore_errors=True)
+    os.makedirs(batch_dir, exist_ok=True)
+    spark.read.parquet(src).write.parquet(f"{batch_dir}/events.parquet")
+    want = {
+        tuple(r)
+        for r in contract_queries()["evt_scd2"](spark, batch_dir).collect()
+    }
+    assert got == want
+    # shape spot-checks: user 1 has A then B; user 2 X then Y; user 3 one
+    # open Q row; the index holds fewer rows than the event log
+    by_user = {}
+    for u, attr, *_ in got:
+        by_user.setdefault(u, []).append(attr)
+    assert sorted(by_user[1]) == ["A", "B"]
+    assert sorted(by_user[2]) == ["X", "Y"]
+    assert by_user[3] == ["Q"]
+    n_index = spark.read.parquet(idx).count()
+    assert n_index < spark.read.parquet(src).count()
