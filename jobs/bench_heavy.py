@@ -27,6 +27,7 @@ Usage: python jobs/bench_heavy.py [--cores 16] [--scale 1]
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -90,9 +91,8 @@ def main() -> None:
         )
         wall = time.time() - t0
         results[parts] = (got, wall, total, hot_count)
-        # the MG candidate table itself, for the shuffle-bound check
-        from mxsparkg.datapipe import heavy_hitters_exact as _hh  # noqa: F401
 
+        # the MG candidate table itself, for the shuffle-bound check:
         # re-derive candidates the same way the op does (pass 1 only)
         def mg(batches, col="term", capacity=CAPACITY):
             import pandas as pd
@@ -168,10 +168,10 @@ def main() -> None:
         and cand_rows[199] <= CAPACITY * 199
     with open(args.out, "a") as f:
         f.write("\n".join(lines))
-    print({"ok": ok, "wall_mg_64p": round(wall64, 1),
+    print(json.dumps({"ok": ok, "wall_mg_64p": round(wall64, 1),
            "wall_mg_199p": round(wall199, 1),
            "wall_naive": round(wall_naive, 1),
-           "cand_64p": cand_rows[64], "cand_199p": cand_rows[199]})
+           "cand_64p": cand_rows[64], "cand_199p": cand_rows[199]}))
     sys.exit(0 if ok else 1)
 
 

@@ -23,6 +23,7 @@ Usage: python jobs/bench_snm.py [--cores 16] [--n 1000000]
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -112,8 +113,8 @@ def main() -> None:
     ]
     with open(args.out, "a") as f:
         f.write("\n".join(lines))
-    print({"ok": ok, "n_pairs": np7, "plant_pairs": plant7,
-           "wall_7p": round(wall7, 1), "wall_64p": round(wall64, 1)})
+    print(json.dumps({"ok": ok, "n_pairs": np7, "plant_pairs": plant7,
+           "wall_7p": round(wall7, 1), "wall_64p": round(wall64, 1)}))
     sys.exit(0 if ok else 1)
 
 
