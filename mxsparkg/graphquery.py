@@ -2930,6 +2930,98 @@ def kg_er_sortednbr_sql() -> str:
     """
 
 
+# ------------------------------------------- per-node local clustering --
+
+LCC_ORDER_MOD = 50  # sparsified co-purchase graph (the minlabel choice)
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient — G4's triangle census
+    answers 'how clustered is the GRAPH'; downstream entity triage needs
+    'how clustered is THIS node's neighborhood' (a mention whose
+    neighbors all know each other is a tight community core; a hub with
+    LCC ~0 is a disambiguation page / boilerplate artifact). For each
+    node: lcc_ppm = 10^6 · 2·tri(v) / (deg(v)·(deg(v)−1)), exact integer
+    floor; deg-1 nodes are emitted with lcc_ppm 0 (their wedge count is
+    0 — emitting them beats dropping them because the consumer is a
+    filter, and absent != zero). edges: oriented u < v, distinct.
+
+    Scale shape: the triangle enumeration is the oriented e⋈e⋈e join
+    (cost Σ deg⁺² — the G4/G20 bound, hub-capped upstream where the
+    graph is scale-free); per-node credit is one explode of each found
+    triangle's 3 corners + a map-side-combinable rollup; degrees are one
+    more rollup and the final assembly a left join at node-table size."""
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .select(
+            F.explode(F.array("a", "b", "c")).alias("node"),
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    return (
+        deg.join(tri, "node", "left")
+        .withColumn("n_tri", F.coalesce("n_tri", F.lit(0).cast("bigint")))
+        .select(
+            "node", "deg", "n_tri",
+            F.when(
+                F.col("deg") >= 2,
+                (F.lit(2000000) * F.col("n_tri"))
+                / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(F.lit(0)).cast("bigint").alias("lcc_ppm"),
+        )
+    )
+
+
+def graph_clustering_local(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: per-node LCC on the 1-in-50-sparsified co-purchase
+    graph (the full graph is a dense expander where every LCC saturates;
+    the sparsified one has real variance to discriminate on)."""
+    return local_clustering(
+        _copurchase_edges(spark, sf, order_mod=LCC_ORDER_MOD))
+
+
+def graph_clustering_local_sql() -> str:
+    return f"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey % {LCC_ORDER_MOD} = 0),
+      e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      tr AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        WHERE EXISTS (
+          SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v)),
+      cr AS (
+        SELECT unnest([a, b, c]) AS node FROM tr),
+      tri AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        FROM cr GROUP BY node),
+      deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node)
+      SELECT d.node, d.deg, coalesce(t.n_tri, 0) AS n_tri,
+             CAST(CASE WHEN d.deg >= 2
+                  THEN (2000000 * coalesce(t.n_tri, 0))
+                       // (d.deg * (d.deg - 1))
+                  ELSE 0 END AS BIGINT) AS lcc_ppm
+      FROM deg d LEFT JOIN tri t ON t.node = d.node
+    """
+
+
 def graphquery_queries() -> dict:
     return {
         "kg_pagerank": kg_pagerank,
@@ -2945,6 +3037,7 @@ def graphquery_queries() -> dict:
         "graph_diameter": graph_diameter,
         "graph_harmonic": graph_harmonic,
         "kg_er_sortednbr": kg_er_sortednbr,
+        "graph_clustering_local": graph_clustering_local,
         "graph_walk_pairs": graph_walk_pairs,
         "graph_path": graph_path,
         "graph_sssp": graph_sssp,
@@ -2975,6 +3068,7 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_diameter": graph_diameter_sql(),
         "graph_harmonic": graph_harmonic_sql(),
         "kg_er_sortednbr": kg_er_sortednbr_sql(),
+        "graph_clustering_local": graph_clustering_local_sql(),
         "graph_walk_pairs": graph_walk_pairs_sql(),
         "graph_path": graph_path_sql(),
         "graph_sssp": graph_sssp_sql(),

@@ -225,3 +225,23 @@ def test_zorder_layout_prunes_box_queries(spark):
         "z")
     assert zsort < linear, (zsort, linear)
     assert zsort <= 6 and linear >= 12
+
+
+# --------------------------------------------- local clustering --
+
+def test_lcc_clique_path_and_degree_one(spark):
+    """K4 ∪ path(3): every clique node has LCC exactly 1.0 (10^6 ppm,
+    3 triangles / C(3,2)=3 wedges), the path's middle node 0 (wedge but
+    no triangle), and its deg-1 endpoints are EMITTED at 0 (absent !=
+    zero for a downstream filter)."""
+    from mxsparkg.graphquery import local_clustering
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(10, 11), (11, 12)]
+    edges = spark.createDataFrame(k4 + path, "u bigint, v bigint")
+    got = {r.node: (r.deg, r.n_tri, r.lcc_ppm)
+           for r in local_clustering(edges).collect()}
+    for v in range(4):
+        assert got[v] == (3, 3, 1000000)
+    assert got[11] == (2, 0, 0)
+    assert got[10] == (1, 0, 0) and got[12] == (1, 0, 0)
