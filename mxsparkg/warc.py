@@ -192,3 +192,99 @@ def write_warc(path: str, records, gzip_members: bool = False) -> int:
     with open(path, "wb") as fh:
         fh.write(data)
     return len(data)
+
+
+# ------------------------------------------------- CDXJ index source --
+
+CDXJ_FIELDS = "url string, status int, mime string, length bigint, " \
+    "filename string, offset bigint"
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """CDX(J) crawl-index source — the OTHER Common-Crawl entry point:
+    before touching a single WARC byte, real CC consumers select their
+    fetch list from the cdx-*.gz index shards, whose line format is
+
+        <SURT urlkey> <14-digit timestamp> <JSON blob>
+
+    (e.g. `com,example)/page 20260101000000 {"url": "...", "status":
+    "200", "mime": "text/html", "length": "1234", "filename":
+    "crawl.warc.gz", "offset": "5678"}`). This reader is 100% JVM-side:
+    `spark.read.text` (splittable, so a 1 GB shard fans out across
+    tasks — unlike the per-file binaryFile WARC unit), two
+    substring_index splits for the SURT key and timestamp, one
+    `from_json` for the blob. Malformed lines (bad json, short lines,
+    non-numeric ts) yield nulls and are FILTERED, never thrown — the
+    hostile-input posture of the WARC reader (fuzz-tested); CC index
+    JSON carries numerics as strings, so status/length/offset are cast
+    through the string schema. Returns (urlkey, warc_ts, url, status,
+    mime, length, filename, offset) — join filename/offset against the
+    WARC store for ranged fetches, or feed url straight to the frontier.
+    """
+    lines = spark.read.text(path)
+    urlkey = F.substring_index("value", " ", 1)
+    rest = F.expr("substring(value, length(substring_index(value, ' ', 1)) + 2)")
+    ts_raw = F.substring_index(rest, " ", 1)
+    js = F.expr(
+        "substring(value, length(substring_index(value, ' ', 2)) + 2)")
+    blob = F.from_json(
+        js,
+        "url string, status string, mime string, length string, "
+        "filename string, offset string",
+    )
+    return (
+        lines.select(
+            urlkey.alias("urlkey"),
+            # try_to_timestamp: ANSI mode THROWS on a malformed ts (the
+            # Spark 4 gotcha); hostile index lines must filter, not fail
+            F.try_to_timestamp(ts_raw, F.lit("yyyyMMddHHmmss"))
+            .alias("warc_ts"),
+            blob.alias("b"),
+        )
+        .filter(F.col("warc_ts").isNotNull() & F.col("b").isNotNull()
+                & F.col("b.url").isNotNull())
+        .select(
+            "urlkey", "warc_ts", F.col("b.url").alias("url"),
+            # try_cast: ANSI cast throws on a non-numeric index field
+            F.expr("try_cast(b.status AS int)").alias("status"),
+            F.col("b.mime").alias("mime"),
+            F.expr("try_cast(b.length AS bigint)").alias("length"),
+            F.col("b.filename").alias("filename"),
+            F.expr("try_cast(b.offset AS bigint)").alias("offset"),
+        )
+    )
+
+
+def surt_key(url_col) -> "F.Column":
+    """SURT urlkey from a url column (the CC index sort key): host
+    reversed comma-wise + ')/' + path, lowercase, default-port-free —
+    enough of the spec for index joins and host-range scans; query
+    strings kept verbatim after '?'. Pure built-ins (concat_ws over a
+    reversed split of parse_url(HOST))."""
+    host = F.lower(F.parse_url(url_col, F.lit("HOST")))
+    path = F.lower(F.coalesce(F.parse_url(url_col, F.lit("PATH")),
+                              F.lit("/")))
+    rev = F.concat_ws(",", F.reverse(F.split(host, "\\.")))
+    return F.concat(rev, F.lit(")"), path)
+
+
+def write_cdxj(df: DataFrame, path: str) -> None:
+    """Round-trip writer for tests + for publishing an index of OUR
+    crawl output: (url, warc_ts, status, mime, length, filename,
+    offset) → CDXJ text shards, urlkey derived via surt_key. to_json
+    keeps field order deterministic via named_struct; one text file per
+    partition, every shard independently a valid CDXJ fragment."""
+    line = F.concat_ws(
+        " ",
+        surt_key(F.col("url")),
+        F.date_format("warc_ts", "yyyyMMddHHmmss"),
+        F.to_json(F.struct(
+            F.col("url"),
+            F.col("status").cast("string").alias("status"),
+            F.col("mime"),
+            F.col("length").cast("string").alias("length"),
+            F.col("filename"),
+            F.col("offset").cast("string").alias("offset"),
+        )),
+    )
+    df.select(line.alias("value")).write.mode("overwrite").text(path)

@@ -159,3 +159,55 @@ def test_parse_warc_bytes_hostile_inputs_never_raise():
     two = gz + bytes(corrupt)
     got2 = list(parse_warc_bytes("t", two))
     assert got2 and got2[0][0] == "http://ok.com/"
+
+
+def test_cdxj_round_trip_and_hostile_lines(spark, tmp_path):
+    """write_cdxj -> read_cdxj is lossless on the typed fields, the SURT
+    urlkey is derived correctly (host reversed comma-wise), and hostile
+    lines (truncated, bad json, bad timestamp, blank) are filtered, not
+    thrown — the WARC reader's hostile-input posture."""
+    import datetime as dt
+
+    from mxsparkg.warc import read_cdxj, write_cdxj
+
+    rows = [
+        ("http://www.example.com/Some/Path", dt.datetime(2026, 1, 2, 3, 4, 5),
+         200, "text/html", 1234, "c0.warc.gz", 0),
+        ("http://sub.host.org/", dt.datetime(2026, 1, 2, 3, 4, 6),
+         404, "text/plain", 9, "c0.warc.gz", 1234),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, status int, mime string, "
+        "length bigint, filename string, offset bigint",
+    )
+    out = str(tmp_path / "cdxj")
+    write_cdxj(df, out)
+
+    # splice hostile lines into the same directory as an extra shard
+    hostile = "\n".join([
+        "com,junk)/x 20260101000000 {not json at all",
+        "com,junk)/y NOTATIMESTAMP {\"url\": \"http://junk.com/y\"}",
+        "shortline",
+        "",
+        "com,junk)/z 20260101000000 {\"status\": \"200\"}",  # url missing
+        # non-numeric numerics: row kept, fields null (try_cast posture)
+        "com,keep)/n 20260101000001 {\"url\": \"http://keep.com/n\","
+        " \"status\": \"abc\", \"length\": \"-\", \"offset\": \"x\"}",
+    ])
+    with open(f"{out}/hostile.txt", "w") as f:
+        f.write(hostile)
+
+    got = {r.url: r for r in read_cdxj(spark, out).collect()}
+    assert set(got) == {"http://www.example.com/Some/Path",
+                        "http://sub.host.org/", "http://keep.com/n"}
+    k = got["http://keep.com/n"]
+    assert (k.status, k.length, k.offset) == (None, None, None)
+    a = got["http://www.example.com/Some/Path"]
+    assert a.urlkey == "com,example,www)/some/path"
+    assert (a.status, a.mime, a.length, a.filename, a.offset) == (
+        200, "text/html", 1234, "c0.warc.gz", 0)
+    assert a.warc_ts == dt.datetime(2026, 1, 2, 3, 4, 5)
+    b = got["http://sub.host.org/"]
+    assert b.urlkey == "org,host,sub)/"
+    assert (b.status, b.offset) == (404, 1234)
