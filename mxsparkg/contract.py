@@ -2739,8 +2739,10 @@ def evt_item_cooccur(spark, sf):
         .join(F.broadcast(nb), "item_b")
         .select(
             "item_a", "item_b", "n_both", "n_a", "n_b",
-            (F.lit(1000000) * F.col("n_both")
-             / (F.col("n_a") + F.col("n_b") - F.col("n_both")))
+            # `div` = exact integral division: double-divide-then-cast
+            # can round UP across an integer boundary where DuckDB's
+            # integer `//` floors — the one-ulp cross-engine trap
+            F.expr("(1000000 * n_both) div (n_a + n_b - n_both)")
             .cast("bigint").alias("jaccard_ppm"),
         )
     )

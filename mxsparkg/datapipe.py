@@ -6689,8 +6689,10 @@ def containment_pairs(
         inter.join(ca, "a_id")
         .withColumn(
             "cont_ppm",
-            (F.lit(1000000) * F.col("n_common") / F.col("n_a"))
-            .cast("bigint"),
+            # exact integral `div`, not double-divide-then-cast: the
+            # min_ppm boundary (exactly 50%) must include/exclude the
+            # same pairs as the oracle's integer `//`
+            F.expr("(1000000 * n_common) div n_a").cast("bigint"),
         )
         .filter(F.col("cont_ppm") >= min_ppm)
     )

@@ -2974,10 +2974,11 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         .withColumn("n_tri", F.coalesce("n_tri", F.lit(0).cast("bigint")))
         .select(
             "node", "deg", "n_tri",
+            # exact integral `div` (the cross-engine floor trap: a
+            # double quotient can round UP over an integer boundary)
             F.when(
                 F.col("deg") >= 2,
-                (F.lit(2000000) * F.col("n_tri"))
-                / (F.col("deg") * (F.col("deg") - 1)),
+                F.expr("(2000000 * n_tri) div (deg * (deg - 1))"),
             ).otherwise(F.lit(0)).cast("bigint").alias("lcc_ppm"),
         )
     )
