@@ -154,7 +154,10 @@ def headline_queries() -> dict:
               # and sorted-neighborhood ER (global rank + exploded
               # rank+k equi-join)
               "txt_heavy_hitters", "txt_containment_pairs", "evt_scd2",
-              "evt_concurrency", "graph_harmonic", "kg_er_sortednbr"):
+              "evt_concurrency", "graph_harmonic", "kg_er_sortednbr",
+              # per-node LCC (oriented triangle enumeration + 3-corner
+              # explode — the densest join shape in the closing batch)
+              "graph_clustering_local"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

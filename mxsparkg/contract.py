@@ -2888,3 +2888,144 @@ def fn_zorder(spark, sf):
         "l_orderkey", "l_linenumber", "x", "y",
         zorder_key(F.col("x"), F.col("y"), bits=16).alias("z"),
     )
+
+
+@reg("agg_stringagg",
+     """SELECT lang,
+            string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+            CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+     FROM documents GROUP BY lang""")
+def agg_stringagg(spark, sf):
+    """A16 deterministic string aggregation (listagg) — the 'show me the
+    group's members as one cell' surface every report query uses. Naive
+    collect_list order is partition-order-dependent (a hash-gate
+    landmine); the portable spelling is collect_set → array_sort →
+    concat_ws, which both engines express deterministically (DuckDB:
+    string_agg DISTINCT ... ORDER BY). Output stays bounded because the
+    member domain is a dimension; aggregating an UNBOUNDED value set
+    into one string is the anti-pattern this key's shape warns against
+    (cap with slice() after the sort at 10^12 rows)."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("source")))
+        .alias("sources"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+@reg("evt_wau",
+     f"""WITH du AS (
+       SELECT DISTINCT
+              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+              user_id
+       FROM events),
+     sp AS (
+       SELECT du.day + o.off AS window_day, du.user_id
+       FROM du, (SELECT unnest(range(0, {WAU_WINDOW_DAYS})) AS off) o),
+     act AS (SELECT DISTINCT day FROM du)
+     SELECT s.window_day AS day,
+            CAST(count(DISTINCT s.user_id) AS BIGINT) AS wau
+     FROM sp s JOIN act ON act.day = s.window_day
+     GROUP BY 1""")
+def evt_wau(spark, sf):
+    """T38' trailing-window active users (WAU per day) — the retention
+    dashboard's denominator, and a query famously awkward at scale
+    because count_distinct over a sliding RANGE window is unsupported
+    (and would hold per-row state): the scalable EXACT spelling is
+    distinct (day, user) → explode each activity day into the
+    {WAU_WINDOW_DAYS} window-days it contributes to → one distinct-count
+    per window-day. Days outside the observed activity range (windows
+    fed only by the explode tail) are clipped to observed days so both
+    engines agree on the output domain.
+
+    Scale shape: the distinct (day,user) pass is the only event-sized
+    shuffle (map-side combined); the explode fans out x7 on the
+    DAY-LEVEL table; the final count_distinct is the standard two-level
+    partial agg. The window length multiplies day-table size, never
+    event volume."""
+    # ts is TIMESTAMP_NTZ: unix_micros() rejects it (the sessionize
+    # lesson) — unix_date over the date part is the zone-free exact
+    # epoch-day integer, == DuckDB's epoch_us // day for naive ts.
+    du = (
+        _t(spark, sf, "events")
+        .select(
+            F.expr("cast(unix_date(cast(ts as date)) as bigint)")
+            .alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    sp = du.select(
+        "day", "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(WAU_WINDOW_DAYS - 1)))
+        .alias("_off"),
+    ).select((F.col("day") + F.col("_off")).alias("day"), "user_id")
+    act = du.select("day").distinct()
+    return (
+        sp.join(F.broadcast(act), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+
+
+@reg("graph_reciprocity",
+     """WITH flow AS (
+       SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+       FROM lineitem l
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       WHERE c.c_nationkey != s.s_nationkey),
+     r AS (
+       SELECT CAST(count(*) AS BIGINT) AS n_edges,
+              CAST(sum(CASE WHEN EXISTS (
+                SELECT 1 FROM flow b
+                WHERE b.src = flow.dst AND b.dst = flow.src)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_recip
+       FROM flow)
+     SELECT n_edges, n_recip,
+            CAST((1000000 * n_recip) // n_edges AS BIGINT) AS recip_ppm
+     FROM r""")
+def graph_reciprocity(spark, sf):
+    """G23 directed-graph reciprocity on the nation→nation trade-flow
+    graph (customer nation buys from supplier nation, self-loops
+    dropped): the share of directed edges whose reverse edge also exists
+    — the standard directed-KG health metric (a claims graph where
+    cites/cited_by never reciprocate vs a social graph at ~0.7). The
+    reverse-edge test is a LEFT SEMI self-join on the swapped key pair —
+    never EXISTS-per-row; integral div for the ppm.
+
+    Scale shape: the flow derivation is two fact-sized equi-joins (the
+    J2 shuffle shape) + one distinct at nation² size; the reciprocity
+    join then runs on the DISTINCT edge list — graph-sized, not
+    fact-sized. At a 10^9-edge directed KG the semi-join shuffles each
+    edge once on the swapped key."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    flow = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"),
+                F.col("s_nationkey").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = flow.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = flow.join(rev, ["src", "dst"], "left_semi")
+    n = flow.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    nr = recip.agg(F.count(F.lit(1)).cast("bigint").alias("n_recip"))
+    return (
+        n.withColumn("_k", F.lit(1))
+        .join(nr.withColumn("_k", F.lit(1)), "_k")
+        .select(
+            "n_edges", "n_recip",
+            F.expr("(1000000 * n_recip) div n_edges").cast("bigint")
+            .alias("recip_ppm"),
+        )
+    )

@@ -1,0 +1,78 @@
+"""Round-5g batch: deterministic string aggregation, trailing-window
+active users, directed-graph reciprocity. Pins partition-order
+independence of the sorted listagg, the exact WAU window algebra on a
+gappy day domain, and the closed-form reciprocity ppm."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_stringagg_sorted_and_partition_invariant(spark, tmp_path):
+    from mxsparkg.contract import contract_queries
+
+    rows = [(i, f"t{i}", "fr", f"s{9 - (i % 4)}", 10) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint")
+    df.repartition(13).write.parquet(str(tmp_path / "documents.parquet"))
+    out = contract_queries()["agg_stringagg"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.lang, r.sources, r.n_sources) == ("fr", "s6,s7,s8,s9", 4)
+
+
+def test_wau_window_algebra_gappy_days(spark, tmp_path):
+    """u1 active day 0, u2 day 3, u3 day 10. Observed days {0, 3, 10}:
+    wau(0) = {u1}; wau(3) = {u1 (0 is within the trailing 7), u2};
+    wau(10) = {u3} only (day 3 is 7 days back — outside the 7-day
+    trailing window [4, 10]). Non-observed days must be absent."""
+    import datetime as dt
+
+    from mxsparkg.contract import contract_queries
+
+    base = dt.datetime(2026, 1, 1, 6, 0, 0)
+    rows = [
+        (1, base, 1, "view", 0.0, "{}"),
+        (2, base + dt.timedelta(days=3), 2, "view", 0.0, "{}"),
+        (3, base + dt.timedelta(days=10), 3, "view", 0.0, "{}"),
+        (4, base + dt.timedelta(days=10, hours=5), 3, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    d0 = (base.date() - dt.date(1970, 1, 1)).days
+    got = {
+        r.day - d0: r.wau
+        for r in contract_queries()["evt_wau"](spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 1, 3: 2, 10: 1}
+
+
+def test_reciprocity_closed_form(spark, tmp_path):
+    """Flows {1→2, 2→1, 1→3}: n_edges 3, n_recip 2, ppm floor(2e6/3)."""
+    from mxsparkg.contract import contract_queries
+
+    # customers c10(nat 1), c20(nat 2); suppliers s1(nat 1), s2(nat 2),
+    # s3(nat 3); orders o1 by c10, o2 by c20; lineitems: o1→s2 (1→2),
+    # o1→s3 (1→3), o2→s1 (2→1), plus a self-loop o1→s1 (dropped) and a
+    # duplicate o1→s2 (distinct collapses it).
+    spark.createDataFrame(
+        [(10, 1), (20, 2)], "c_custkey bigint, c_nationkey bigint"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "s_suppkey bigint, s_nationkey bigint"
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(100, 10), (200, 20)], "o_orderkey bigint, o_custkey bigint"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(100, 2), (100, 3), (200, 1), (100, 1), (100, 2)],
+        "l_orderkey bigint, l_suppkey bigint",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = contract_queries()["graph_reciprocity"](
+        spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_edges, r.n_recip, r.recip_ppm) == (3, 2, 666666)
