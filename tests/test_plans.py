@@ -606,3 +606,30 @@ def test_zorder_is_pure_codegen_projection(spark):
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
     assert "*(1) Project" in plan, plan  # one codegen stage, star notation
+
+
+def test_wau_single_event_sized_shuffle(spark):
+    """evt_wau: the distinct (day,user) pass is the ONLY event-sized
+    shuffle; the x7 explode runs on the day-level table and the clip is
+    a broadcast semi-join — no sort-merge join, no Python."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["evt_wau"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_reciprocity_no_bnlj_supplier_broadcast(spark):
+    """graph_reciprocity: the nation-dim supplier side broadcasts; the
+    1-row n/nr recombination must not plan a nested-loop join over
+    data-sized inputs (both sides are single-row aggregates)."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["graph_reciprocity"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
