@@ -63,53 +63,25 @@ def _typed_edges(edges, nodes):
 
 def _dense_entities(edges):
     """(eid, id, obj_neg) with dense 0..n-1 eids over the distinct entity
-    set, in global id sort order, DataFrame-only (no RDD, no per-row
-    Python): range-partition the distinct ids, count each partition
-    (partition counts are a tiny driver-side collect, one row per
-    partition), prefix-sum the counts into per-partition offsets, and
-    assign eid = offset + (row_number within partition) − 1. Range
-    partitioning guarantees every id in partition p sorts before every id
-    in partition p+1, so the offset scheme reproduces the global sort
-    rank exactly — same eids the old sort+zipWithIndex produced — while
-    the sort, the counts, and the ranks all stay distributed (the only
-    driver traffic is n_partitions longs)."""
+    set, in global id sort order, DataFrame-only — the
+    mxsparkg.layout.prefix_sum_rank primitive (range-partition + counted
+    offsets + within-partition row_number; only driver traffic is
+    n_partitions longs), which that module documents and the
+    fn_rank_global gate key certifies against the window oracle."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
-    spark = edges.sparkSession
+    from mxsparkg.layout import prefix_sum_rank
+
     ids = (
         edges.select(F.col("subj").alias("id"))
         .unionByName(edges.select(F.col("obj").alias("id")))
         .distinct()
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # persist AFTER stamping the partition id: the counts job and the
-    # rank job must observe the same range assignment
-    ids2 = (
-        ids.repartitionByRange(n_parts, "id")
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
+    return prefix_sum_rank(ids, "id", rank_col="_rank").select(
+        (F.col("_rank") - 1).alias("eid"),
+        F.col("id"),
+        F.col("id").alias("obj_neg"),
     )
-    counts = sorted(
-        (r["pid"], r["c"])
-        for r in ids2.groupBy("pid").agg(F.count("*").alias("c")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, c in counts:
-        offsets.append((pid, acc))
-        acc += c
-    off_df = spark.createDataFrame(offsets or [(0, 0)], ["pid", "off"])
-    w = Window.partitionBy("pid").orderBy("id")
-    out = (
-        ids2.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(off_df), on="pid")
-        .select(
-            (F.col("off") + F.col("rn") - 1).alias("eid"),
-            F.col("id"),
-            F.col("id").alias("obj_neg"),
-        )
-    )
-    return out
 
 
 def main() -> None:

@@ -3029,3 +3029,60 @@ def graph_reciprocity(spark, sf):
             .alias("recip_ppm"),
         )
     )
+
+
+@reg("fn_rank_global",
+     """SELECT p_partkey, p_name,
+            CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS BIGINT)
+              AS rank
+     FROM part""")
+def fn_rank_global(spark, sf):
+    """F12 scalable global rank — certifies mxsparkg.layout.
+    prefix_sum_rank (range-partition + counted offsets + within-
+    partition row_number; driver traffic = n_partitions longs) against
+    the engine's own single-partition row_number oracle, value-exact on
+    every row. This is the primitive the 10^12-row paths lean on
+    wherever a global order is needed (dense entity ids in
+    jobs/kg_tools.py, the sorted-neighborhood ER rank): a naive window
+    ORDER BY moves ALL data to one partition — the WindowExec warning
+    this key exists to retire. (p_name, p_partkey) is the total order."""
+    from mxsparkg.layout import prefix_sum_rank
+
+    p = _t(spark, sf, "part").select("p_partkey", "p_name")
+    return prefix_sum_rank(p, ["p_name", "p_partkey"]).select(
+        "p_partkey", "p_name", "rank")
+
+
+@reg("graph_degree_hist",
+     """WITH li AS (
+       SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       WHERE l_orderkey % 50 = 0),
+     e AS (
+       SELECT DISTINCT a.p AS u, b.p AS v
+       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+     deg AS (
+       SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+       GROUP BY node)
+     SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+     FROM deg GROUP BY deg""")
+def graph_degree_hist(spark, sf):
+    """G24 degree distribution — the first thing anyone plots about a
+    graph, and the skew diagnostic every join-strategy decision in this
+    repo reads (hub caps, salting thresholds, AQE skew splits all key
+    off this table): exact per-node degree → count of nodes per degree
+    value, on the sparsified co-purchase graph. Two map-side-combinable
+    rollups; the histogram is |distinct degrees| rows — model-sized at
+    any graph size (a 10^12-edge power-law graph has ~10^3 distinct
+    degree values)."""
+    from mxsparkg.graphquery import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf, order_mod=50)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    return deg.groupBy("deg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"))

@@ -114,3 +114,53 @@ def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
         terms.append(f"(({x} >> {i}) & 1) * {1 << (2 * i)}")
         terms.append(f"(({y} >> {i}) & 1) * {1 << (2 * i + 1)}")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def prefix_sum_rank(df, order_cols, rank_col: str = "rank"):
+    """Global 1-based rank by `order_cols` WITHOUT a single-partition
+    window — the scalable form of row_number() OVER (ORDER BY ...), and
+    the generalization of jobs/kg_tools._dense_entities: range-partition
+    on the order columns (every row in partition p sorts before every
+    row in p+1), count each partition (driver traffic = n_partitions
+    longs, nothing else), prefix-sum the counts into per-partition
+    offsets, and add a WITHIN-partition row_number. The global sort, the
+    counts, and the ranks all stay distributed; at 10^12 rows the only
+    serial step is the n_partitions-long Python loop.
+
+    `order_cols` must be a total order (append a unique key) or ranks of
+    tied rows are partition-layout-dependent. The returned plan
+    references a persisted intermediate (the partition stamp must be
+    observed identically by the counts job and the rank job); single-
+    shot-per-session posture, same as the datapipe pair ops.
+
+    Certified against the engine row_number oracle by the
+    fn_rank_global gate key; partition-invariance property-tested."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    stamped = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_pid"], r["c"])
+        for r in stamped.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off bigint")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        stamped.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("bigint"))
+        .drop("_pid", "_rn", "_off")
+    )

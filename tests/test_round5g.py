@@ -76,3 +76,40 @@ def test_reciprocity_closed_form(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r.n_edges, r.n_recip, r.recip_ppm) == (3, 2, 666666)
+
+
+def test_prefix_sum_rank_equals_window_and_invariant(spark):
+    """prefix_sum_rank must equal the single-partition row_number on the
+    same total order, under wildly different input layouts (1 vs 17
+    partitions) and with empty range partitions possible (n rows <<
+    shuffle partitions)."""
+    from pyspark.sql import Window
+
+    from mxsparkg.layout import prefix_sum_rank
+
+    rows = [(i, f"k{(i * 37) % 100:03d}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    w = Window.orderBy("k", "id")
+    want = {
+        (r.id, r.rn)
+        for r in df.select("id", F.row_number().over(w).alias("rn"))
+        .collect()
+    }
+    for layout in (df.coalesce(1), df.repartition(17)):
+        got = {
+            (r.id, r.rank)
+            for r in prefix_sum_rank(layout, ["k", "id"]).collect()
+        }
+        assert got == want
+
+
+def test_prefix_sum_rank_no_global_window(spark):
+    """The plan must contain NO unpartitioned window sort: every Sort is
+    within range partitions; the off-table join is broadcast."""
+    from mxsparkg.layout import prefix_sum_rank
+
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 AS k")
+    plan = prefix_sum_rank(
+        df, ["k", "id"])._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
