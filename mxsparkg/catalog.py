@@ -238,3 +238,31 @@ class Checkpointer:
                 os.remove(self._manifest(stage))
             except FileNotFoundError:
                 pass
+
+
+def read_evolved(
+    spark: SparkSession, path: str, schema_ddl: str | None = None
+) -> DataFrame:
+    """Schema-evolution read — the ingest reality a long-lived crawl
+    table lives with: shards written months apart carry different
+    column sets (a `lang` column added in epoch 2, `quality` in epoch
+    3). `mergeSchema` makes the parquet footer union the read schema,
+    so old shards surface the new columns as NULL instead of failing
+    the scan or silently dropping them (plain parquet reads take ONE
+    footer's schema — whichever file lists first — and epoch-1 readers
+    would never see epoch-2 columns).
+
+    Pass `schema_ddl` to PIN the contract schema instead: absent
+    columns still come back NULL, but renamed/retyped columns fail
+    loudly at analysis instead of fanning garbage downstream — the
+    posture a production pipeline wants once the schema is governed
+    (Iceberg does this with real column-id evolution; mergeSchema is
+    the parquet-directory equivalent, documented trade: a full-footer
+    listing per read, so pin the schema on 10^6-file tables)."""
+    r = spark.read.option("mergeSchema", "true")
+    if schema_ddl is not None:
+        from pyspark.sql.types import StructType
+
+        pinned = StructType.fromDDL(schema_ddl)
+        return spark.read.schema(pinned).parquet(path)
+    return r.parquet(path)

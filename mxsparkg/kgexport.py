@@ -611,6 +611,43 @@ def snapshot_versions(root: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def expire_snapshots(root: str, keep_last: int = 2) -> list[int]:
+    """Snapshot retention GC — the maintenance sweep every
+    version-directory table (and every Iceberg/Delta deployment:
+    expireSnapshots / VACUUM) needs once the delta applier has run for a
+    while: committed versions older than the newest `keep_last` are
+    deleted and their storage reclaimed; time-travel reads to an expired
+    version fail with the same hard error as an unknown version (the
+    read_snapshot contract — the retention window IS the time-travel
+    horizon, stated rather than discovered).
+
+    Crash safety inverts the commit order: the `_DELTA_ID` marker is
+    removed FIRST, then the data — a crash mid-GC leaves a torn dir
+    that snapshot_versions already treats as uncommitted/invisible, so
+    a half-deleted snapshot can never be read (and a re-run finishes
+    the sweep, because marker-less dirs under the root are swept too).
+    Refuses keep_last < 1 (expiring the latest committed snapshot would
+    leave the table unreadable). Returns the expired version numbers."""
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    committed = [v for v, _ in snapshot_versions(root)]
+    expired = committed[:-keep_last] if len(committed) > keep_last else []
+    for v in expired:
+        d = os.path.join(root, f"v={v}")
+        os.remove(os.path.join(d, "_DELTA_ID"))  # uncommit first
+        shutil.rmtree(d, ignore_errors=True)
+    # finish any prior interrupted sweep: marker-less v= dirs are torn
+    if os.path.isdir(root):
+        live = {f"v={v}" for v, _ in snapshot_versions(root)}
+        for d in os.listdir(root):
+            if d.startswith("v=") and d not in live:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return expired
+
+
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:

@@ -113,3 +113,56 @@ def test_prefix_sum_rank_no_global_window(spark):
         df, ["k", "id"])._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_expire_snapshots_retention_and_crash_safety(spark, tmp_path):
+    """3 committed versions, keep_last=1: v1/v2 expired (time travel to
+    them now a hard error), v3 intact; a pre-existing TORN dir (data,
+    no marker) is swept; keep_last=0 refused."""
+    import os
+
+    import pytest as _pytest
+
+    from mxsparkg.kgexport import expire_snapshots, read_snapshot
+
+    root = str(tmp_path / "snaps")
+    for v in (1, 2, 3):
+        d = f"{root}/v={v}"
+        spark.range(v * 10).write.parquet(f"{d}/data")
+        with open(f"{d}/_DELTA_ID", "w") as f:
+            f.write(f"crawl-{v}")
+    # torn write from a crashed job: data, no marker
+    spark.range(5).write.parquet(f"{root}/v=9/data")
+
+    with _pytest.raises(ValueError):
+        expire_snapshots(root, keep_last=0)
+    assert expire_snapshots(root, keep_last=1) == [1, 2]
+    assert read_snapshot(spark, root).count() == 30  # v3 alive
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, root, version=1)
+    assert not os.path.exists(f"{root}/v=1")
+    assert not os.path.exists(f"{root}/v=9")  # torn dir swept
+
+
+def test_read_evolved_merges_and_pins(spark, tmp_path):
+    """Epoch-1 shards lack `lang`; mergeSchema unions the footers so old
+    rows surface lang=NULL; a pinned contract schema does the same and
+    also survives the files listing in either order."""
+    from mxsparkg.catalog import read_evolved
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a")], "doc_id bigint, text string"
+    ).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(2, "b", "fr")], "doc_id bigint, text string, lang string"
+    ).write.mode("append").parquet(p)
+
+    merged = read_evolved(spark, p)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    got = {r.doc_id: r.lang for r in merged.collect()}
+    assert got == {1: None, 2: "fr"}
+
+    pinned = read_evolved(
+        spark, p, schema_ddl="doc_id bigint, text string, lang string")
+    assert {r.doc_id: r.lang for r in pinned.collect()} == got
