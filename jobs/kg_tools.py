@@ -89,7 +89,7 @@ def main() -> None:
     ap.add_argument("--op", required=True,
                     choices=["conflicts", "reliability", "ntriples", "nquads", "turtle", "validate",
                              "infer", "diff", "embed", "predict", "apply",
-                             "bgp", "snapshot"])
+                             "bgp", "snapshot", "expire"])
     ap.add_argument("--delta", default=None,
                     help="state_diff output parquet (op, subj, pred, obj) "
                          "for --op apply")
@@ -114,6 +114,8 @@ def main() -> None:
     ap.add_argument("--snapshots", default=None,
                     help="version-dir root written by --op apply, for "
                          "--op snapshot")
+    ap.add_argument("--keep", type=int, default=2,
+                    help="retained snapshot count for --op expire")
     ap.add_argument("--version", type=int, default=None,
                     help="snapshot version to time-travel to "
                          "(--op snapshot; default latest)")
@@ -123,7 +125,7 @@ def main() -> None:
                     help="pipeline nodes parquet (canon_id, etype, ...)")
     ap.add_argument("--constraints", default=None,
                     help="(pred, styp, otyp) parquet for --op validate")
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--out", default=None)  # required below except for --op expire
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -138,8 +140,9 @@ def main() -> None:
         "apply": ["delta", "delta_id"],
         "bgp": ["p1", "p2"],
         "snapshot": ["snapshots"],
+        "expire": ["snapshots"],
     }
-    if args.op != "snapshot":
+    if args.op not in ("snapshot", "expire"):
         required.setdefault(args.op, [])
         required[args.op] = ["edges"] + list(required[args.op])
     missing = [
@@ -147,6 +150,8 @@ def main() -> None:
         for f in required.get(args.op, ())
         if getattr(args, f) is None
     ]
+    if args.op != "expire" and args.out is None:
+        missing.append("--out")
     if missing:
         ap.error(f"--op {args.op} requires {' '.join(missing)}")
 
@@ -160,6 +165,15 @@ def main() -> None:
     t0 = time.time()
 
     edges = spark.read.parquet(args.edges) if args.edges else None
+    if args.op == "expire":
+        # retention GC: no Spark job at all — manifest/file ops only
+        expired = kx.expire_snapshots(args.snapshots, keep_last=args.keep)
+        print(json.dumps({
+            "op": "expire", "expired": expired, "keep": args.keep,
+            "wall_sec": round(time.time() - t0, 2),
+        }))
+        spark.stop()
+        return
     if args.op == "snapshot":
         out_df = kx.read_snapshot(spark, args.snapshots, args.version)
         out_df.write.mode("overwrite").parquet(args.out)

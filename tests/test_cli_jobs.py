@@ -228,6 +228,18 @@ def test_kg_tools_exports_and_snapshots(cli, spark):
     ])
     assert res["rows"] == 4
 
+    # retention GC: only one committed version exists, keep 1 -> nothing
+    # expired and the table stays readable (the keep_last >= 1 floor)
+    res = cli("kg_tools", [
+        "--op", "expire", "--snapshots", f"{ROOT}/kt_snaps", "--keep", "1",
+    ])
+    assert res["op"] == "expire" and res["expired"] == []
+    res = cli("kg_tools", [
+        "--op", "snapshot", "--snapshots", f"{ROOT}/kt_snaps",
+        "--out", f"{ROOT}/kt_asof2",
+    ])
+    assert res["rows"] == 4
+
     # conflicts: e1 claims two distinct objects for functional 'rel'
     cedges = spark.createDataFrame(
         [("e1", "rel", "e2"), ("e1", "rel", "e9"), ("e2", "rel", "e3"),
