@@ -157,7 +157,13 @@ def headline_queries() -> dict:
               "evt_concurrency", "graph_harmonic", "kg_er_sortednbr",
               # per-node LCC (oriented triangle enumeration + 3-corner
               # explode — the densest join shape in the closing batch)
-              "graph_clustering_local"):
+              "graph_clustering_local",
+              # round-5g sketch tier: the HLL register build is the
+              # one-Exchange profile-everything pass (per-row md5 + bin
+              # under codegen — a pure expression-throughput measure),
+              # and gap-fill is the resample/locf grid (groupBy +
+              # per-user sequence explode + ignorenulls window)
+              "sketch_hll", "evt_gap_fill"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

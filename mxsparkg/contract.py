@@ -1227,6 +1227,75 @@ def evt_asof(spark, sf):
     )
 
 
+# ------------------------------------------------ time-series gap fill -----
+
+@reg("evt_gap_fill",
+     """WITH daily AS (
+       SELECT user_id, date_trunc('day', ts)::DATE AS d,
+              max(CAST(round(value * 100) AS BIGINT)) AS day_max
+       FROM events GROUP BY 1, 2),
+     span AS (
+       SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+     cal AS (
+       SELECT user_id,
+              unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+       FROM span),
+     j AS (
+       SELECT cal.user_id, cal.d, daily.day_max
+       FROM cal LEFT JOIN daily USING (user_id, d))
+     SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+            last_value(day_max IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS val_filled,
+            CAST(day_max IS NULL AS INT) AS gap
+     FROM j""")
+def evt_gap_fill(spark, sf):
+    """Time-series regularization: per-user daily series with MISSING
+    days materialized and forward-filled — the gap-fill / resample
+    operator (TimescaleDB's time_bucket_gapfill + locf) that turns an
+    irregular event log into the regular grid every downstream
+    time-series model assumes. Three moves, each the scalable form:
+    (1) bucket to days with an exact integer aggregate (max cents —
+    deterministic without a tie-broken per-bucket argmax); (2) generate
+    each user's calendar via sequence() BOUNDED by that user's own
+    [min, max] span (never a global calendar cross join — at 10^12
+    events the grid is Σ per-user spans, not users x full-range); (3) one
+    user-partitioned window with last(ignorenulls) — the evt_asof
+    forward-fill frame. The first grid row is always a real observation
+    (the span starts at the user's first event), so val_filled is never
+    NULL and the value hash certifies fill provenance via the gap flag.
+    One Exchange for the bucket groupBy, whose partitioning the span
+    rollup and the window REUSE (same user_id key); the calendar join
+    broadcasts nothing and stays skew-safe because a user's grid is at
+    most their active-day span."""
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        F.expr("cast(round(value * 100) as bigint)").alias("val_c"),
+    )
+    daily = ev.groupBy("user_id", "d").agg(F.max("val_c").alias("day_max"))
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+    )
+    j = cal.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.last("day_max", ignorenulls=True).over(w).alias("val_filled"),
+        F.col("day_max").isNull().cast("int").alias("gap"),
+    )
+
+
 # ------------------------------------------------ exact percentiles --------
 
 @reg("agg_percentile",

@@ -6730,6 +6730,172 @@ def txt_containment_pairs_sql() -> str:
     """
 
 
+# ------------------------------------------- mergeable sketches (round 5) --
+
+# The two sketches a 100-TB profiling pass actually ships to the driver:
+# HyperLogLog registers (distinct count) and a Count-Min table (frequency
+# point queries). Both are built DETERMINISTICALLY from md5-derived hashes,
+# so unlike Spark's approx_count_distinct (whose HLL++ internals differ
+# from DuckDB's — that's why agg_approx_distinct is a rows-only key) the
+# SKETCH ITSELF is cross-engine value-hash certifiable: the gate compares
+# the register/cell tables bit-for-bit. Accuracy and mergeability (the
+# property that lets every executor summarize its split and the driver
+# fold max/sum — no second shuffle over raw keys) are pytest-pinned in
+# tests/test_sketch.py.
+
+HLL_P = 8                    # 2^8 = 256 registers, std err ~1.04/16 = 6.5%
+HLL_M = 1 << HLL_P
+_HLL_WBITS = 60 - HLL_P      # md5 prefix gives 60 hash bits; low 8 pick the
+                             # register, the remaining 52 feed the rho scan
+CMS_D = 4                    # Count-Min depth (independent hash rows)
+CMS_W = 64                   # width: eps = e/64 ~ 4.2% of total mass
+
+
+def hll_registers(df: DataFrame, key: Column) -> DataFrame:
+    """HyperLogLog register table for the stream of `key` values:
+    (reg int, max_rho int), one row per NON-EMPTY register. h is a 60-bit
+    md5-derived hash (15 hex chars keeps the BIGINT positive in both
+    engines); reg = h mod 2^p; rho = 1 + leading zeros of the remaining
+    {52}-bit word, computed as 53 - bitlength via bin() — identical
+    minimal-binary semantics in Spark and DuckDB, no float log2 at a
+    power-of-two boundary. Duplicates need no pre-distinct: max() absorbs
+    them, which is what makes this a one-Exchange map-side-combinable
+    plan over any input size. Merging two register tables = cellwise max
+    (pytest-pinned); estimation happens driver-side on 256 rows."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll|"), key.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    w = F.expr(f"h div {HLL_M}")
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(h.alias("h"))
+        .select((F.col("h") % HLL_M).cast("int").alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]]) -> float:
+    """Standard HLL estimate from a (reg, max_rho) row list — the
+    driver-side last step (256 rows, pure Python). Includes the
+    linear-counting small-range correction; the raw harmonic-mean
+    estimate otherwise (the corpus sizes this repo profiles never hit
+    the 2^60/30 large-range regime)."""
+    import math
+
+    got = {r: m for r, m in registers}
+    zeros = HLL_M - len(got)
+    s = zeros * 1.0 + sum(2.0 ** -m for m in got.values())
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    raw = alpha * HLL_M * HLL_M / s
+    if raw <= 2.5 * HLL_M and zeros > 0:
+        return HLL_M * math.log(HLL_M / zeros)
+    return raw
+
+
+def sketch_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: HLL registers over lineitem.l_orderkey (~14.7k true
+    distinct at sf0.01 — every register exercised). The register table is
+    exact deterministic integer state, so the value hash certifies the
+    hash split, the bin()-based rho, and the max fold."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return hll_registers(li, F.col("l_orderkey"))
+
+
+def sketch_hll_sql() -> str:
+    return f"""
+      WITH h AS (
+        SELECT ('0x' || substr(md5('hll|' || CAST(l_orderkey AS VARCHAR)),
+                               1, 15))::BIGINT AS h
+        FROM lineitem)
+      SELECT CAST(h % {HLL_M} AS INT) AS reg,
+             CAST(max(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_WBITS + 1}
+                           ELSE {_HLL_WBITS + 1} - length(bin(h // {HLL_M}))
+                      END) AS INT) AS max_rho
+      FROM h GROUP BY 1
+    """
+
+
+def cms_sketch(df: DataFrame, key: Column) -> DataFrame:
+    """Count-Min sketch of `key` frequencies: (row_id, col_id, cell) with
+    CMS_D x CMS_W cells. Two-phase build: exact per-key counts first (one
+    map-side-combinable groupBy — the heavy lifting, and at 10^12 rows
+    the ONLY pass over raw data), then CMS_D hash columns over the
+    distinct-key table stacked and re-summed (vocabulary-sized input).
+    Hashing distinct keys once instead of every occurrence is the 100-TB
+    version of the textbook per-item update loop — same cells, CMS_D x
+    fewer md5 calls. Point query: est(x) = min_i cell[i][h_i(x)] >= true
+    count, <= true + e/W * N w.h.p. (pytest-pinned); merge = cellwise
+    sum."""
+    counts = (
+        df.select(key.cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cols = []
+    for i in range(1, CMS_D + 1):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{i}|"), F.col("k"))), 1, 6),
+            16, 10,
+        ).cast("long")
+        cols.append((h % CMS_W).cast("int").alias(f"c{i}"))
+    stacked = counts.select("cnt", *cols).select(
+        "cnt",
+        F.expr(
+            "stack(%d, %s) as (row_id, col_id)"
+            % (CMS_D, ", ".join(f"{i}, c{i}" for i in range(1, CMS_D + 1)))
+        ),
+    )
+    return (
+        stacked.groupBy("row_id", "col_id")
+        .agg(F.sum("cnt").cast("bigint").alias("cell"))
+    )
+
+
+def cms_point_query(cells: list[tuple[int, int, int]], key: str) -> int:
+    """Driver-side point estimate from a collected (row_id, col_id, cell)
+    list — min over the CMS_D counters the key hashes into (missing cell
+    = 0, which only happens when the key was never seen)."""
+    import hashlib
+
+    got = {(r, c): v for r, c, v in cells}
+    est = None
+    for i in range(1, CMS_D + 1):
+        h = int(hashlib.md5(f"cms{i}|{key}".encode()).hexdigest()[:6], 16)
+        v = got.get((i, h % CMS_W), 0)
+        est = v if est is None else min(est, v)
+    return int(est or 0)
+
+
+def sketch_cms(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: Count-Min cells over orders.o_custkey (1500 distinct
+    keys >> 64 columns at sf0.01, so every cell aggregates real
+    collisions — the regime the min-of-rows estimator exists for)."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    return cms_sketch(o, F.col("o_custkey"))
+
+
+def sketch_cms_sql() -> str:
+    hashes = " UNION ALL ".join(
+        f"SELECT {i} AS row_id,"
+        f" ('0x' || substr(md5('cms{i}|' || k), 1, 6))::BIGINT % {CMS_W}"
+        f" AS col_id, cnt FROM c"
+        for i in range(1, CMS_D + 1)
+    )
+    return f"""
+      WITH c AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS cnt
+        FROM orders GROUP BY 1),
+      cells AS ({hashes})
+      SELECT CAST(row_id AS INT) AS row_id, CAST(col_id AS INT) AS col_id,
+             CAST(sum(cnt) AS BIGINT) AS cell
+      FROM cells GROUP BY 1, 2
+    """
+
+
 def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": dedup_exact,
@@ -6771,6 +6937,8 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_vocab": txt_vocab,
         "txt_heavy_hitters": txt_heavy_hitters,
         "txt_containment_pairs": txt_containment_pairs,
+        "sketch_hll": sketch_hll,
+        "sketch_cms": sketch_cms,
         "txt_bpe_merges": txt_bpe_merges,
         "txt_bpe_encode": txt_bpe_encode,
         "txt_collocations": txt_collocations,
@@ -6838,6 +7006,8 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_vocab": txt_vocab_sql(),
         "txt_heavy_hitters": txt_heavy_hitters_sql(),
         "txt_containment_pairs": txt_containment_pairs_sql(),
+        "sketch_hll": sketch_hll_sql(),
+        "sketch_cms": sketch_cms_sql(),
         "txt_bpe_merges": txt_bpe_merges_sql(),
         "txt_bpe_encode": txt_bpe_encode_sql(),
         "txt_collocations": txt_collocations_sql(),

@@ -633,3 +633,41 @@ def test_reciprocity_no_bnlj_supplier_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_sketch_hll_single_exchange_no_python(spark):
+    """sketch_hll: register build is ONE map-side-combinable aggregation
+    — partial max per input partition, one 256-key Exchange, final max.
+    All hashing (md5/conv/bin) stays in codegen'd JVM expressions."""
+    from mxsparkg.datapipe import sketch_hll
+
+    plan = _plan(sketch_hll(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_max" in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_sketch_cms_two_phase_no_python(spark):
+    """sketch_cms: exactly two Exchanges — the event-sized per-key count
+    (partial_count map-side) and the vocabulary-sized cell re-sum after
+    the stack(). No Python, no join anywhere."""
+    from mxsparkg.datapipe import sketch_cms
+
+    plan = _plan(sketch_cms(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 2, plan
+    assert "partial_count" in plan, plan
+    assert "Python" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_gap_fill_reuses_user_partitioning(spark):
+    """evt_gap_fill: the daily-bucket groupBy is the only event-sized
+    shuffle; span/calendar/window all key on user_id. No BNLJ (the
+    per-user sequence() replaces any calendar cross join), no Python."""
+    from mxsparkg.contract import contract_queries
+
+    df = contract_queries()["evt_gap_fill"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan

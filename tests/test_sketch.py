@@ -1,0 +1,163 @@
+"""Property tests for the mergeable-sketch tier (sketch_hll / sketch_cms)
+and the evt_gap_fill grid semantics. Cross-engine value identity of the
+sketch tables themselves is the gate's job (tests/test_contract_gate.py);
+these pin the claims the hash can't articulate: estimator accuracy, the
+hard CMS >= bound, and MERGEABILITY — the property that lets a 100-TB run
+sketch each partition independently and fold (max for HLL, sum for CMS)
+instead of re-shuffling raw keys.
+"""
+
+from pyspark.sql import functions as F
+
+from mxsparkg.contract import evt_gap_fill
+from mxsparkg.datapipe import (
+    CMS_D,
+    CMS_W,
+    cms_point_query,
+    cms_sketch,
+    hll_estimate,
+    hll_registers,
+    sketch_cms,
+    sketch_hll,
+)
+
+
+def _li(spark, sf001):
+    return spark.read.parquet(f"{sf001}/lineitem.parquet")
+
+
+# --------------------------------------------------------------- HLL -----
+
+
+def test_hll_estimate_within_error(spark, sf001):
+    regs = [(r["reg"], r["max_rho"]) for r in sketch_hll(spark, sf001).collect()]
+    truth = _li(spark, sf001).select("l_orderkey").distinct().count()
+    est = hll_estimate(regs)
+    # m=256 -> std err ~6.5%; 3 sigma with headroom
+    assert abs(est - truth) / truth < 0.20, (est, truth)
+
+
+def test_hll_merge_is_cellwise_max(spark, sf001):
+    li = _li(spark, sf001)
+    whole = {
+        r["reg"]: r["max_rho"]
+        for r in hll_registers(li, F.col("l_orderkey")).collect()
+    }
+    halves = [
+        {
+            r["reg"]: r["max_rho"]
+            for r in hll_registers(
+                li.filter(F.col("l_orderkey") % 2 == p), F.col("l_orderkey")
+            ).collect()
+        }
+        for p in (0, 1)
+    ]
+    merged: dict[int, int] = {}
+    for h in halves:
+        for reg, rho in h.items():
+            merged[reg] = max(merged.get(reg, 0), rho)
+    assert merged == whole
+
+
+def test_hll_duplicates_do_not_move_registers(spark, sf001):
+    # max() absorbs duplicates: the register table over the raw stream
+    # equals the one over the distinct stream — the reason the op needs
+    # no pre-distinct shuffle.
+    li = _li(spark, sf001)
+    raw = sorted(
+        (r["reg"], r["max_rho"])
+        for r in hll_registers(li, F.col("l_orderkey")).collect()
+    )
+    dedup = sorted(
+        (r["reg"], r["max_rho"])
+        for r in hll_registers(
+            li.select("l_orderkey").distinct(), F.col("l_orderkey")
+        ).collect()
+    )
+    assert raw == dedup
+
+
+# --------------------------------------------------------------- CMS -----
+
+
+def test_cms_point_estimate_never_underestimates(spark, sf001):
+    o = spark.read.parquet(f"{sf001}/orders.parquet")
+    cells = [
+        (r["row_id"], r["col_id"], r["cell"])
+        for r in sketch_cms(spark, sf001).collect()
+    ]
+    truth = {
+        str(r["o_custkey"]): r["cnt"]
+        for r in o.groupBy("o_custkey").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_total = sum(truth.values())
+    overs = []
+    for k, true_cnt in truth.items():
+        est = cms_point_query(cells, k)
+        assert est >= true_cnt, (k, est, true_cnt)  # the hard CMS bound
+        overs.append(est - true_cnt)
+    # mean overestimate: expected collision mass per cell is n/W per row,
+    # the min over CMS_D rows sits well under one cell's expectation
+    assert sum(overs) / len(overs) <= 2 * n_total / CMS_W, (
+        sum(overs) / len(overs),
+        n_total / CMS_W,
+    )
+
+
+def test_cms_merge_is_cellwise_sum(spark, sf001):
+    o = spark.read.parquet(f"{sf001}/orders.parquet")
+    whole = {
+        (r["row_id"], r["col_id"]): r["cell"]
+        for r in cms_sketch(o, F.col("o_custkey")).collect()
+    }
+    merged: dict[tuple[int, int], int] = {}
+    for p in (0, 1):
+        half = cms_sketch(
+            o.filter(F.col("o_orderkey") % 2 == p), F.col("o_custkey")
+        )
+        for r in half.collect():
+            key = (r["row_id"], r["col_id"])
+            merged[key] = merged.get(key, 0) + r["cell"]
+    assert merged == whole
+
+
+def test_cms_unseen_key_can_return_zero_only_if_all_cells_empty(spark, sf001):
+    cells = [
+        (r["row_id"], r["col_id"], r["cell"])
+        for r in sketch_cms(spark, sf001).collect()
+    ]
+    # with 1500/150 keys in CMS_D x CMS_W cells every cell is occupied, so
+    # an unseen key still reads a (small, nonzero) collision estimate —
+    # the documented CMS posture: overestimates only, never underestimates
+    est = cms_point_query(cells, "never-seen-custkey")
+    assert est >= 0
+    if len(cells) == CMS_D * CMS_W:
+        assert est > 0
+
+
+# --------------------------------------------------------- gap fill ------
+
+
+def test_gap_fill_grid_contiguous_and_filled(spark, sf001):
+    rows = evt_gap_fill(spark, sf001).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    import datetime as dt
+
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["day"])
+        days = [dt.date.fromisoformat(r["day"]) for r in rs]
+        # contiguous daily grid over the user's own span
+        assert (days[-1] - days[0]).days + 1 == len(days), user
+        # span starts at a real observation -> never NULL, and every gap
+        # row carries the most recent real value forward
+        last_real = None
+        for r, d in zip(rs, days):
+            assert r["val_filled"] is not None, (user, d)
+            if r["gap"] == 0:
+                last_real = r["val_filled"]
+            else:
+                assert r["val_filled"] == last_real, (user, d)
+        assert rs[0]["gap"] == 0, user
