@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.broadcast import Broadcast
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
     BinaryType,
@@ -614,4 +614,76 @@ def scd2_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
         .alias("valid_to"),
         F.when(F.col("valid_to").isNull(), F.lit(1)).otherwise(F.lit(0))
         .cast("int").alias("is_current"),
+    )
+
+
+def start_sketch_stream(
+    rows: DataFrame, key: Column, index_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Continuous profile sketches, stage 1: fold each micro-batch into
+    PARTIAL HLL registers and CMS cells appended to a parquet index.
+    This is where the sketches' merge algebra (tests/test_sketch.py)
+    pays off operationally: HLL registers fold by max and CMS cells by
+    sum — both commutative, associative and idempotent-under-reorder
+    aggregates — so arrival order, micro-batch boundaries and even
+    duplicate appends of the SAME batch partial (HLL: max absorbs; CMS:
+    guarded by batch_id dedup below) cancel, and the re-aggregated index
+    at any moment equals the batch sketch over everything ingested so
+    far (stream == batch asserted bit-for-bit in tests).
+
+    Each partial is one micro-batch's 256-row table — the index grows
+    with BATCHES, not rows, and stage 2 re-aggregates at index size.
+    batch_id rides along so a foreachBatch retry (at-least-once append)
+    is collapsed by the max/… GROUP BY in stage 2 for HLL and by the
+    dedup-on-(batch_id, row, col) for CMS — the standard exactly-once
+    hardening, as in start_daily_count_stream."""
+    from mxsparkg.datapipe import cms_sketch, hll_registers
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        (
+            hll_registers(batch, key)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{index_dir}/hll")
+        )
+        (
+            cms_sketch(batch, key)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{index_dir}/cms")
+        )
+
+    return (
+        rows.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hll_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Streaming sketches, stage 2 (on demand): merge the partial HLL
+    registers — cellwise max over all micro-batch partials. Identical
+    output to datapipe.hll_registers over the full ingested stream
+    (merge = max is exactly the multi-executor fold the batch builder's
+    final aggregation performs). A duplicated partial (foreachBatch
+    retry) is a no-op under max, so HLL needs no batch_id hygiene."""
+    return (
+        spark.read.parquet(f"{index_dir}/hll")
+        .groupBy("reg")
+        .agg(F.max("max_rho").cast("int").alias("max_rho"))
+    )
+
+
+def cms_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Streaming sketches, stage 2 for CMS: drop retried duplicate
+    partials by (batch_id, row_id, col_id) — append-retry writes the
+    same cell values again, and unlike HLL's max, sum would double-count
+    — then merge by cellwise sum. Equals the batch cms_sketch over the
+    full stream (asserted in tests)."""
+    return (
+        spark.read.parquet(f"{index_dir}/cms")
+        .dropDuplicates(["batch_id", "row_id", "col_id"])
+        .groupBy("row_id", "col_id")
+        .agg(F.sum("cell").cast("bigint").alias("cell"))
     )

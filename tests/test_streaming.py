@@ -685,3 +685,91 @@ def test_streaming_scd2_matches_batch_across_boundary(spark):
     assert by_user[3] == ["Q"]
     n_index = spark.read.parquet(idx).count()
     assert n_index < spark.read.parquet(src).count()
+
+
+def test_streaming_sketches_match_batch_bitwise(spark):
+    """The sketch index folded across forced micro-batch boundaries
+    (keys deliberately REPEATED across the two batches, so partials
+    overlap in every register/cell) must merge to BIT-EQUAL the batch
+    sketches over the whole ingested stream — the merge-algebra claim
+    (HLL fold = max, CMS fold = sum) made operational. Also pins the
+    retry posture: re-appending an HLL partial is a no-op under max,
+    and a duplicated CMS partial is collapsed by the batch_id dedup."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from mxsparkg.datapipe import cms_sketch, hll_registers
+    from mxsparkg.streaming import (
+        EVENTS_SCHEMA,
+        cms_from_index,
+        hll_from_index,
+        start_sketch_stream,
+    )
+
+    import datetime as dt
+
+    base = dt.datetime(2026, 3, 1)
+    # 600 events over two files; user_id (the sketch key) spans 0..199
+    # with users 0..99 present in BOTH batches
+    rows1 = [(i, base, i % 150, "view") for i in range(300)]
+    rows2 = [(300 + i, base, (i % 150) + 50, "view") for i in range(300)]
+
+    src = f"{ROOT}/sk_src"
+    idx = f"{ROOT}/sk_idx"
+    for d in (src, idx, f"{ROOT}/sk_ckpt"):
+        shutil.rmtree(d, ignore_errors=True)
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_sketch_stream(
+        stream, F.col("user_id"), idx, f"{ROOT}/sk_ckpt")
+    q.awaitTermination(120)
+
+    # at least two partials per sketch — the boundary was real
+    assert (
+        spark.read.parquet(f"{idx}/hll")
+        .select("batch_id").distinct().count() >= 2
+    )
+
+    whole = spark.read.parquet(src)
+    want_hll = sorted(
+        (r["reg"], r["max_rho"])
+        for r in hll_registers(whole, F.col("user_id")).collect()
+    )
+    got_hll = sorted(
+        (r["reg"], r["max_rho"])
+        for r in hll_from_index(spark, idx).collect()
+    )
+    assert got_hll == want_hll
+
+    want_cms = sorted(
+        (r["row_id"], r["col_id"], r["cell"])
+        for r in cms_sketch(whole, F.col("user_id")).collect()
+    )
+    got_cms = sorted(
+        (r["row_id"], r["col_id"], r["cell"])
+        for r in cms_from_index(spark, idx).collect()
+    )
+    assert got_cms == want_cms
+
+    # retry simulation: duplicate one partial append verbatim
+    one_hll = spark.read.parquet(f"{idx}/hll").filter("batch_id = 0")
+    one_hll.write.mode("append").parquet(f"{idx}/hll")
+    one_cms = spark.read.parquet(f"{idx}/cms").filter("batch_id = 0")
+    one_cms.write.mode("append").parquet(f"{idx}/cms")
+    assert sorted(
+        (r["reg"], r["max_rho"])
+        for r in hll_from_index(spark, idx).collect()
+    ) == want_hll
+    assert sorted(
+        (r["row_id"], r["col_id"], r["cell"])
+        for r in cms_from_index(spark, idx).collect()
+    ) == want_cms
