@@ -1,0 +1,120 @@
+"""Table profiler — the data-quality pass an ingest runs before trusting
+a new snapshot, as a spark-submit surface (the north-rule deployment
+shape, like jobs/pipeline.py):
+
+  spark-submit --master local[8] --py-files /tmp/mxsparkg.zip \\
+      jobs/table_profile.py --table <parquet path or dir> \\
+      [--key <col to sketch>] [--hot-keys k1,k2] [--out profile_dir]
+
+Emits ONE JSON line: row count, per-column null/min/max from one
+aggregate scan, and — when --key names a column — the mergeable-sketch
+profile over it: HLL register table → distinct estimate (6.5% envelope,
+one 256-key Exchange regardless of table size) and the Count-Min table
+→ point frequency estimates for --hot-keys. Exact countDistinct is
+deliberately NOT run here: at the 10^12-row target the sketches ARE the
+profile (the profile_table key documents the same swap); the exact path
+is one `SELECT count(DISTINCT ...)` away when the table is small enough
+to care. With --out, the register/cell tables are written as parquet so
+later runs (or the streaming folder, mxsparkg/streaming.py
+start_sketch_stream) can MERGE instead of rescan — max for HLL, sum for
+CMS, the algebra pinned by tests/test_sketch.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True, help="parquet file or dir")
+    ap.add_argument("--key", default=None,
+                    help="column to sketch (HLL distinct + CMS counts)")
+    ap.add_argument("--hot-keys", default=None,
+                    help="comma-separated values to point-query in the CMS")
+    ap.add_argument("--out", default=None,
+                    help="write hll/ + cms/ parquet sketch tables here")
+    ap.add_argument("--master", default=None,
+                    help="override spark master (default: active session "
+                         "or local[8])")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from mxsparkg.datapipe import (
+        cms_point_query,
+        cms_sketch,
+        hll_estimate,
+        hll_registers,
+    )
+    from mxsparkg.session import get_spark
+
+    spark = get_spark(
+        master=args.master or "local[8]",
+        shuffle_partitions=32,
+        app_name="mxsparkg-profile",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    df = spark.read.parquet(args.table)
+    # one aggregate scan for every per-column stat (the profile_table
+    # shape: sibling aggregates, no per-column jobs)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in df.columns:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.min(F.col(c).cast("string")).alias(f"mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("string")).alias(f"mx_{c}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    n_rows = row["n_rows"]
+    cols = {
+        c: {
+            "nulls": n_rows - row[f"nn_{c}"],
+            "min": row[f"mn_{c}"],
+            "max": row[f"mx_{c}"],
+        }
+        for c in df.columns
+    }
+
+    out: dict = {
+        "table": args.table,
+        "n_rows": n_rows,
+        "columns": cols,
+    }
+    if args.key:
+        key = F.col(args.key)
+        regs_df = hll_registers(df, key)
+        cells_df = cms_sketch(df, key)
+        if args.out:
+            regs_df.write.mode("overwrite").parquet(f"{args.out}/hll")
+            cells_df.write.mode("overwrite").parquet(f"{args.out}/cms")
+            regs_df = spark.read.parquet(f"{args.out}/hll")
+            cells_df = spark.read.parquet(f"{args.out}/cms")
+        regs = [(r["reg"], r["max_rho"]) for r in regs_df.collect()]
+        cells = [
+            (r["row_id"], r["col_id"], r["cell"]) for r in cells_df.collect()
+        ]
+        out["key"] = args.key
+        out["hll_distinct_est"] = round(hll_estimate(regs))
+        out["hll_registers_hit"] = len(regs)
+        if args.hot_keys:
+            out["cms_est"] = {
+                k: cms_point_query(cells, k)
+                for k in args.hot_keys.split(",")
+            }
+        if args.out:
+            out["sketches_out"] = args.out
+    out["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

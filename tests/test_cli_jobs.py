@@ -274,3 +274,29 @@ def test_kg_tools_exports_and_snapshots(cli, spark):
           for r in spark.read.parquet(f"{ROOT}/kt_rel").collect()}
     assert sc["http://src/1"] == 1_000_000
     assert sc["http://src/bad"] == 0
+
+
+def test_table_profile_cli(cli, spark):
+    """jobs/table_profile.py: one-scan column stats + the sketch profile
+    (HLL distinct estimate inside the m=256 envelope of the true count,
+    CMS point estimates present for --hot-keys, sketch tables persisted
+    to --out for later merge)."""
+    shutil.rmtree(f"{ROOT}/prof", ignore_errors=True)
+    out = cli("table_profile", [
+        "--table", "/root/testdata/sf0.001/orders.parquet",
+        "--key", "o_custkey",
+        "--hot-keys", "7",
+        "--out", f"{ROOT}/prof",
+    ])
+    truth = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert out["n_rows"] > 0
+    assert out["columns"]["o_custkey"]["nulls"] == 0
+    assert abs(out["hll_distinct_est"] - truth) / truth < 0.20
+    assert "7" in out["cms_est"]
+    # persisted sketches re-read and merge-ready
+    assert spark.read.parquet(f"{ROOT}/prof/hll").count() == \
+        out["hll_registers_hit"]
+    assert spark.read.parquet(f"{ROOT}/prof/cms").count() > 0
