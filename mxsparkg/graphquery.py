@@ -2838,6 +2838,177 @@ def graph_harmonic_sql() -> str:
     """
 
 
+# ------------------------------------------ stress centrality ------
+
+STRESS_SEED_MOD = 100   # landmark sample, same density as harmonic
+
+
+def stress_centrality(
+    edges: DataFrame, seeds: DataFrame, iters: int = BFS_ROUNDS
+) -> DataFrame:
+    """Landmark stress centrality (Shimbel), bounded to `iters` hops —
+    the betweenness-family measure that stays EXACT-INTEGER: stress(v) =
+    Σ_{s,t} σ_st(v) counts the shortest s→t paths THROUGH v without
+    Brandes' σ_st(v)/σ_st division (fractional dependencies would be the
+    one float in the graph family — the integer-PageRank discipline says
+    no). Same two passes as Brandes:
+
+    - forward, per landmark: level-synchronous BFS carrying σ (number of
+      shortest paths from s) — σ(w)@d = Σ σ(v)@d−1 over edges v→w, with
+      already-visited (seed, node) pairs anti-joined away before they
+      can re-enter;
+    - backward, depth iters−1 … 1: g(v) = Σ over shortest-path-DAG
+      successors w of (1 + g(w)) = number of DAG paths from v to ANY
+      strictly-deeper target, so σ_s(v)·g_s(v) = Σ_t σ_st(v) exactly
+      (σ_st(v) = σ_s(v) · #DAG-paths(v→t), both integers).
+
+    Per node: n_src = landmarks for which v is interior to some shortest
+    path, stress_paths = Σ_s σ_s(v)·g_s(v). Nodes never interior (g=0
+    everywhere, e.g. every node of a triangle) are absent — stress 0.
+
+    Scale shape: forward is the bfs_hops_per_seed round (edge equi-join
+    + map-side-combinable sum + anti-join), state |landmarks| × reach;
+    backward joins LEVEL d against LEVEL d+1 only (never the full state)
+    — at web scale both passes shuffle on the same (seed, node) key and
+    the landmark count is the sampling knob (Eppstein-Wang posture, as
+    graph_harmonic)."""
+    edges = edges.select("src", "dst").persist()
+    l0 = seeds.select(
+        F.col("node").alias("seed"), F.col("node"),
+        F.lit(1).cast("long").alias("sigma"),
+    )
+    levels = [l0]
+    visited = l0.select("seed", "node")
+    for _ in range(iters):
+        frontier = levels[-1]
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", "_s"),
+                F.col("src") == F.col("_s"),
+            )
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["seed", "node"], "left_anti")
+            .persist()
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("seed", "node"))
+    # backward: g over the shortest-path DAG, deepest level has g = 0
+    out = None
+    g_next = None  # (seed, node, g) at depth d+1
+    for d in range(iters - 1, 0, -1):
+        deeper = levels[d + 1].select(
+            "seed", F.col("node").alias("_t"),
+        )
+        if g_next is not None:
+            deeper = deeper.join(
+                g_next.select("seed", F.col("node").alias("_t"), "g"),
+                ["seed", "_t"], "left",
+            ).select("seed", "_t", F.coalesce("g", F.lit(0)).alias("g"))
+        else:
+            deeper = deeper.withColumn("g", F.lit(0).cast("long"))
+        deeper = deeper.withColumnRenamed("seed", "_seed")
+        g_here = (
+            levels[d]
+            .join(edges, F.col("node") == F.col("src"))
+            .join(
+                deeper,
+                (F.col("dst") == F.col("_t"))
+                & (F.col("seed") == F.col("_seed")),
+            )
+            .groupBy("seed", "node", "sigma")
+            .agg(F.sum(F.lit(1) + F.col("g")).alias("g"))
+        )
+        contrib = g_here.select(
+            "seed", "node", (F.col("sigma") * F.col("g")).alias("c")
+        )
+        out = contrib if out is None else out.unionByName(contrib)
+        g_next = g_here.select("seed", "node", "g")
+    return (
+        out.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_src"),
+            F.sum("c").cast("bigint").alias("stress_paths"),
+        )
+    )
+
+
+def graph_stress(spark: SparkSession, sf: str) -> DataFrame:
+    """G17 landmark stress centrality on the sparsified co-purchase
+    graph (landmarks = part keys % STRESS_SEED_MOD == 0, 3 hops) —
+    certifies σ propagation, the visited anti-join, and the backward
+    DAG-path accumulation against the unrolled oracle."""
+    und = _copurchase_edges(spark, sf, order_mod=MINLABEL_ORDER_MOD)
+    sym = _symmetrize(und, "u", "v")
+    seeds = (
+        sym.select(F.col("src").alias("node"))
+        .filter(F.col("node") % STRESS_SEED_MOD == 0)
+        .distinct()
+    )
+    return stress_centrality(sym, seeds)
+
+
+def graph_stress_sql() -> str:
+    # deeper-level joins reference l1..l3 multiple times (next level,
+    # g accumulation) — MATERIALIZED, or DuckDB re-inlines the whole
+    # history-dependent prefix per reference (the graph_scc lesson)
+    mod = STRESS_SEED_MOD
+    steps = []
+    prev_levels = ["l0"]
+    for i in range(1, BFS_ROUNDS + 1):
+        prev = prev_levels[-1]
+        vis = " UNION ALL ".join(
+            f"SELECT seed, node FROM {x}" for x in prev_levels)
+        steps.append(f"""l{i} AS MATERIALIZED (
+        SELECT p.seed, e.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+        FROM edges e JOIN {prev} p ON p.node = e.src
+        WHERE NOT EXISTS (
+          SELECT 1 FROM ({vis}) x
+          WHERE x.seed = p.seed AND x.node = e.dst)
+        GROUP BY 1, 2)""")
+        prev_levels.append(f"l{i}")
+    # backward: g at depth BFS_ROUNDS is 0; accumulate downward
+    gsteps = []
+    for d in range(BFS_ROUNDS - 1, 0, -1):
+        if d == BFS_ROUNDS - 1:
+            gexpr = "0"
+            gjoin = ""
+        else:
+            gexpr = f"COALESCE(gg{d + 1}.g, 0)"
+            gjoin = (f"LEFT JOIN gg{d + 1} ON gg{d + 1}.seed = b.seed"
+                     f" AND gg{d + 1}.node = b.node")
+        gsteps.append(f"""gg{d} AS MATERIALIZED (
+        SELECT a.seed, a.node, a.sigma,
+               CAST(sum(1 + {gexpr}) AS BIGINT) AS g
+        FROM l{d} a
+        JOIN edges e ON e.src = a.node
+        JOIN l{d + 1} b ON b.seed = a.seed AND b.node = e.dst
+        {gjoin}
+        GROUP BY 1, 2, 3)""")
+    contrib = " UNION ALL ".join(
+        f"SELECT seed, node, sigma * g AS c FROM gg{d}"
+        for d in range(1, BFS_ROUNDS))
+    chain = ",\n      ".join(steps + gsteps)
+    return f"""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey % {MINLABEL_ORDER_MOD} = 0),
+      e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      edges AS (
+        SELECT u AS src, v AS dst FROM e0
+        UNION ALL SELECT v AS src, u AS dst FROM e0),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS seed, src AS node, CAST(1 AS BIGINT) AS sigma
+        FROM edges WHERE src % {mod} = 0),
+      {chain}
+      SELECT node, CAST(count(*) AS BIGINT) AS n_src,
+             CAST(sum(c) AS BIGINT) AS stress_paths
+      FROM ({contrib}) GROUP BY node
+    """
+
+
 # ------------------------------------------ sorted-neighborhood ER --
 
 SNM_WINDOW = 3        # compare each name to its 3 sort-successors
@@ -3037,6 +3208,7 @@ def graphquery_queries() -> dict:
         "graph_walk": graph_walk,
         "graph_diameter": graph_diameter,
         "graph_harmonic": graph_harmonic,
+        "graph_stress": graph_stress,
         "kg_er_sortednbr": kg_er_sortednbr,
         "graph_clustering_local": graph_clustering_local,
         "graph_walk_pairs": graph_walk_pairs,
@@ -3068,6 +3240,7 @@ def graphquery_oracle_sql() -> dict[str, str]:
         "graph_walk": graph_walk_sql(),
         "graph_diameter": graph_diameter_sql(),
         "graph_harmonic": graph_harmonic_sql(),
+        "graph_stress": graph_stress_sql(),
         "kg_er_sortednbr": kg_er_sortednbr_sql(),
         "graph_clustering_local": graph_clustering_local_sql(),
         "graph_walk_pairs": graph_walk_pairs_sql(),

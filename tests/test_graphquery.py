@@ -703,3 +703,60 @@ def test_er_edit_cap_invariance_below_cap(spark):
     finally:
         gq.ER_EDIT_BLOCK_CAP = orig
     assert with_cap == no_cap and len(with_cap) > 0
+
+
+# ------------------------------------------------ stress centrality --
+
+
+def _stress(spark, und_pairs, seeds=None, iters=3):
+    """und_pairs: undirected edges; seeds default to all nodes."""
+    from pyspark.sql import functions as F
+
+    from mxsparkg.graphquery import stress_centrality
+
+    both = [(a, b) for a, b in und_pairs] + [(b, a) for a, b in und_pairs]
+    e = _edges(spark, both)
+    nodes = sorted({x for p in und_pairs for x in p})
+    sd = spark.createDataFrame(
+        [(n,) for n in (seeds if seeds is not None else nodes)],
+        "node long",
+    )
+    return {
+        r["node"]: (r["n_src"], r["stress_paths"])
+        for r in stress_centrality(e, sd, iters=iters).collect()
+    }
+
+
+def test_stress_path_graph_closed_form(spark):
+    # a-b-c: ordered pairs (a,c),(c,a) pass through b -> stress 2;
+    # endpoints are never interior
+    got = _stress(spark, [(1, 2), (2, 3)])
+    assert got == {2: (2, 2)}
+
+
+def test_stress_triangle_is_empty(spark):
+    # every pair is adjacent: no shortest path has an interior node
+    assert _stress(spark, [(1, 2), (2, 3), (1, 3)]) == {}
+
+
+def test_stress_star_center_counts_ordered_leaf_pairs(spark):
+    # K1,3: center 0 carries all 3*2 ordered leaf pairs
+    got = _stress(spark, [(0, 1), (0, 2), (0, 3)])
+    assert got == {0: (3, 6)}
+
+
+def test_stress_diamond_sigma_split(spark):
+    # a(1)-b(2), a-c(3), b-d(4), c-d: two shortest a->d paths, one
+    # through each middle node (sigma split, not double-count); plus
+    # b,c are interior to (b<->c via a or d? no - b-c distance 2 via a
+    # OR d, sigma_bc = 2, both interiors count)
+    got = _stress(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+    # interiors: for (1,4)+(4,1): b and c each 1+1; for (2,3)+(3,2):
+    # a and d each carry one path each direction -> 2
+    assert got == {1: (2, 2), 2: (2, 2), 3: (2, 2), 4: (2, 2)}
+
+
+def test_stress_seed_sampling_subsets(spark):
+    # path a-b-c with seeds={a}: only the (a,c) direction is seen
+    got = _stress(spark, [(1, 2), (2, 3)], seeds=[1])
+    assert got == {2: (1, 1)}
