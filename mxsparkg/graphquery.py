@@ -371,6 +371,80 @@ def kg_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def kg_pagerank_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity salience with edge CONFIDENCE: the same 3-iteration integer
+    PageRank but each supplier↔part edge weighted by its lineitem
+    multiplicity (the KG's n_support shape — how many observations back
+    the edge), so a node's mass splits proportionally to support instead
+    of evenly. This is the weight_col path the production ranking uses
+    (pagerank_exact weight_col='n_support'); this key certifies the
+    weighted split cross-engine — per-edge (pr·w) div outdeg floor
+    included — which the unweighted kg_pagerank cannot see."""
+    li = _lineitem(spark, sf).select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
+    )
+    pairs = li.groupBy("s", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("_w"))
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("src"), F.col("p").alias("dst"),
+                    F.col("_w"),
+                ),
+                F.struct(
+                    F.col("p").alias("src"), F.col("s").alias("dst"),
+                    F.col("_w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e._w")
+    pr = pagerank_exact(edges, iters=PR_ITERS, weight_col="_w")
+    return (
+        pr.select(F.col("src").alias("node"), "pr")
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(25)
+    )
+
+
+def kg_pagerank_weighted_sql() -> str:
+    total, dpct, n_it = PR_TOTAL_MASS, PR_DAMPING_PCT, PR_ITERS
+    iters = []
+    prev = "pr0"
+    for i in range(1, n_it + 1):
+        iters.append(
+            f"""inc{i} AS (
+        SELECT e.dst AS src, sum((p.pr * e.w) // d.outdeg) AS inc
+        FROM edges e JOIN {prev} p ON p.src = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+      pr{i} AS (
+        SELECT d.src,
+               CAST(({100 - dpct} * {total}) // (100 * (SELECT n FROM nn))
+                    + ({dpct} * coalesce(i.inc, 0)) // 100 AS BIGINT) AS pr
+        FROM deg d LEFT JOIN inc{i} i ON i.src = d.src)"""
+        )
+        prev = f"pr{i}"
+    chain = ",\n      ".join(iters)
+    return f"""
+      WITH pairs AS (
+        SELECT 's' || l_suppkey AS s, 'p' || l_partkey AS p,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2),
+      edges AS (
+        SELECT s AS src, p AS dst, w FROM pairs
+        UNION ALL SELECT p AS src, s AS dst, w FROM pairs),
+      deg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM deg),
+      pr0 AS (
+        SELECT src, CAST({total} // (SELECT n FROM nn) AS BIGINT) AS pr
+        FROM deg),
+      {chain}
+      SELECT src AS node, pr FROM {prev}
+      ORDER BY pr DESC, node LIMIT 25
+    """
+
+
 def kg_pagerank_sql() -> str:
     total, dpct, n_it = PR_TOTAL_MASS, PR_DAMPING_PCT, PR_ITERS
     iters = []
@@ -3197,6 +3271,7 @@ def graph_clustering_local_sql() -> str:
 def graphquery_queries() -> dict:
     return {
         "kg_pagerank": kg_pagerank,
+        "kg_pagerank_weighted": kg_pagerank_weighted,
         "kg_ppr": kg_ppr,
         "graph_triangles": graph_triangles,
         "graph_minlabel": graph_minlabel,
@@ -3229,6 +3304,7 @@ def graphquery_queries() -> dict:
 def graphquery_oracle_sql() -> dict[str, str]:
     return {
         "kg_pagerank": kg_pagerank_sql(),
+        "kg_pagerank_weighted": kg_pagerank_weighted_sql(),
         "kg_ppr": kg_ppr_sql(),
         "graph_triangles": graph_triangles_sql(),
         "graph_minlabel": graph_minlabel_sql(),

