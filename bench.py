@@ -168,7 +168,11 @@ def headline_queries() -> dict:
               # under codegen — a pure expression-throughput measure),
               # and gap-fill is the resample/locf grid (groupBy +
               # per-user sequence explode + ignorenulls window)
-              "sketch_hll", "evt_gap_fill"):
+              "sketch_hll", "evt_gap_fill",
+              # round-5h crawl admission layer: robots is the
+              # representative shape (broadcast rule join with a
+              # startswith theta leg + map-side struct-max winner)
+              "crawl_robots"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

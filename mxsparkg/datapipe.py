@@ -6261,6 +6261,282 @@ def url_canon_dedup_sql() -> str:
     """
 
 
+# ------------------------------------------------------- crawl policy layer
+# The admission-control screens a Common-Crawl-style fetch loop runs
+# BEFORE a page's bytes enter the pipeline: robots.txt allow/deny
+# (politeness/legal), sitemap URL discovery (the publisher-declared
+# frontier feed), and magic-byte content sniffing (route HTML to the
+# text pipeline, media to the mm_* codec tier, archives to quarantine —
+# servers lie in Content-Type headers, so production sniffs payload
+# bytes). All inputs are planted in-query from the documents table (the
+# url_canon_dedup idiom) so both engines derive identical fixtures.
+
+ROBOTS_HOSTS = 7  # planted host count (doc_id % ROBOTS_HOSTS)
+
+
+def crawl_robots(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt URL admission — longest-match-wins with allow beating
+    disallow on ties (the REP rule, RFC 9309 §2.2.2). Planted fixture:
+    7 hosts x 5 path classes; every host disallows /private but allows
+    the /private/ok subtree (longest-match override), even hosts
+    disallow /tmp, and every third host is blanket-disallowed ('/')
+    with only /public rescued — so default-allow (no matching rule),
+    prefix override, and blanket-deny-with-rescue are all exercised.
+
+    Scale shape: the rule table is crawl-config-sized (hosts x a few
+    prefixes) and BROADCAST; the frontier never shuffles for the join.
+    The winner is a groupBy max(struct(rule_len, allow)) — map-side
+    combinable, no window over the 10^12-row frontier. Struct-max ties
+    ((len, allow) equal) can only arise from rules with identical
+    effect, so the decision is deterministic."""
+    d = _docs(spark, sf).select(
+        "doc_id", (F.col("doc_id") % ROBOTS_HOSTS).alias("h")
+    )
+    path = F.expr(
+        "CASE CAST(doc_id % 5 AS INT)"
+        "  WHEN 0 THEN concat('/private/data/', doc_id)"
+        "  WHEN 1 THEN concat('/private/ok/', doc_id)"
+        "  WHEN 2 THEN concat('/public/page/', doc_id)"
+        "  WHEN 3 THEN concat('/tmp/cache/', doc_id)"
+        "  ELSE concat('/index/', doc_id) END"
+    )
+    frontier = d.select(
+        "doc_id", "h",
+        F.concat(F.lit("site"), F.col("h").cast("string")).alias("host"),
+        path.alias("path"),
+    )
+    hosts = frontier.select("h").distinct()
+
+    def _rule(df, prefix: str, allow: int):
+        return df.select(
+            F.col("h").alias("rh"),
+            F.lit(prefix).alias("prefix"),
+            F.lit(allow).alias("allow"),
+        )
+
+    rules = (
+        _rule(hosts, "/private", 0)
+        .unionAll(_rule(hosts, "/private/ok", 1))
+        .unionAll(_rule(hosts.filter(F.col("h") % 2 == 0), "/tmp", 0))
+        .unionAll(_rule(hosts.filter(F.col("h") % 3 == 0), "/", 0))
+        .unionAll(_rule(hosts.filter(F.col("h") % 3 == 0), "/public", 1))
+    )
+    matched = frontier.join(
+        F.broadcast(rules),
+        (F.col("h") == F.col("rh")) & F.expr("startswith(path, prefix)"),
+        "left",
+    )
+    win = F.max(
+        F.struct(
+            F.length("prefix").alias("l"), F.col("allow").alias("a")
+        )
+    ).alias("win")
+    out = matched.groupBy("doc_id", "host", "path").agg(win)
+    return out.select(
+        "doc_id", "host", "path",
+        F.coalesce(F.col("win.a"), F.lit(1)).cast("int").alias("allowed"),
+        F.coalesce(F.col("win.l"), F.lit(0)).cast("int").alias("rule_len"),
+    )
+
+
+def crawl_robots_sql() -> str:
+    return f"""
+      WITH f AS (
+        SELECT doc_id, doc_id % {ROBOTS_HOSTS} AS h,
+          'site' || CAST(doc_id % {ROBOTS_HOSTS} AS VARCHAR) AS host,
+          CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN '/private/data/' || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+            WHEN 2 THEN '/public/page/' || CAST(doc_id AS VARCHAR)
+            WHEN 3 THEN '/tmp/cache/' || CAST(doc_id AS VARCHAR)
+            ELSE '/index/' || CAST(doc_id AS VARCHAR) END AS path
+        FROM documents),
+      hosts AS (SELECT DISTINCT h FROM f),
+      rules AS (
+        SELECT h AS rh, '/private' AS prefix, 0 AS allow FROM hosts
+        UNION ALL SELECT h, '/private/ok', 1 FROM hosts
+        UNION ALL SELECT h, '/tmp', 0 FROM hosts WHERE h % 2 = 0
+        UNION ALL SELECT h, '/', 0 FROM hosts WHERE h % 3 = 0
+        UNION ALL SELECT h, '/public', 1 FROM hosts WHERE h % 3 = 0),
+      m AS (
+        SELECT f.doc_id, f.host, f.path,
+               length(r.prefix) AS l, r.allow AS a
+        FROM f LEFT JOIN rules r
+          ON f.h = r.rh AND starts_with(f.path, r.prefix)),
+      g AS (SELECT doc_id, host, path, max(l) AS ml FROM m
+            GROUP BY 1, 2, 3)
+      SELECT g.doc_id, g.host, g.path,
+             CAST(coalesce(
+               max(CASE WHEN m.l = g.ml THEN m.a END), 1) AS INT)
+               AS allowed,
+             CAST(coalesce(g.ml, 0) AS INT) AS rule_len
+      FROM g JOIN m ON m.doc_id = g.doc_id
+        AND (m.l = g.ml OR (m.l IS NULL AND g.ml IS NULL))
+      GROUP BY g.doc_id, g.host, g.path, g.ml
+    """
+
+
+def crawl_sitemap(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap URL discovery — parse <loc> entries out of sitemap-XML
+    bodies into frontier rows (the publisher-declared complement to the
+    link-graph frontier, weblinks.next_frontier). One sitemap body per
+    planted host, synthesized in-query from the documents table with a
+    DETERMINISTIC member order (array_sort on (doc_id, entry) structs —
+    collect_list order alone is partition-dependent, the agg_stringagg
+    landmine); extraction is regexp_extract_all over the portable
+    Java∩RE2 subset, then explode.
+
+    Scale shape: real sitemap bodies arrive one-per-fetch (protocol-capped
+    at 50k URLs / 50 MB each, so a row is bounded); the regexp runs
+    JVM-side per body row and the explode fans out with NO shuffle. The
+    groupBy-listagg here exists only to synthesize the fixture in-engine —
+    production never builds the bodies, it fetches them."""
+    e = _docs(spark, sf).select(
+        "doc_id",
+        (F.col("doc_id") % ROBOTS_HOSTS).alias("h"),
+        F.expr(
+            "concat('<url><loc>https://site', doc_id % 7, '/page/',"
+            " doc_id, '</loc><lastmod>2026-07-',"
+            " lpad(cast(doc_id % 28 + 1 as string), 2, '0'),"
+            " '</lastmod></url>')"
+        ).alias("entry"),
+    )
+    body = F.concat(
+        F.lit("<urlset>"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("doc_id").alias("i"),
+                            F.col("entry").alias("e"),
+                        )
+                    )
+                ),
+                lambda s: s["e"],
+            ),
+            "",
+        ),
+        F.lit("</urlset>"),
+    ).alias("body")
+    maps = e.groupBy("h").agg(body)
+    parsed = maps.select(
+        "h",
+        F.expr(
+            r"regexp_extract_all(body, '<loc>([^<]+)</loc>', 1)"
+        ).alias("locs"),
+    )
+    return parsed.select(
+        F.concat(F.lit("site"), F.col("h").cast("string")).alias("host"),
+        F.explode("locs").alias("loc_url"),
+        F.size("locs").cast("int").alias("n_locs"),
+    )
+
+
+def crawl_sitemap_sql() -> str:
+    return f"""
+      WITH e AS (
+        SELECT doc_id, doc_id % {ROBOTS_HOSTS} AS h,
+          '<url><loc>https://site' || CAST(doc_id % 7 AS VARCHAR)
+          || '/page/' || CAST(doc_id AS VARCHAR)
+          || '</loc><lastmod>2026-07-'
+          || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+          || '</lastmod></url>' AS entry
+        FROM documents),
+      maps AS (
+        SELECT h, '<urlset>' || string_agg(entry, '' ORDER BY doc_id)
+               || '</urlset>' AS body
+        FROM e GROUP BY h),
+      parsed AS (
+        SELECT h,
+          regexp_extract_all(body, '<loc>([^<]+)</loc>', 1) AS locs
+        FROM maps)
+      SELECT 'site' || CAST(h AS VARCHAR) AS host,
+             unnest(locs) AS loc_url,
+             CAST(len(locs) AS INT) AS n_locs
+      FROM parsed
+    """
+
+
+# (magic hex, mime) rows: the payload-byte signatures the sniffer keys
+# on; classes are planted by doc_id % 7 (class 6 = unknown junk).
+MIME_MAGIC = [
+    ("255044462D312E35", "application/pdf"),       # %PDF-1.5
+    ("89504E470D0A1A0A", "image/png"),
+    ("474946383961AA00", "image/gif"),             # GIF89a + payload
+    ("FFD8FFE000104A46", "image/jpeg"),            # SOI + APP0 'JF'
+    ("504B030414000000", "application/zip"),
+    ("3C21444F43545950", "text/html"),             # <!DOCTYP
+    ("0011223344556677", "application/octet-stream"),
+]
+
+
+def crawl_mime_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    """Magic-byte content sniffing — classify fetched payloads by their
+    leading bytes, never by the server's Content-Type header (which lies;
+    the WHATWG MIME-sniffing posture). The Spark side does the honest
+    binary round-trip: build the payload BLOB with unhex, slice the
+    binary prefix with substring (binary in, binary out), classify on
+    hex() of the slice — exactly what runs over a real (url, content
+    binary) crawl table. The oracle certifies the same classification
+    from the hex plane (the mm_decode certificate idiom: engines agree
+    on the DECISION, each deriving it from its own byte handling).
+
+    Scale shape: pure per-row codegen over the payload's first 8 bytes —
+    no shuffle, no Python, independent of payload size (substring of a
+    binary column reads the prefix, not the blob)."""
+    hexes = " ".join(
+        f"WHEN {i} THEN '{h}'" for i, (h, _) in enumerate(MIME_MAGIC)
+    )
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.expr(
+            f"unhex(CASE CAST(doc_id % {len(MIME_MAGIC)} AS INT)"
+            f" {hexes} END)"
+        ).alias("bin"),
+    )
+    p3 = F.hex(F.expr("substring(bin, 1, 3)"))
+    p4 = F.hex(F.expr("substring(bin, 1, 4)"))
+    p6 = F.hex(F.expr("substring(bin, 1, 6)"))
+    mime = (
+        F.when(p4 == "25504446", F.lit("application/pdf"))
+        .when(p4 == "89504E47", F.lit("image/png"))
+        .when(p6 == "474946383961", F.lit("image/gif"))
+        .when(p3 == "FFD8FF", F.lit("image/jpeg"))
+        .when(p4 == "504B0304", F.lit("application/zip"))
+        .when(p4 == "3C21444F", F.lit("text/html"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return d.select(
+        "doc_id",
+        mime.alias("mime"),
+        F.length("bin").cast("int").alias("payload_len"),
+    )
+
+
+def crawl_mime_sniff_sql() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{h}'" for i, (h, _) in enumerate(MIME_MAGIC)
+    )
+    return f"""
+      WITH p AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % {len(MIME_MAGIC)} AS INT) {whens} END AS hx
+        FROM documents)
+      SELECT doc_id,
+        CASE
+          WHEN hx LIKE '25504446%' THEN 'application/pdf'
+          WHEN hx LIKE '89504E47%' THEN 'image/png'
+          WHEN hx LIKE '474946383961%' THEN 'image/gif'
+          WHEN hx LIKE 'FFD8FF%' THEN 'image/jpeg'
+          WHEN hx LIKE '504B0304%' THEN 'application/zip'
+          WHEN hx LIKE '3C21444F%' THEN 'text/html'
+          ELSE 'application/octet-stream' END AS mime,
+        CAST(length(hx) // 2 AS INT) AS payload_len
+      FROM p
+    """
+
+
 # --------------------------------------------------------------- chunking --
 
 CHUNK_W = 32   # tokens per chunk (production: context-length sized, e.g. 2048)
@@ -6901,6 +7177,9 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_incremental": dedup_incremental,
         "url_canon_dedup": url_canon_dedup,
+        "crawl_robots": crawl_robots,
+        "crawl_sitemap": crawl_sitemap,
+        "crawl_mime_sniff": crawl_mime_sniff,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_quality": dedup_minhash_quality,
@@ -6970,6 +7249,9 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup_exact_sql(),
         "dedup_incremental": dedup_incremental_sql(),
         "url_canon_dedup": url_canon_dedup_sql(),
+        "crawl_robots": crawl_robots_sql(),
+        "crawl_sitemap": crawl_sitemap_sql(),
+        "crawl_mime_sniff": crawl_mime_sniff_sql(),
         "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
         "dedup_minhash_pairs": dedup_minhash_pairs_sql(),
         "dedup_minhash_quality": dedup_minhash_quality_sql(),

@@ -1,0 +1,126 @@
+"""Round-5h batch: the crawl admission-control layer — robots.txt
+longest-match allow/deny (RFC 9309 semantics), sitemap <loc> discovery,
+and magic-byte MIME sniffing. Pins the REP decision table closed-form
+(default-allow, prefix override, blanket-deny-with-rescue, tie→allow),
+the sitemap round-trip + deterministic body order under adversarial
+partitioning, and the sniffer's byte-prefix decisions including the
+unknown-junk fallthrough."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs_df(spark, n=70, parts=1):
+    rows = [(i, f"text {i}", "fr", "web", 10) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint").repartition(parts)
+
+
+def _write_docs(spark, tmp_path, n=70, parts=1):
+    _docs_df(spark, n, parts).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_robots_decision_table(spark, tmp_path):
+    """Every (host class, path class) cell of the planted REP fixture:
+    h%3==0 hosts are blanket-denied with /public rescued; even hosts
+    deny /tmp; all hosts deny /private but allow /private/ok."""
+    from mxsparkg.datapipe import crawl_robots
+
+    sf = _write_docs(spark, tmp_path, n=70)
+    got = {r.doc_id: (r.allowed, r.rule_len)
+           for r in crawl_robots(spark, sf).collect()}
+    assert len(got) == 70
+    for doc_id, (allowed, rule_len) in got.items():
+        h, cls = doc_id % 7, doc_id % 5
+        if cls == 0:                       # /private/data -> denied
+            want = (0, 8)
+        elif cls == 1:                     # /private/ok -> allow override
+            want = (1, 11)
+        elif cls == 2:                     # /public
+            want = (1, 7) if h % 3 == 0 else (1, 0)
+        elif cls == 3:                     # /tmp
+            if h % 2 == 0:
+                want = (0, 4)
+            elif h % 3 == 0:
+                want = (0, 1)              # blanket '/' deny
+            else:
+                want = (1, 0)              # no rule -> default allow
+        else:                              # /index
+            want = (0, 1) if h % 3 == 0 else (1, 0)
+        assert (allowed, rule_len) == want, (doc_id, h, cls, allowed,
+                                             rule_len, want)
+
+
+def test_robots_host_and_path_ride_along(spark, tmp_path):
+    from mxsparkg.datapipe import crawl_robots
+
+    sf = _write_docs(spark, tmp_path, n=14)
+    r = {x.doc_id: x for x in crawl_robots(spark, sf).collect()}
+    assert r[9].host == "site2" and r[9].path == "/index/9"
+    assert r[10].host == "site3" and r[10].path == "/private/data/10"
+
+
+def test_robots_rules_broadcast_no_bnlj(spark, tmp_path):
+    """The rule table must ride a BroadcastHashJoin; the theta startswith
+    condition must not degrade the equi-join on host into a
+    nested-loop."""
+    from mxsparkg.datapipe import crawl_robots
+
+    sf = _write_docs(spark, tmp_path, n=70)
+    plan = (crawl_robots(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sitemap_round_trip_and_partition_invariance(spark, tmp_path):
+    """Every planted doc comes back as exactly one <loc> row for its
+    host, n_locs matches the per-host entry count, and a hostile 13-way
+    repartition of the input changes nothing (deterministic body
+    order)."""
+    from mxsparkg.datapipe import crawl_sitemap
+
+    sf = _write_docs(spark, tmp_path, n=70, parts=1)
+    one = sorted((r.host, r.loc_url, r.n_locs)
+                 for r in crawl_sitemap(spark, sf).collect())
+    sf13 = _write_docs(spark, tmp_path, n=70, parts=13)
+    many = sorted((r.host, r.loc_url, r.n_locs)
+                  for r in crawl_sitemap(spark, sf13).collect())
+    assert one == many
+    assert len(one) == 70
+    want = sorted(
+        (f"site{i % 7}", f"https://site{i % 7}/page/{i}", 10)
+        for i in range(70))
+    assert one == want
+
+
+def test_mime_sniff_decisions(spark, tmp_path):
+    """Each planted magic prefix maps to its MIME class; the junk class
+    falls through to application/octet-stream; payload_len counts BYTES
+    (8 per planted payload), not hex chars."""
+    from mxsparkg.datapipe import MIME_MAGIC, crawl_mime_sniff
+
+    sf = _write_docs(spark, tmp_path, n=21)
+    got = {r.doc_id: (r.mime, r.payload_len)
+           for r in crawl_mime_sniff(spark, sf).collect()}
+    assert len(got) == 21
+    for doc_id, (mime, plen) in got.items():
+        assert mime == MIME_MAGIC[doc_id % len(MIME_MAGIC)][1], (doc_id,
+                                                                 mime)
+        assert plen == 8
+    assert got[6][0] == "application/octet-stream"
+
+
+def test_mime_sniff_is_pure_codegen(spark, tmp_path):
+    """No shuffle, no Python: the sniffer is a single projected scan."""
+    from mxsparkg.datapipe import crawl_mime_sniff
+
+    sf = _write_docs(spark, tmp_path, n=21)
+    plan = (crawl_mime_sniff(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
