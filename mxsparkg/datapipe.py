@@ -6537,6 +6537,190 @@ def crawl_mime_sniff_sql() -> str:
     """
 
 
+REDIRECT_CAP = 4  # max hops followed (browsers cap ~20; plant max chain 3)
+
+
+def crawl_redirects(spark: SparkSession, sf: str) -> DataFrame:
+    """HTTP redirect-chain resolution — follow each URL's 3xx Location
+    chain to its terminal target, with the hop cap every real fetcher
+    enforces (ERR_TOO_MANY_REDIRECTS posture: a loop is indistinguishable
+    from a too-long chain at the fetch layer, so both surface as
+    status='too_many_redirects'). Planted functional graph by doc_id%10:
+    classes 0-5 terminal (status 'ok'), 6/7/8 chains of exactly 1/2/3
+    hops into a terminal ('redirected'), 9 self-loops except two members
+    per hundred that form a 2-cycle — so chain-walking, loop, and cycle
+    cases all exercise the cap.
+
+    Scale shape: the iteration state is |REDIRECTING urls| only (the
+    chain walk starts FROM the edge table; terminals ride in via one
+    final union) — at 10^12 pages that's the ~3% of the crawl index with
+    3xx status, not the corpus. Each round is one equi-join against the
+    redirect edges; a 30-hop production cap swaps the linear walk for
+    pointer doubling (log2 rounds — the kg_property_path machinery)."""
+    d = _docs(spark, sf).select("doc_id")
+    nxt = F.expr(
+        "CASE CAST(doc_id % 10 AS INT)"
+        "  WHEN 6 THEN doc_id - 6"
+        "  WHEN 7 THEN doc_id - 1"
+        "  WHEN 8 THEN doc_id - 1"
+        "  WHEN 9 THEN CASE CAST(doc_id % 100 AS INT)"
+        "    WHEN 49 THEN doc_id + 50"
+        "    WHEN 99 THEN doc_id - 50"
+        "    ELSE doc_id END"
+        "  ELSE NULL END"
+    )
+    edges = d.select(
+        F.col("doc_id").alias("src"), nxt.alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    state = edges.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("cur"),
+        F.lit(1).cast("int").alias("hops"),
+    )
+    for _ in range(REDIRECT_CAP - 1):
+        state = state.join(
+            edges, state["cur"] == edges["src"], "left"
+        ).select(
+            "u",
+            F.coalesce("dst", "cur").alias("cur"),
+            (
+                F.col("hops")
+                + F.when(F.col("dst").isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("hops"),
+        )
+    resolved = state.join(
+        edges, state["cur"] == edges["src"], "left"
+    ).select(
+        "u", "cur", "hops",
+        F.col("dst").isNotNull().alias("pending"),
+    )
+    terminals = d.join(
+        edges.select(F.col("src").alias("doc_id")), "doc_id", "anti"
+    ).select(
+        F.col("doc_id").alias("u"),
+        F.col("doc_id").alias("cur"),
+        F.lit(0).cast("int").alias("hops"),
+        F.lit(False).alias("pending"),
+    )
+    allrows = resolved.unionAll(terminals)
+    status = (
+        F.when(F.col("pending"), F.lit("too_many_redirects"))
+        .when(F.col("hops") == 0, F.lit("ok"))
+        .otherwise(F.lit("redirected"))
+    )
+    return allrows.select(
+        F.concat(F.lit("https://u/"), F.col("u").cast("string"))
+        .alias("url"),
+        F.concat(F.lit("https://u/"), F.col("cur").cast("string"))
+        .alias("terminal_url"),
+        "hops",
+        status.alias("status"),
+    )
+
+
+def crawl_redirects_sql() -> str:
+    steps = []
+    for i in range(1, REDIRECT_CAP):
+        steps.append(
+            f"""s{i + 1} AS (
+        SELECT s.u, coalesce(e.dst, s.cur) AS cur,
+               CAST(s.hops + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END
+                    AS INT) AS hops
+        FROM s{i} s LEFT JOIN edges e ON e.src = s.cur)"""
+        )
+    chain = ",\n      ".join(steps)
+    return f"""
+      WITH edges AS (
+        SELECT doc_id AS src,
+          CASE CAST(doc_id % 10 AS INT)
+            WHEN 6 THEN doc_id - 6
+            WHEN 7 THEN doc_id - 1
+            WHEN 8 THEN doc_id - 1
+            WHEN 9 THEN CASE CAST(doc_id % 100 AS INT)
+              WHEN 49 THEN doc_id + 50
+              WHEN 99 THEN doc_id - 50
+              ELSE doc_id END
+            ELSE NULL END AS dst
+        FROM documents
+        WHERE doc_id % 10 >= 6),
+      s1 AS (SELECT src AS u, dst AS cur, CAST(1 AS INT) AS hops
+             FROM edges),
+      {chain},
+      resolved AS (
+        SELECT s.u, s.cur, s.hops, e.dst IS NOT NULL AS pending
+        FROM s{REDIRECT_CAP} s LEFT JOIN edges e ON e.src = s.cur),
+      allrows AS (
+        SELECT * FROM resolved
+        UNION ALL
+        SELECT doc_id, doc_id, CAST(0 AS INT), FALSE
+        FROM documents WHERE doc_id % 10 < 6)
+      SELECT 'https://u/' || CAST(u AS VARCHAR) AS url,
+             'https://u/' || CAST(cur AS VARCHAR) AS terminal_url,
+             hops,
+             CASE WHEN pending THEN 'too_many_redirects'
+                  WHEN hops = 0 THEN 'ok'
+                  ELSE 'redirected' END AS status
+      FROM allrows
+    """
+
+
+CRAWL_DELAY_BASE_MS = 500  # planted per-host delay = (h%3+1) * base
+
+
+def crawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Politeness fetch scheduling — the WHEN that follows crawl_robots's
+    CAN: assign each admitted URL a per-host fetch slot (highest planted
+    priority first, doc_id tiebreak) and a fetch timestamp at
+    slot x that host's crawl-delay. Per-host serialization is the
+    SEMANTICS here, not a plan defect: politeness means one fetch per
+    host per delay window, so the row_number over the host partition is
+    inherent.
+
+    Scale shape: one host-partitioned window — the hot-host skew case is
+    exactly the salted/prefix-sum territory fn_rank_global covers, but a
+    polite per-host queue is bounded by (crawl window / delay) fetches
+    anyway, so real frontiers cap the per-host queue BEFORE scheduling
+    (the tiered cut crawl_revisit emits)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        (F.col("doc_id") % ROBOTS_HOSTS).alias("h"),
+        (F.col("doc_id") % 13).alias("prio"),
+    )
+    w = (
+        Window.partitionBy("h")
+        .orderBy(F.col("prio").desc(), F.col("doc_id"))
+    )
+    delay = ((F.col("h") % 3 + 1) * CRAWL_DELAY_BASE_MS).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("site"), F.col("h").cast("string")).alias("host"),
+        (F.row_number().over(w) - 1).cast("int").alias("slot"),
+        ((F.row_number().over(w) - 1) * delay).cast("bigint")
+        .alias("fetch_at_ms"),
+    )
+
+
+def crawl_schedule_sql() -> str:
+    return f"""
+      WITH f AS (
+        SELECT doc_id, doc_id % {ROBOTS_HOSTS} AS h,
+               doc_id % 13 AS prio
+        FROM documents),
+      s AS (
+        SELECT doc_id, h,
+          row_number() OVER (PARTITION BY h
+                             ORDER BY prio DESC, doc_id) - 1 AS slot
+        FROM f)
+      SELECT doc_id, 'site' || CAST(h AS VARCHAR) AS host,
+             CAST(slot AS INT) AS slot,
+             CAST(slot * ((h % 3 + 1) * {CRAWL_DELAY_BASE_MS})
+                  AS BIGINT) AS fetch_at_ms
+      FROM s
+    """
+
+
 # --------------------------------------------------------------- chunking --
 
 CHUNK_W = 32   # tokens per chunk (production: context-length sized, e.g. 2048)
@@ -7180,6 +7364,8 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots": crawl_robots,
         "crawl_sitemap": crawl_sitemap,
         "crawl_mime_sniff": crawl_mime_sniff,
+        "crawl_redirects": crawl_redirects,
+        "crawl_schedule": crawl_schedule,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_quality": dedup_minhash_quality,
@@ -7252,6 +7438,8 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "crawl_robots": crawl_robots_sql(),
         "crawl_sitemap": crawl_sitemap_sql(),
         "crawl_mime_sniff": crawl_mime_sniff_sql(),
+        "crawl_redirects": crawl_redirects_sql(),
+        "crawl_schedule": crawl_schedule_sql(),
         "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
         "dedup_minhash_pairs": dedup_minhash_pairs_sql(),
         "dedup_minhash_quality": dedup_minhash_quality_sql(),

@@ -124,3 +124,52 @@ def test_mime_sniff_is_pure_codegen(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_redirects_chain_loop_and_cap(spark, tmp_path):
+    """Classes by doc_id%10: 0-5 ok/0 hops; 6/7/8 chains of exactly
+    1/2/3 hops landing on the r0 terminal; 9 loops (self or the planted
+    49<->99 2-cycle) hit the cap as too_many_redirects with the walk
+    parked where the cap left it (even cap => 2-cycle parks at the
+    origin)."""
+    from mxsparkg.datapipe import crawl_redirects
+
+    sf = _write_docs(spark, tmp_path, n=200)
+    got = {r.url: r for r in crawl_redirects(spark, sf).collect()}
+    assert len(got) == 200
+    for i in range(200):
+        r, u = i % 10, f"https://u/{i}"
+        if r < 6:
+            want = (f"https://u/{i}", 0, "ok")
+        elif r == 6:
+            want = (f"https://u/{i - 6}", 1, "redirected")
+        elif r == 7:
+            want = (f"https://u/{i - 7}", 2, "redirected")
+        elif r == 8:
+            want = (f"https://u/{i - 8}", 3, "redirected")
+        else:
+            want = (f"https://u/{i}", 4, "too_many_redirects")
+        g = got[u]
+        assert (g.terminal_url, g.hops, g.status) == want, (i, g)
+
+
+def test_schedule_slots_and_politeness_delay(spark, tmp_path):
+    """Per-host slots are dense 0..k-1, ordered by priority desc then
+    doc_id, and fetch_at_ms = slot x the host's planted crawl delay."""
+    from mxsparkg.datapipe import CRAWL_DELAY_BASE_MS, crawl_schedule
+
+    sf = _write_docs(spark, tmp_path, n=70)
+    rows = crawl_schedule(spark, sf).collect()
+    byhost = {}
+    for r in rows:
+        byhost.setdefault(r.host, []).append(r)
+    assert set(byhost) == {f"site{h}" for h in range(7)}
+    for host, rs in byhost.items():
+        h = int(host[4:])
+        rs.sort(key=lambda r: r.slot)
+        assert [r.slot for r in rs] == list(range(len(rs)))
+        prios = [(-(r.doc_id % 13), r.doc_id) for r in rs]
+        assert prios == sorted(prios)
+        for r in rs:
+            assert r.fetch_at_ms == r.slot * (h % 3 + 1) * \
+                CRAWL_DELAY_BASE_MS
