@@ -494,6 +494,106 @@ def kg_transe_predict_sql() -> str:
     """
 
 
+def predict_objects_distmult(
+    subjects: DataFrame,
+    pred_id: str,
+    ent: DataFrame,
+    pred: DataFrame,
+    candidates: DataFrame,
+    top_k: int = 1,
+    dim: int = DIM,
+) -> DataFrame:
+    """DistMult inference — the MULTIPLICATIVE embedding family next to
+    TransE's additive one (Yang et al. 2015: score(s,r,o) = <s, r, o> =
+    sum_k s_k*r_k*o_k, HIGHER is better): rank the type-filtered
+    candidate set per subject, deterministic tie-break (score DESC,
+    cand ASC). Integer embeddings keep the trilinear form exact (no
+    float dot-product drift). Same plan shape as predict_objects: one
+    equi-join for the subject vectors, relation vector folded in as
+    literals (the 1-row ride-along would constant-fold into a BNLJ),
+    broadcast all-pairs against the model-sized candidate set."""
+    d = dim
+    pvec = pred.filter(F.col("id") == pred_id).head()
+    if pvec is None:
+        raise ValueError(f"predicate {pred_id!r} has no embedding")
+    cand = candidates.join(
+        ent.withColumnRenamed("id", "_cid"), F.col("id") == F.col("_cid")
+    ).select(
+        F.col("id").alias("cand"),
+        F.lit(1).alias("_one"),
+        *[F.col(f"e{k}").alias(f"o{k}") for k in range(d)],
+    )
+    subj = subjects.join(ent, on="id").select(
+        F.col("id").alias("subj"),
+        F.lit(1).alias("_one"),
+        *[
+            (F.col(f"e{k}") * F.lit(int(pvec[f"e{k}"]))).alias(f"sr{k}")
+            for k in range(d)
+        ],
+    )
+    scored = subj.join(F.broadcast(cand), on="_one")
+    score = sum(F.col(f"sr{k}") * F.col(f"o{k}") for k in range(d))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("subj").orderBy(score.desc(), F.col("cand").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("subj", "cand", score.cast("long").alias("score"),
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def kg_distmult(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: DistMult top-1 object prediction over the deterministic
+    md5 init embeddings — certifies the multiplicative scoring family
+    end-to-end (init -> trilinear score -> rank -> tie-break) the way
+    kg_transe_predict certifies the additive one. Training discipline is
+    TransE's certificate (the integer-SGD chain); DistMult training is
+    the same machinery with the multiplicative gradient, so the novel
+    surface here is exactly the scoring form."""
+    cust_ids = _t(spark, sf, "customer").select(
+        iri("cust", F.col("c_custkey")).alias("id")
+    )
+    nat_ids = _t(spark, sf, "nation").select(
+        iri("nat", F.col("n_nationkey")).alias("id")
+    )
+    ent = init_embeddings(cust_ids.unionByName(nat_ids))
+    pred = init_embeddings(spark.createDataFrame([("in_nation",)], ["id"]))
+    return predict_objects_distmult(
+        cust_ids, "in_nation", ent, pred, nat_ids, top_k=1
+    )
+
+
+def kg_distmult_sql() -> str:
+    d = DIM
+    srk = ", ".join(f"s.e{k} * p.e{k} AS sr{k}" for k in range(d))
+    score = " + ".join(f"sr{k} * o.e{k}" for k in range(d))
+    return f"""
+      WITH ids AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS id
+        FROM customer
+        UNION ALL
+        SELECT '<{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR) || '>'
+        FROM nation),
+      ent AS ({_sql_init('ids', 'id')}),
+      pred AS ({_sql_init("(SELECT 'in_nation' AS id)", 'id')}),
+      sr AS (
+        SELECT s.id AS subj, {srk}
+        FROM ent s, pred p WHERE s.id LIKE '<{BASE_E}cust:%'),
+      scored AS (
+        SELECT sr.subj, o.id AS cand, CAST({score} AS BIGINT) AS score
+        FROM sr, ent o WHERE o.id LIKE '<{BASE_E}nat:%'),
+      ranked AS (
+        SELECT subj, cand, score,
+               CAST(row_number() OVER (
+                 PARTITION BY subj ORDER BY score DESC, cand ASC)
+                 AS INT) AS rk
+        FROM scored)
+      SELECT subj, cand, score, rk FROM ranked WHERE rk <= 1
+    """
+
+
 def hits_at_k(
     triples: DataFrame,
     ent: DataFrame,
@@ -548,11 +648,13 @@ def hits_at_k(
 # ---------------------------------------------------------------- registry --
 
 def kgembed_queries() -> dict:
-    return {"kg_transe": kg_transe, "kg_transe_predict": kg_transe_predict}
+    return {"kg_transe": kg_transe, "kg_transe_predict": kg_transe_predict,
+            "kg_distmult": kg_distmult}
 
 
 def kgembed_oracle_sql() -> dict[str, str]:
     return {
         "kg_transe": kg_transe_sql(),
         "kg_transe_predict": kg_transe_predict_sql(),
+        "kg_distmult": kg_distmult_sql(),
     }

@@ -136,3 +136,38 @@ def test_training_is_partition_invariant(spark):
     e8, p8 = train_transe(pairs.repartition(8), ent.repartition(7), pred, epochs=2)
     assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e8.collect()))
     assert p1.collect() == p8.collect()
+
+
+def test_distmult_trilinear_score_and_tiebreak(spark):
+    """Hand-planted integer embeddings: score(s,r,o) = sum_k s_k r_k o_k,
+    higher wins, ties break on cand ASC."""
+    from pyspark.sql import functions as F
+
+    from mxsparkg.kgembed import predict_objects_distmult
+
+    ent = spark.createDataFrame(
+        [
+            ("s1", 1, 2, 0, 0),
+            ("s2", -1, 1, 0, 0),
+            ("cA", 3, 1, 0, 0),   # s1: (1*2)*3 + (2*1)*1 = 8
+            ("cB", 1, 3, 0, 0),   # s1: 2 + 6 = 8 (tie with cA -> cA wins)
+            ("cC", 0, 5, 0, 0),   # s1: 0 + 10 = 10 (winner)
+        ],
+        "id string, e0 long, e1 long, e2 long, e3 long",
+    )
+    pred = spark.createDataFrame(
+        [("rel", 2, 1, 0, 0)], "id string, e0 long, e1 long, e2 long, e3 long"
+    )
+    subjects = spark.createDataFrame([("s1",), ("s2",)], ["id"])
+    cands = spark.createDataFrame([("cA",), ("cB",), ("cC",)], ["id"])
+    top2 = {
+        (r.subj, r.rk): (r.cand, r.score)
+        for r in predict_objects_distmult(
+            subjects, "rel", ent, pred, cands, top_k=2
+        ).collect()
+    }
+    assert top2[("s1", 1)] == ("cC", 10)
+    assert top2[("s1", 2)] == ("cA", 8)       # 8==8 tie -> cA before cB
+    # s2: cA = (-1*2)*3 + (1*1)*1 = -5; cB = -2 + 3 = 1; cC = 0 + 5 = 5
+    assert top2[("s2", 1)] == ("cC", 5)
+    assert top2[("s2", 2)] == ("cB", 1)
