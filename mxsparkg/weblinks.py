@@ -202,3 +202,83 @@ def host_graph(links: DataFrame) -> DataFrame:
     return hosts.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).alias("n_links")
     )
+
+
+def robots_admit(frontier: DataFrame, rules: DataFrame) -> DataFrame:
+    """RFC 9309 URL admission over production tables: frontier rows
+    (must carry `host` and `path`; extra columns ride along) against a
+    rules table (host, prefix, allow∈{0,1}) — longest matching prefix
+    wins, allow beats disallow on equal length, no match → allowed.
+    Same decision core the `crawl_robots` gate key certifies cross-engine
+    (tests pin parity on the planted fixture).
+
+    Scale shape: the rules table is crawl-config-sized → BROADCAST; the
+    frontier never shuffles for the join, and the winner is a
+    map-side-combinable groupBy max(struct) — no frontier-wide window."""
+    r = rules.select(
+        F.col("host").alias("_rh"),
+        F.col("prefix").alias("_prefix"),
+        F.col("allow").cast("int").alias("_allow"),
+    )
+    keys = list(frontier.columns)
+    m = frontier.join(
+        F.broadcast(r),
+        (frontier["host"] == r["_rh"])
+        & F.expr("startswith(path, _prefix)"),
+        "left",
+    )
+    win = F.max(
+        F.struct(
+            F.length("_prefix").alias("l"), F.col("_allow").alias("a")
+        )
+    ).alias("_win")
+    return (
+        m.groupBy(*keys)
+        .agg(win)
+        .select(
+            *keys,
+            F.coalesce(F.col("_win.a"), F.lit(1)).cast("int")
+            .alias("allowed"),
+            F.coalesce(F.col("_win.l"), F.lit(0)).cast("int")
+            .alias("rule_len"),
+        )
+    )
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay_ms: int = 1000,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Assign per-host fetch slots and timestamps: slot = position in
+    the host's queue (highest `priority_col` first when given, then url
+    for determinism), fetch_at_ms = slot × the host's crawl-delay
+    (per-host `delays` table (host, delay_ms) — broadcast — else the
+    default). The host-partitioned row_number IS the politeness
+    semantics (one fetch per host per delay window); real frontiers
+    tier-cut per host before scheduling (crawl_revisit), bounding the
+    queue a window partition sees."""
+    from pyspark.sql import Window
+
+    order = [F.col("url").asc()]
+    if priority_col:
+        order = [F.col(priority_col).desc(), F.col("url").asc()]
+    w = Window.partitionBy("host").orderBy(*order)
+    out = frontier.withColumn(
+        "slot", (F.row_number().over(w) - 1).cast("int")
+    )
+    if delays is not None:
+        d = delays.select(
+            F.col("host").alias("_dh"),
+            F.col("delay_ms").cast("bigint").alias("_delay"),
+        )
+        out = out.join(
+            F.broadcast(d), out["host"] == d["_dh"], "left"
+        ).drop("_dh")
+        delay = F.coalesce(F.col("_delay"), F.lit(default_delay_ms))
+    else:
+        delay = F.lit(default_delay_ms)
+    return out.withColumn(
+        "fetch_at_ms", (F.col("slot") * delay).cast("bigint")
+    ).drop("_delay")

@@ -300,3 +300,45 @@ def test_table_profile_cli(cli, spark):
     assert spark.read.parquet(f"{ROOT}/prof/hll").count() == \
         out["hll_registers_hit"]
     assert spark.read.parquet(f"{ROOT}/prof/cms").count() > 0
+
+
+def test_crawl_admit_cli(cli, spark):
+    """jobs/crawl_admit.py: URL split (path-with-query), robots
+    admission, politeness scheduling, --out round-trip, and the JSON
+    stat line."""
+    shutil.rmtree(f"{ROOT}/admit", ignore_errors=True)
+    frontier = spark.createDataFrame(
+        [("https://a.example/ok/1", 3),
+         ("https://a.example/ok/2?q=1", 9),
+         ("https://a.example/private/x", 9),
+         ("https://b.example/anything", 1)],
+        "url string, priority int",
+    )
+    frontier.write.mode("overwrite").parquet(f"{ROOT}/admit_frontier")
+    rules = spark.createDataFrame(
+        [("a.example", "/private", 0)], "host string, prefix string,"
+                                        " allow int")
+    rules.write.mode("overwrite").parquet(f"{ROOT}/admit_robots")
+    delays = spark.createDataFrame(
+        [("a.example", 3000)], "host string, delay_ms bigint")
+    delays.write.mode("overwrite").parquet(f"{ROOT}/admit_delays")
+
+    out = cli("crawl_admit", [
+        "--frontier", f"{ROOT}/admit_frontier",
+        "--robots", f"{ROOT}/admit_robots",
+        "--delays", f"{ROOT}/admit_delays",
+        "--priority-col", "priority",
+        "--out", f"{ROOT}/admit",
+    ])
+    assert out["n_frontier"] == 4
+    assert out["n_denied"] == 1
+    assert out["n_admitted"] == 3
+    assert out["n_hosts"] == 2
+    assert out["max_host_queue"] == 2
+    # host a: /ok/2 (prio 9) slot 0, /ok/1 slot 1 at 3000ms
+    assert out["max_span_ms"] == 3000
+    sched = {r.url: (r.slot, r.fetch_at_ms)
+             for r in spark.read.parquet(f"{ROOT}/admit").collect()}
+    assert sched["https://a.example/ok/2?q=1"] == (0, 0)
+    assert sched["https://a.example/ok/1"] == (1, 3000)
+    assert sched["https://b.example/anything"] == (0, 0)

@@ -173,3 +173,67 @@ def test_schedule_slots_and_politeness_delay(spark, tmp_path):
         for r in rs:
             assert r.fetch_at_ms == r.slot * (h % 3 + 1) * \
                 CRAWL_DELAY_BASE_MS
+
+
+def test_robots_admit_parity_with_gate_key(spark, tmp_path):
+    """The production robots_admit (arbitrary tables) must make the same
+    decisions as the cross-engine-certified crawl_robots gate key on the
+    gate key's own planted fixture."""
+    from mxsparkg.datapipe import ROBOTS_HOSTS, crawl_robots
+    from mxsparkg.weblinks import robots_admit
+
+    sf = _write_docs(spark, tmp_path, n=70)
+    want = {r.doc_id: (r.allowed, r.rule_len)
+            for r in crawl_robots(spark, sf).collect()}
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    frontier = d.select(
+        "doc_id",
+        F.concat(F.lit("site"),
+                 (F.col("doc_id") % ROBOTS_HOSTS).cast("string"))
+        .alias("host"),
+        F.expr(
+            "CASE CAST(doc_id % 5 AS INT)"
+            "  WHEN 0 THEN concat('/private/data/', doc_id)"
+            "  WHEN 1 THEN concat('/private/ok/', doc_id)"
+            "  WHEN 2 THEN concat('/public/page/', doc_id)"
+            "  WHEN 3 THEN concat('/tmp/cache/', doc_id)"
+            "  ELSE concat('/index/', doc_id) END"
+        ).alias("path"),
+    )
+    rows = []
+    for h in range(ROBOTS_HOSTS):
+        rows.append((f"site{h}", "/private", 0))
+        rows.append((f"site{h}", "/private/ok", 1))
+        if h % 2 == 0:
+            rows.append((f"site{h}", "/tmp", 0))
+        if h % 3 == 0:
+            rows.append((f"site{h}", "/", 0))
+            rows.append((f"site{h}", "/public", 1))
+    rules = spark.createDataFrame(rows, "host string, prefix string,"
+                                        " allow int")
+    got = {r.doc_id: (r.allowed, r.rule_len)
+           for r in robots_admit(frontier, rules).collect()}
+    assert got == want
+
+
+def test_politeness_schedule_delays_and_order(spark):
+    from mxsparkg.weblinks import politeness_schedule
+
+    frontier = spark.createDataFrame(
+        [("https://a/1", "a", 5), ("https://a/2", "a", 9),
+         ("https://a/3", "a", 9), ("https://b/1", "b", 1)],
+        "url string, host string, priority int",
+    )
+    delays = spark.createDataFrame(
+        [("a", 2000)], "host string, delay_ms bigint")
+    got = {r.url: (r.slot, r.fetch_at_ms)
+           for r in politeness_schedule(
+               frontier, delays=delays, default_delay_ms=500,
+               priority_col="priority").collect()}
+    # host a: prio desc, url tiebreak -> /2, /3, /1 at 2000ms spacing
+    assert got["https://a/2"] == (0, 0)
+    assert got["https://a/3"] == (1, 2000)
+    assert got["https://a/1"] == (2, 4000)
+    # host b missing from delays -> default 500ms
+    assert got["https://b/1"] == (0, 0)
