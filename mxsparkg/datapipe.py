@@ -6540,6 +6540,67 @@ def crawl_mime_sniff_sql() -> str:
 REDIRECT_CAP = 4  # max hops followed (browsers cap ~20; plant max chain 3)
 
 
+def resolve_redirect_chains(
+    nodes: DataFrame, edges: DataFrame, cap: int = REDIRECT_CAP
+) -> DataFrame:
+    """The redirect walk over arbitrary tables: nodes(doc_id), edges
+    (src, dst — at most one outgoing per src, the HTTP Location
+    function). Returns (u, cur, hops, pending): terminal target after
+    following up to `cap` hops, with `pending` true when the walk was
+    cut by the cap (loop or over-long chain). Iteration state is the
+    REDIRECTING urls only; terminals union in once — see crawl_redirects
+    for the scale discussion. Used by both the gate key and the scale
+    exercise (jobs/bench_redirects.py)."""
+    state = edges.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("cur"),
+        F.lit(1).cast("int").alias("hops"),
+    )
+    for _ in range(cap - 1):
+        state = state.join(
+            edges, state["cur"] == edges["src"], "left"
+        ).select(
+            "u",
+            F.coalesce("dst", "cur").alias("cur"),
+            (
+                F.col("hops")
+                + F.when(F.col("dst").isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("hops"),
+        )
+    resolved = state.join(
+        edges, state["cur"] == edges["src"], "left"
+    ).select(
+        "u", "cur", "hops",
+        F.col("dst").isNotNull().alias("pending"),
+    )
+    terminals = nodes.join(
+        edges.select(F.col("src").alias("doc_id")), "doc_id", "anti"
+    ).select(
+        F.col("doc_id").alias("u"),
+        F.col("doc_id").alias("cur"),
+        F.lit(0).cast("int").alias("hops"),
+        F.lit(False).alias("pending"),
+    )
+    return resolved.unionAll(terminals)
+
+
+def _redirect_next_expr() -> "F.Column":
+    """The planted Location function (classes by doc_id%10) — shared by
+    the gate key and the scale exercise so both walk the same graph
+    family."""
+    return F.expr(
+        "CASE CAST(doc_id % 10 AS INT)"
+        "  WHEN 6 THEN doc_id - 6"
+        "  WHEN 7 THEN doc_id - 1"
+        "  WHEN 8 THEN doc_id - 1"
+        "  WHEN 9 THEN CASE CAST(doc_id % 100 AS INT)"
+        "    WHEN 49 THEN doc_id + 50"
+        "    WHEN 99 THEN doc_id - 50"
+        "    ELSE doc_id END"
+        "  ELSE NULL END"
+    )
+
+
 def crawl_redirects(spark: SparkSession, sf: str) -> DataFrame:
     """HTTP redirect-chain resolution — follow each URL's 3xx Location
     chain to its terminal target, with the hop cap every real fetcher
@@ -6558,51 +6619,10 @@ def crawl_redirects(spark: SparkSession, sf: str) -> DataFrame:
     redirect edges; a 30-hop production cap swaps the linear walk for
     pointer doubling (log2 rounds — the kg_property_path machinery)."""
     d = _docs(spark, sf).select("doc_id")
-    nxt = F.expr(
-        "CASE CAST(doc_id % 10 AS INT)"
-        "  WHEN 6 THEN doc_id - 6"
-        "  WHEN 7 THEN doc_id - 1"
-        "  WHEN 8 THEN doc_id - 1"
-        "  WHEN 9 THEN CASE CAST(doc_id % 100 AS INT)"
-        "    WHEN 49 THEN doc_id + 50"
-        "    WHEN 99 THEN doc_id - 50"
-        "    ELSE doc_id END"
-        "  ELSE NULL END"
-    )
     edges = d.select(
-        F.col("doc_id").alias("src"), nxt.alias("dst")
+        F.col("doc_id").alias("src"), _redirect_next_expr().alias("dst")
     ).filter(F.col("dst").isNotNull())
-    state = edges.select(
-        F.col("src").alias("u"),
-        F.col("dst").alias("cur"),
-        F.lit(1).cast("int").alias("hops"),
-    )
-    for _ in range(REDIRECT_CAP - 1):
-        state = state.join(
-            edges, state["cur"] == edges["src"], "left"
-        ).select(
-            "u",
-            F.coalesce("dst", "cur").alias("cur"),
-            (
-                F.col("hops")
-                + F.when(F.col("dst").isNotNull(), 1).otherwise(0)
-            ).cast("int").alias("hops"),
-        )
-    resolved = state.join(
-        edges, state["cur"] == edges["src"], "left"
-    ).select(
-        "u", "cur", "hops",
-        F.col("dst").isNotNull().alias("pending"),
-    )
-    terminals = d.join(
-        edges.select(F.col("src").alias("doc_id")), "doc_id", "anti"
-    ).select(
-        F.col("doc_id").alias("u"),
-        F.col("doc_id").alias("cur"),
-        F.lit(0).cast("int").alias("hops"),
-        F.lit(False).alias("pending"),
-    )
-    allrows = resolved.unionAll(terminals)
+    allrows = resolve_redirect_chains(d, edges, REDIRECT_CAP)
     status = (
         F.when(F.col("pending"), F.lit("too_many_redirects"))
         .when(F.col("hops") == 0, F.lit("ok"))

@@ -15,6 +15,7 @@ the same checkpoint layout keep one code path for all semantics.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.broadcast import Broadcast
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -686,4 +687,102 @@ def cms_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
         .dropDuplicates(["batch_id", "row_id", "col_id"])
         .groupBy("row_id", "col_id")
         .agg(F.sum("cell").cast("bigint").alias("cell"))
+    )
+
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("discovered_ts", TimestampType()),
+    ]
+)
+
+
+def streaming_frontier_admission(
+    urls: DataFrame,
+    rules_rows: list,
+    seen_urls: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The crawl frontier as what it really is in production — a STREAM
+    (link extraction and sitemap fetches discover URLs continuously):
+    admit each discovered URL through the same three screens the batch
+    layer certifies, stateless-or-bounded so the query runs in append
+    mode forever.
+
+    - already-crawled URLs drop via stream-static LEFT ANTI against the
+      crawl index (a static table maintained by the X8 delta applier —
+      no streaming state, arbitrarily large, join_bloom-acceleratable);
+    - re-discoveries of the SAME new URL within the stream (two pages
+      linking to one target in different micro-batches) drop via
+      dropDuplicatesWithinWatermark on the url — watermark-bounded
+      state (the dedup_late_fetches lesson);
+    - the robots decision runs per-row against the CONFIG-SIZED rule set
+      carried into a batched Arrow UDF closure (the broadcast_model
+      idiom detect_pages uses): streaming aggregation (the batch
+      robots_admit's groupBy struct-max) would force update mode, and
+      per-host rule lists are tiny, so the decision is a per-batch
+      Python loop over broadcast rules — the accepted _tag_batch
+      posture, NOT a row-at-a-time F.udf. Semantics are identical
+      (longest match, allow wins ties, no match → allow): parity with
+      robots_admit is pytest-pinned.
+
+    `rules_rows` is a list of (host, prefix, allow) — collect the rules
+    table caller-side (crawl-config-sized, like broadcast_model).
+    Emits every fresh URL with (host, path, allowed, rule_len); the
+    fetcher filters allowed==1 and feeds politeness_schedule per
+    micro-batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    by_host: dict = {}
+    for h, p, a in rules_rows:
+        by_host.setdefault(h, []).append((str(p), int(a)))
+
+    @pandas_udf(
+        StructType(
+            [
+                StructField("allowed", LongType()),
+                StructField("rule_len", LongType()),
+            ]
+        )
+    )
+    def decide(host: pd.Series, path: pd.Series) -> pd.DataFrame:
+        al, rl = [], []
+        for h, p in zip(host, path):
+            best = (-1, 1)
+            for pre, a in by_host.get(h, ()):
+                if p is not None and p.startswith(pre):
+                    cand = (len(pre), a)
+                    if cand > best:
+                        best = cand
+            if best[0] < 0:
+                al.append(1)
+                rl.append(0)
+            else:
+                al.append(best[1])
+                rl.append(best[0])
+        return pd.DataFrame({"allowed": al, "rule_len": rl})
+
+    q = F.parse_url("url", F.lit("QUERY"))
+    split = urls.withColumn(
+        "host", F.parse_url("url", F.lit("HOST"))
+    ).withColumn(
+        "path",
+        F.concat(
+            F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("/")),
+            F.when(q.isNotNull(), F.concat(F.lit("?"), q))
+            .otherwise(F.lit("")),
+        ),
+    ).filter(F.col("host").isNotNull())
+    fresh = split.join(
+        seen_urls.select("url").distinct(), "url", "left_anti"
+    )
+    fresh = fresh.withWatermark(
+        "discovered_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url"])
+    d = decide(F.col("host"), F.col("path"))
+    return fresh.withColumn("_d", d).select(
+        "url", "discovered_ts", "host", "path",
+        F.col("_d.allowed").cast("int").alias("allowed"),
+        F.col("_d.rule_len").cast("int").alias("rule_len"),
     )

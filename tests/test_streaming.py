@@ -773,3 +773,100 @@ def test_streaming_sketches_match_batch_bitwise(spark):
         (r["row_id"], r["col_id"], r["cell"])
         for r in cms_from_index(spark, idx).collect()
     ) == want_cms
+
+
+def test_streaming_frontier_admission_matches_batch(spark):
+    """streaming_frontier_admission == batch robots_admit on the same
+    discoveries: already-crawled urls drop via the static index,
+    a re-discovery in a LATER micro-batch drops via watermark state,
+    and the per-row Arrow robots decision agrees with the batch
+    groupBy-struct-max decision (longest match, allow wins ties)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from mxsparkg.streaming import (
+        FRONTIER_SCHEMA,
+        streaming_frontier_admission,
+    )
+    from mxsparkg.weblinks import robots_admit
+
+    base_t = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def u(url, minutes):
+        return (url, base_t + dt.timedelta(minutes=minutes))
+
+    mb1 = [
+        u("https://a.example/private/x", 0),   # denied (longest /private)
+        u("https://a.example/private/ok/y", 1),  # allow override
+        u("https://a.example/seen", 2),          # already crawled -> drop
+        u("https://b.example/free", 3),          # no rules host -> allow
+    ]
+    mb2 = [
+        u("https://b.example/free", 10),         # re-discovery -> drop
+        u("https://a.example/other?q=1", 11),    # allow (no match)
+    ]
+    rules_rows = [
+        ("a.example", "/private", 0),
+        ("a.example", "/private/ok", 1),
+    ]
+    seen = spark.createDataFrame([("https://a.example/seen",)], ["url"])
+
+    src = f"{ROOT}/frontier_src"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(f"{ROOT}/frontier_ckpt", ignore_errors=True)
+    for rows in (mb1, mb2):
+        spark.createDataFrame(rows, FRONTIER_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(FRONTIER_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_frontier_admission(stream, rules_rows, seen)
+        .writeStream.format("memory")
+        .queryName("frontier_adm")
+        .outputMode("append")
+        .option("checkpointLocation", f"{ROOT}/frontier_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.url: (r.allowed, r.rule_len)
+        for r in spark.sql(
+            "SELECT url, allowed, rule_len FROM frontier_adm"
+        ).collect()
+    }
+    assert got == {
+        "https://a.example/private/x": (0, 8),
+        "https://a.example/private/ok/y": (1, 11),
+        "https://b.example/free": (1, 0),
+        "https://a.example/other?q=1": (1, 0),
+    }
+    # batch parity: robots_admit over the deduped fresh set decides the same
+    qq = F.parse_url("url", F.lit("QUERY"))
+    batch = (
+        spark.read.parquet(src)
+        .withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .withColumn(
+            "path",
+            F.concat(
+                F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("/")),
+                F.when(qq.isNotNull(), F.concat(F.lit("?"), qq))
+                .otherwise(F.lit("")),
+            ),
+        )
+        .join(seen, "url", "left_anti")
+        .dropDuplicates(["url"])
+    )
+    rules_df = spark.createDataFrame(
+        rules_rows, "host string, prefix string, allow int"
+    )
+    want = {
+        r.url: (r.allowed, r.rule_len)
+        for r in robots_admit(batch, rules_df).collect()
+    }
+    assert got == want
