@@ -5508,6 +5508,205 @@ def mm_decode_jpeg_sql() -> str:
     """
 
 
+
+
+# ----------------------------------------------------------- video frames --
+# AVI-MJPEG is the one video container a pure-stdlib pipeline can do END
+# TO END: RIFF chunk walking (the WAV machinery's container family) plus
+# the certified baseline-JPEG entropy decoder for the frames. MP4/H.264
+# remains the declared ffmpeg slot (decode_media_real).
+
+VIDEO_FPS = 10
+VIDEO_SAMPLE_K = 2          # keep every k-th frame (the frame-sample op)
+VIDEO_SEED_A = 131          # per-frame JPEG seed = A*doc_id + B*frame
+VIDEO_SEED_B = 17
+
+
+def _encode_avi_mjpeg(width: int, height: int,
+                      frames: list[bytes], fps: int = VIDEO_FPS) -> bytes:
+    """Minimal spec-shaped AVI: RIFF('AVI ') > LIST hdrl (avih + LIST
+    strl (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)) > LIST movi of
+    '00dc' frame chunks. Every chunk even-padded per RIFF."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<14I", 1000000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h", b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps, 0, len(frames), 0, 0, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<Iii2H4sI2i2I", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _parse_avi_mjpeg(blob: bytes) -> dict:
+    """Walk the RIFF tree, read dwTotalFrames/width/height from avih,
+    collect the '00dc' frame payloads from movi (honoring even padding).
+    Raises on malformed container; asserts header frame count == counted
+    chunks (a lying header is corruption, not a soft miss)."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI-RIFF stream")
+    meta: dict = {"frames": []}
+
+    def walk(buf: bytes) -> None:
+        i = 0
+        while i + 8 <= len(buf):
+            fourcc = buf[i:i + 4]
+            (size,) = struct.unpack("<I", buf[i + 4:i + 8])
+            data = buf[i + 8:i + 8 + size]
+            if fourcc == b"LIST":
+                walk(data[4:])
+            elif fourcc == b"avih":
+                vals = struct.unpack("<14I", data[:56])
+                meta["n_frames_hdr"] = vals[4]
+                meta["width"] = vals[8]
+                meta["height"] = vals[9]
+            elif fourcc == b"00dc":
+                meta["frames"].append(data)
+            i += 8 + size + (size % 2)
+
+    walk(blob[12:])
+    if meta.get("n_frames_hdr") != len(meta["frames"]):
+        raise ValueError(
+            f"avih says {meta.get('n_frames_hdr')} frames, "
+            f"movi has {len(meta['frames'])}"
+        )
+    return meta
+
+
+MM_VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("dc_sum_q", LongType()),
+        StructField("ac_sum_q", LongType()),
+        StructField("n_ac_nonzero", LongType()),
+    ]
+)
+
+
+def mm_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling under the oracle gate — the multimodal op an
+    LLM data pipeline runs on video: demux the container, keep every
+    k-th frame, decode just those. Encode pass writes a REAL AVI-MJPEG
+    per doc (4-8 frames, each frame a real JFIF stream with planted
+    per-frame coefficients seeded A*doc_id + B*frame); decode pass walks
+    the RIFF tree, cross-checks avih's frame count against the counted
+    '00dc' chunks, samples every VIDEO_SAMPLE_K-th frame, and
+    entropy-decodes ONLY the sampled frames with the certified JPEG
+    decoder (_parse_jpeg) — per-frame coefficient statistics reduce to
+    doc_id/frame arithmetic the DuckDB oracle recomputes, so a container
+    mis-walk, a wrong sample stride, a frame/seed mismatch, or any
+    entropy-decode drift fails the value hash. Blobs never leave their
+    partition (mapInPandas, the mm_decode shape); sampling-before-decode
+    is the point at 10^12 scale — the JPEG work is 1/k of the frames."""
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w_ = 8 * (1 + d % 2)
+                n_frames = 4 + d % 5
+                frames = []
+                for f in range(n_frames):
+                    s = VIDEO_SEED_A * d + VIDEO_SEED_B * f
+                    frames.append(_encode_jpeg(
+                        w_, 8, _jpeg_blocks_for_doc(s, w_ // 8)))
+                blobs.append(_encode_avi_mjpeg(w_, 8, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                m = _parse_avi_mjpeg(bytes(blob))
+                for f, frame in enumerate(m["frames"]):
+                    if f % VIDEO_SAMPLE_K:
+                        continue
+                    j = _parse_jpeg(frame)
+                    acs = [v for blk in j["blocks"]
+                           for z, v in blk.items() if z > 0]
+                    rows.append({
+                        "doc_id": int(doc_id),
+                        "frame_idx": f,
+                        "n_frames": m["n_frames_hdr"],
+                        "width": j["width"],
+                        "height": j["height"],
+                        "dc_sum_q": sum(b.get(0, 0) for b in j["blocks"]),
+                        "ac_sum_q": sum(acs),
+                        "n_ac_nonzero": len(acs),
+                    })
+            yield pd.DataFrame(
+                rows, columns=[x.name for x in MM_VIDEO_SCHEMA.fields]
+            )
+
+    media = (
+        _doc_ids_parallel(spark, sf)
+        .mapInPandas(encode, "doc_id long, media binary")
+    )
+    return media.mapInPandas(decode, MM_VIDEO_SCHEMA)
+
+
+def mm_video_frames_sql() -> str:
+    return f"""
+      WITH base AS (
+        SELECT doc_id,
+               4 + doc_id % 5 AS n_frames,
+               8 * (1 + doc_id % 2) AS width,
+               1 + doc_id % 2 AS nb
+        FROM documents),
+      frames AS (
+        SELECT doc_id, n_frames, width, nb,
+               unnest(range(0, n_frames)) AS f
+        FROM base),
+      samp AS (SELECT * FROM frames WHERE f % {VIDEO_SAMPLE_K} = 0),
+      blocks AS (
+        SELECT doc_id, f, n_frames, width, nb,
+               {VIDEO_SEED_A} * doc_id + {VIDEO_SEED_B} * f AS s,
+               unnest(range(0, nb)) AS b
+        FROM samp)
+      SELECT doc_id, f AS frame_idx,
+             CAST(n_frames AS BIGINT) AS n_frames,
+             CAST(width AS BIGINT) AS width,
+             CAST(8 AS BIGINT) AS height,
+             sum((s + 7 * b) % 64 - 32) AS dc_sum_q,
+             sum(((s + 3 * b) % 15 - 7)
+                 + ((s + b) % 3 - 1)
+                 + ((s + 2 * b) % 5 - 2)) AS ac_sum_q,
+             sum(CASE WHEN (s + 3 * b) % 15 <> 7 THEN 1 ELSE 0 END
+                 + CASE WHEN (s + b) % 3 <> 1 THEN 1 ELSE 0 END
+                 + CASE WHEN (s + 2 * b) % 5 <> 2 THEN 1 ELSE 0 END)
+               AS n_ac_nonzero
+      FROM blocks
+      GROUP BY doc_id, f, n_frames, width, nb
+    """
+
+
 def mm_decode_sql() -> str:
     return """
       SELECT doc_id,
@@ -7386,6 +7585,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_mime_sniff": crawl_mime_sniff,
         "crawl_redirects": crawl_redirects,
         "crawl_schedule": crawl_schedule,
+        "mm_video_frames": mm_video_frames,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_quality": dedup_minhash_quality,
@@ -7460,6 +7660,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "crawl_mime_sniff": crawl_mime_sniff_sql(),
         "crawl_redirects": crawl_redirects_sql(),
         "crawl_schedule": crawl_schedule_sql(),
+        "mm_video_frames": mm_video_frames_sql(),
         "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
         "dedup_minhash_pairs": dedup_minhash_pairs_sql(),
         "dedup_minhash_quality": dedup_minhash_quality_sql(),

@@ -237,3 +237,65 @@ def test_politeness_schedule_delays_and_order(spark):
     assert got["https://a/1"] == (2, 4000)
     # host b missing from delays -> default 500ms
     assert got["https://b/1"] == (0, 0)
+
+
+def test_avi_mjpeg_round_trip_and_lying_header(spark):
+    """Container layer alone: encode N JPEG frames into AVI, walk the
+    RIFF tree back out byte-identical (even-padding honored — odd-length
+    frames exercise it), and reject a header whose dwTotalFrames lies."""
+    import struct
+
+    from mxsparkg.datapipe import (
+        _encode_avi_mjpeg,
+        _encode_jpeg,
+        _jpeg_blocks_for_doc,
+        _parse_avi_mjpeg,
+    )
+
+    frames = [
+        _encode_jpeg(8, 8, _jpeg_blocks_for_doc(s, 1)) for s in (3, 11, 40)
+    ]
+    assert any(len(f) % 2 for f in frames), "want an odd-length frame"
+    blob = _encode_avi_mjpeg(8, 8, frames)
+    m = _parse_avi_mjpeg(blob)
+    assert m["n_frames_hdr"] == 3 and m["width"] == 8 and m["height"] == 8
+    assert m["frames"] == frames
+    # corrupt dwTotalFrames (avih field 4) in place -> hard error
+    i = blob.index(b"avih") + 8
+    bad = blob[:i + 16] + struct.pack("<I", 99) + blob[i + 20:]
+    try:
+        _parse_avi_mjpeg(bad)
+        raise AssertionError("lying header accepted")
+    except ValueError:
+        pass
+
+
+def test_video_frame_sampling_decodes_only_kth(spark, tmp_path):
+    """mm_video_frames keeps exactly the f % K == 0 frames of each doc's
+    4-8 frame video, and each sampled frame's stats match the planted
+    per-frame JPEG (seed A*doc + B*f) decoded directly."""
+    from mxsparkg.datapipe import (
+        VIDEO_SAMPLE_K,
+        VIDEO_SEED_A,
+        VIDEO_SEED_B,
+        _jpeg_blocks_for_doc,
+        mm_video_frames,
+    )
+
+    sf = _write_docs(spark, tmp_path, n=20)
+    rows = mm_video_frames(spark, sf).collect()
+    byframe = {(r.doc_id, r.frame_idx): r for r in rows}
+    for d in range(20):
+        n_frames = 4 + d % 5
+        want_idx = [f for f in range(n_frames) if f % VIDEO_SAMPLE_K == 0]
+        got_idx = sorted(f for (dd, f) in byframe if dd == d)
+        assert got_idx == want_idx, (d, got_idx)
+        for f in want_idx:
+            r = byframe[(d, f)]
+            assert r.n_frames == n_frames
+            blocks = _jpeg_blocks_for_doc(
+                VIDEO_SEED_A * d + VIDEO_SEED_B * f, (8 * (1 + d % 2)) // 8
+            )
+            assert r.dc_sum_q == sum(b.get(0, 0) for b in blocks)
+            assert r.ac_sum_q == sum(
+                v for b in blocks for z, v in b.items() if z > 0)
