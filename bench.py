@@ -172,7 +172,10 @@ def headline_queries() -> dict:
               # round-5h crawl admission layer: robots is the
               # representative shape (broadcast rule join with a
               # startswith theta leg + map-side struct-max winner)
-              "crawl_robots"):
+              "crawl_robots",
+              # round-5h video tier: AVI demux + k-th-frame sample +
+              # JPEG entropy decode of sampled frames (mapInPandas)
+              "mm_video_frames"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

@@ -5707,6 +5707,230 @@ def mm_video_frames_sql() -> str:
     """
 
 
+
+
+VFP_DC_SHIFT = 5   # planted re-encode brightness delta (DC-coefficient units)
+
+
+def mm_vfp_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Video near-dup pairs by TEMPORAL fingerprint — the third leg of
+    the multimodal dedup family (image mm_phash_pairs: spatial dHash;
+    audio mm_afp_pairs: energy-delta): per video, demux + sample frames
+    (the mm_video_frames path), per-frame DC sum from the real JPEG
+    entropy decode, fingerprint = the CONSECUTIVE-FRAME DELTAS of those
+    sums — a uniform brightness re-encode shifts every frame's DC by the
+    same amount, so the deltas are invariant (the same reason real video
+    fingerprints use temporal differences). Planted copies: doc_id%6==2
+    gets a +VFP_DC_SHIFT re-encode (the shift must CANCEL), doc_id%6==5
+    a bit-identical re-mux; both must pair with their original, distinct
+    videos must not (closed-form pytest). Pairing is the D1 exact shape
+    on the delta-digest (md5 of the ordered delta string), bucket-capped.
+
+    Scale shape: fingerprints are one mapInPandas pass (blobs stay in
+    their partition) + one groupBy per video; the pair join is
+    digest-bucketed (never all-pairs), Σ|bucket|² capped. The oracle
+    recomputes every frame's DC sum, the deltas, the digest and the
+    pair join from doc_id arithmetic."""
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for seed, shift in zip(pdf["seed"], pdf["shift"]):
+                seed, shift = int(seed), int(shift)
+                import hashlib
+
+                w_ = 8 * (1 + seed % 2)
+                frames = []
+                for f in range(4 + seed % 5):
+                    s = VIDEO_SEED_A * seed + VIDEO_SEED_B * f
+                    blocks = _jpeg_blocks_for_doc(s, w_ // 8)
+                    for b, blk in enumerate(blocks):
+                        blk[0] = blk.get(0, 0) + shift
+                        # md5-derived extra AC at zigzag 7: widens the
+                        # planted coefficient space so distinct videos
+                        # get distinct temporal signatures (the modular
+                        # plant alone lives in s mod 15 x s mod 64 —
+                        # coarse enough for chance signature clashes)
+                        h = hashlib.md5(f"{s}|{b}".encode()).hexdigest()
+                        v4 = (ord(h[0]) * 256 + ord(h[1])) % 201 - 100
+                        if v4:
+                            blk[7] = v4
+                    frames.append(_encode_jpeg(w_, 8, blocks))
+                blobs.append(_encode_avi_mjpeg(w_, 8, frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": blobs}
+            )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                m = _parse_avi_mjpeg(bytes(blob))
+                for f, frame in enumerate(m["frames"]):
+                    if f % VIDEO_SAMPLE_K:
+                        continue
+                    j = _parse_jpeg(frame)
+                    acs = [v for blk in j["blocks"]
+                           for z, v in blk.items() if z > 0]
+                    rows.append({
+                        "doc_id": int(doc_id),
+                        "frame_idx": f,
+                        "dc_sum": sum(
+                            b.get(0, 0) for b in j["blocks"]
+                        ),
+                        "ac_sum": sum(acs),
+                        "n_ac": len(acs),
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "dc_sum", "ac_sum",
+                         "n_ac"],
+            )
+
+    d = _doc_ids_parallel(spark, sf)
+    base = d.select(
+        "doc_id", F.col("doc_id").alias("seed"),
+        F.lit(0).alias("shift"),
+    )
+    cp_shift = d.filter(F.col("doc_id") % 6 == 2).select(
+        (F.col("doc_id") + MINHASH_PLANT_OFFSET).alias("doc_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(VFP_DC_SHIFT).alias("shift"),
+    )
+    cp_remux = d.filter(F.col("doc_id") % 6 == 5).select(
+        (F.col("doc_id") + MINHASH_PLANT_OFFSET).alias("doc_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(0).alias("shift"),
+    )
+    vids = base.unionAll(cp_shift).unionAll(cp_remux)
+    per_frame = vids.mapInPandas(
+        encode, "doc_id long, media binary"
+    ).mapInPandas(
+        decode,
+        "doc_id long, frame_idx long, dc_sum long, ac_sum long,"
+        " n_ac long",
+    )
+    from pyspark.sql.window import Window
+
+    # per-frame token: the two SHIFT-INVARIANT stats verbatim (a DC-only
+    # brightness re-encode never touches AC) + the consecutive DC delta
+    # (shift cancels); the last frame carries 'x' in the delta slot so
+    # frame count is part of the signature too
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    toks = per_frame.select(
+        "doc_id", "frame_idx",
+        F.concat_ws(
+            ".",
+            F.col("ac_sum").cast("string"),
+            F.col("n_ac").cast("string"),
+            F.coalesce(
+                (F.lead("dc_sum").over(w) - F.col("dc_sum"))
+                .cast("string"),
+                F.lit("x"),
+            ),
+        ).alias("tok"),
+    )
+    fp = toks.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("frame_idx").alias("f"),
+                                F.col("tok").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda x: x["t"],
+                ),
+            ).cast("binary")
+        ).alias("digest")
+    )
+    ok = fp.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n")
+    ).filter(F.col("n") <= MAX_LSH_BUCKET_SIZE).select("digest")
+    fp_ok = fp.join(ok, "digest")
+    a = fp_ok.select(F.col("digest"), F.col("doc_id").alias("a_id"))
+    b = fp_ok.select(F.col("digest").alias("digest_b"),
+                     F.col("doc_id").alias("b_id"))
+    return (
+        a.join(b, (F.col("digest") == F.col("digest_b"))
+               & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id")
+    )
+
+
+def mm_vfp_pairs_sql() -> str:
+    A, B, K = VIDEO_SEED_A, VIDEO_SEED_B, VIDEO_SAMPLE_K
+    return f"""
+      WITH vids AS (
+        SELECT doc_id, doc_id AS seed, 0 AS shift FROM documents
+        UNION ALL
+        SELECT doc_id + {MINHASH_PLANT_OFFSET}, doc_id, {VFP_DC_SHIFT}
+        FROM documents WHERE doc_id % 6 = 2
+        UNION ALL
+        SELECT doc_id + {MINHASH_PLANT_OFFSET}, doc_id, 0
+        FROM documents WHERE doc_id % 6 = 5),
+      geo AS (
+        SELECT doc_id, seed, shift,
+               4 + seed % 5 AS n_frames, 1 + seed % 2 AS nb
+        FROM vids),
+      sampf AS (
+        SELECT * FROM (
+          SELECT doc_id, seed, shift, nb,
+                 unnest(range(0, n_frames)) AS f
+          FROM geo) t
+        WHERE f % {K} = 0),
+      dc AS (
+        SELECT doc_id, f,
+               sum((s + 7 * b) % 64 - 32 + shift) AS dc_sum,
+               sum(((s + 3 * b) % 15 - 7)
+                   + ((s + b) % 3 - 1)
+                   + ((s + 2 * b) % 5 - 2)
+                   + v4) AS ac_sum,
+               sum(CASE WHEN (s + 3 * b) % 15 <> 7 THEN 1 ELSE 0 END
+                   + CASE WHEN (s + b) % 3 <> 1 THEN 1 ELSE 0 END
+                   + CASE WHEN (s + 2 * b) % 5 <> 2 THEN 1 ELSE 0 END
+                   + CASE WHEN v4 <> 0 THEN 1 ELSE 0 END)
+                 AS n_ac
+        FROM (SELECT doc_id, shift, f, s, b,
+                     (ascii(substr(md5(CAST(s AS VARCHAR) || '|'
+                                       || CAST(b AS VARCHAR)), 1, 1))
+                      * 256
+                      + ascii(substr(md5(CAST(s AS VARCHAR) || '|'
+                                         || CAST(b AS VARCHAR)), 2, 1)))
+                     % 201 - 100 AS v4
+              FROM (SELECT doc_id, seed, shift, f,
+                           {A} * seed + {B} * f AS s,
+                           unnest(range(0, nb)) AS b
+                    FROM sampf) u0) u
+        GROUP BY doc_id, f),
+      toks AS (
+        SELECT doc_id, f,
+               CAST(ac_sum AS VARCHAR) || '.'
+               || CAST(n_ac AS VARCHAR) || '.'
+               || coalesce(CAST(
+                    lead(dc_sum) OVER (PARTITION BY doc_id ORDER BY f)
+                    - dc_sum AS VARCHAR), 'x') AS tok
+        FROM dc),
+      fp AS (
+        SELECT doc_id, md5(string_agg(tok, ',' ORDER BY f)) AS digest
+        FROM toks GROUP BY doc_id),
+      ok AS (SELECT digest FROM fp GROUP BY digest
+             HAVING count(*) <= {MAX_LSH_BUCKET_SIZE})
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM fp a
+      JOIN ok ON ok.digest = a.digest
+      JOIN fp b ON b.digest = a.digest AND a.doc_id < b.doc_id
+    """
+
+
 def mm_decode_sql() -> str:
     return """
       SELECT doc_id,
@@ -7586,6 +7810,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_redirects": crawl_redirects,
         "crawl_schedule": crawl_schedule,
         "mm_video_frames": mm_video_frames,
+        "mm_vfp_pairs": mm_vfp_pairs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_quality": dedup_minhash_quality,
@@ -7661,6 +7886,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "crawl_redirects": crawl_redirects_sql(),
         "crawl_schedule": crawl_schedule_sql(),
         "mm_video_frames": mm_video_frames_sql(),
+        "mm_vfp_pairs": mm_vfp_pairs_sql(),
         "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
         "dedup_minhash_pairs": dedup_minhash_pairs_sql(),
         "dedup_minhash_quality": dedup_minhash_quality_sql(),

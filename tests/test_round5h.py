@@ -299,3 +299,48 @@ def test_video_frame_sampling_decodes_only_kth(spark, tmp_path):
             assert r.dc_sum_q == sum(b.get(0, 0) for b in blocks)
             assert r.ac_sum_q == sum(
                 v for b in blocks for z, v in b.items() if z > 0)
+
+
+def test_video_fingerprint_shift_invariant_pairs(spark, tmp_path):
+    """mm_vfp_pairs recovers exactly the planted near-dups: the
+    +DC-shift re-encode (different bytes, same temporal signature) and
+    the bit-identical re-mux both pair with their original; nothing
+    else pairs (the md5-widened coefficient plant leaves no chance
+    signature clashes at this scale)."""
+    from mxsparkg.datapipe import MINHASH_PLANT_OFFSET, mm_vfp_pairs
+
+    sf = _write_docs(spark, tmp_path, n=60)
+    pairs = {(r.a_id, r.b_id) for r in mm_vfp_pairs(spark, sf).collect()}
+    want = {(d, d + MINHASH_PLANT_OFFSET)
+            for d in range(60) if d % 6 in (2, 5)}
+    assert pairs == want
+
+
+def test_video_fingerprint_shift_actually_changes_bytes(spark):
+    """The %6==2 plant must be a REAL re-encode (different JPEG bytes),
+    or the shift-invariance claim is vacuous: encode the same frame with
+    and without the DC shift and check the streams differ while the AC
+    stats agree."""
+    from mxsparkg.datapipe import (
+        VFP_DC_SHIFT,
+        _encode_jpeg,
+        _jpeg_blocks_for_doc,
+        _parse_jpeg,
+    )
+
+    base_blocks = _jpeg_blocks_for_doc(12345, 2)
+    shifted = [dict(b) for b in base_blocks]
+    for b in shifted:
+        b[0] = b.get(0, 0) + VFP_DC_SHIFT
+    j0 = _encode_jpeg(16, 8, base_blocks)
+    j1 = _encode_jpeg(16, 8, shifted)
+    assert j0 != j1
+    m0, m1 = _parse_jpeg(j0), _parse_jpeg(j1)
+    ac0 = sorted((z, v) for blk in m0["blocks"]
+                 for z, v in blk.items() if z > 0)
+    ac1 = sorted((z, v) for blk in m1["blocks"]
+                 for z, v in blk.items() if z > 0)
+    assert ac0 == ac1
+    dc0 = [b.get(0, 0) for b in m0["blocks"]]
+    dc1 = [b.get(0, 0) for b in m1["blocks"]]
+    assert [d1 - d0 for d0, d1 in zip(dc0, dc1)] == [VFP_DC_SHIFT] * 2
