@@ -594,6 +594,92 @@ def kg_distmult_sql() -> str:
     """
 
 
+
+
+HITS_K = 2
+
+
+def kg_hits_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: the EVALUATION closing the embedding lifecycle
+    (train -> predict -> evaluate): hits@K of the 2-epoch-trained TransE
+    model against the gold (customer -> nation) pairs, as an
+    integer-exact one-row certificate (k, n_test, n_hits, hits_ppm) —
+    the hits_at_k() library metric with its arithmetic under the
+    cross-engine value hash (integer scores, deterministic tie-break,
+    multiply-through floor-div ppm; both operands non-negative so Spark
+    div == DuckDB //). One prediction join + one equi-join against the
+    gold pairs + one aggregate — no driver-side ratio."""
+    pairs = _training_pairs(spark, sf)
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    cust_ids = cust.select(iri("cust", F.col("c_custkey")).alias("id"))
+    nat_ids = nat.select(iri("nat", F.col("n_nationkey")).alias("id"))
+    ent = init_embeddings(cust_ids.unionByName(nat_ids))
+    pred = init_embeddings(spark.createDataFrame([("in_nation",)], ["id"]))
+    ent, pred = train_transe(pairs, ent, pred, epochs=EPOCHS)
+    topk = predict_objects(
+        cust_ids, "in_nation", ent, pred, nat_ids, top_k=HITS_K
+    )
+    truth = cust.select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        iri("nat", F.col("c_nationkey")).alias("obj"),
+    )
+    marked = truth.join(
+        topk,
+        (truth["subj"] == topk["subj"]) & (truth["obj"] == topk["cand"]),
+        "left",
+    ).select(
+        F.when(topk["cand"].isNotNull(), 1).otherwise(0).alias("hit")
+    )
+    return marked.agg(
+        F.lit(HITS_K).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum("hit").cast("bigint").alias("n_hits"),
+        F.expr("CAST(sum(hit) * 1000000 div count(*) AS BIGINT)")
+        .alias("hits_ppm"),
+    )
+
+
+def kg_hits_at_k_sql() -> str:
+    d = DIM
+    chain = _transe_cte_chain().rstrip().rstrip(",") + ","
+    spk = ", ".join(f"s.e{k} + p.e{k} AS sp{k}" for k in range(d))
+    dist = " + ".join(f"abs(sp{k} - o.e{k})" for k in range(d))
+    return f"""{chain}
+      subj AS (
+        SELECT id AS sid, {', '.join(f'e{k}' for k in range(d))}
+        FROM ent{EPOCHS} WHERE id LIKE '<{BASE_E}cust:%'),
+      sp AS (
+        SELECT s.sid, {spk}
+        FROM subj s, pred{EPOCHS} p),
+      scored AS (
+        SELECT sp.sid AS subj, o.id AS cand,
+               CAST({dist} AS BIGINT) AS dist
+        FROM sp, ent{EPOCHS} o WHERE o.id LIKE '<{BASE_E}nat:%'),
+      ranked AS (
+        SELECT subj, cand,
+               row_number() OVER (
+                 PARTITION BY subj ORDER BY dist ASC, cand ASC) AS rk
+        FROM scored),
+      truth AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>'
+                 AS subj,
+               '<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>'
+                 AS obj
+        FROM customer),
+      marked AS (
+        SELECT CASE WHEN r.cand IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM truth t
+        LEFT JOIN ranked r
+          ON r.subj = t.subj AND r.cand = t.obj AND r.rk <= {HITS_K})
+      SELECT CAST({HITS_K} AS INT) AS k,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(hit) AS BIGINT) AS n_hits,
+             CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS hits_ppm
+      FROM marked
+    """
+
+
 def hits_at_k(
     triples: DataFrame,
     ent: DataFrame,
@@ -649,7 +735,7 @@ def hits_at_k(
 
 def kgembed_queries() -> dict:
     return {"kg_transe": kg_transe, "kg_transe_predict": kg_transe_predict,
-            "kg_distmult": kg_distmult}
+            "kg_distmult": kg_distmult, "kg_hits_at_k": kg_hits_at_k}
 
 
 def kgembed_oracle_sql() -> dict[str, str]:
@@ -657,4 +743,5 @@ def kgembed_oracle_sql() -> dict[str, str]:
         "kg_transe": kg_transe_sql(),
         "kg_transe_predict": kg_transe_predict_sql(),
         "kg_distmult": kg_distmult_sql(),
+        "kg_hits_at_k": kg_hits_at_k_sql(),
     }

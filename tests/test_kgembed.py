@@ -171,3 +171,43 @@ def test_distmult_trilinear_score_and_tiebreak(spark):
     # s2: cA = (-1*2)*3 + (1*1)*1 = -5; cB = -2 + 3 = 1; cC = 0 + 5 = 5
     assert top2[("s2", 1)] == ("cC", 5)
     assert top2[("s2", 2)] == ("cB", 1)
+
+
+def test_hits_at_k_key_matches_library_metric(spark):
+    """The kg_hits_at_k certificate row must agree with the hits_at_k()
+    library float on the same trained model (ppm = floor(ratio * 1e6)),
+    and n_test must be the customer count."""
+    from pyspark.sql import functions as F
+
+    from mxsparkg.kgembed import (
+        EPOCHS,
+        HITS_K,
+        _t,
+        _training_pairs,
+        hits_at_k,
+        init_embeddings,
+        kg_hits_at_k,
+        train_transe,
+    )
+    from mxsparkg.kgexport import iri
+
+    sf = "/root/testdata/sf0.001"
+    row = kg_hits_at_k(spark, sf).collect()[0]
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    cust_ids = cust.select(iri("cust", F.col("c_custkey")).alias("id"))
+    nat_ids = nat.select(iri("nat", F.col("n_nationkey")).alias("id"))
+    ent = init_embeddings(cust_ids.unionByName(nat_ids))
+    pred = init_embeddings(
+        spark.createDataFrame([("in_nation",)], ["id"]))
+    ent, pred = train_transe(
+        _training_pairs(spark, sf), ent, pred, epochs=EPOCHS)
+    triples = cust.select(
+        iri("cust", F.col("c_custkey")).alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        iri("nat", F.col("c_nationkey")).alias("obj"),
+    )
+    ratio = hits_at_k(triples, ent, pred, nat_ids, k=HITS_K)
+    assert row.n_test == cust.count()
+    assert row.n_hits == round(ratio * row.n_test)
+    assert row.hits_ppm == row.n_hits * 1_000_000 // row.n_test
