@@ -5571,6 +5571,11 @@ def _parse_avi_mjpeg(blob: bytes) -> dict:
             fourcc = buf[i:i + 4]
             (size,) = struct.unpack("<I", buf[i + 4:i + 8])
             data = buf[i + 8:i + 8 + size]
+            if len(data) < size:
+                raise ValueError(
+                    f"truncated {fourcc!r} chunk: {len(data)} of "
+                    f"{size} bytes"
+                )
             if fourcc == b"LIST":
                 walk(data[4:])
             elif fourcc == b"avih":

@@ -344,3 +344,35 @@ def test_video_fingerprint_shift_actually_changes_bytes(spark):
     dc0 = [b.get(0, 0) for b in m0["blocks"]]
     dc1 = [b.get(0, 0) for b in m1["blocks"]]
     assert [d1 - d0 for d0, d1 in zip(dc0, dc1)] == [VFP_DC_SHIFT] * 2
+
+
+def test_avi_parser_hostile_input(spark):
+    """Truncation at ANY byte and pure garbage must raise a clean
+    ValueError — never a silent short frame (a truncated tail chunk
+    previously slipped through as a counted-but-short JPEG)."""
+    from mxsparkg.datapipe import (
+        _encode_avi_mjpeg,
+        _encode_jpeg,
+        _jpeg_blocks_for_doc,
+        _parse_avi_mjpeg,
+    )
+
+    blob = _encode_avi_mjpeg(
+        8, 8,
+        [_encode_jpeg(8, 8, _jpeg_blocks_for_doc(s, 1)) for s in (1, 2, 3)],
+    )
+    assert len(_parse_avi_mjpeg(blob)["frames"]) == 3
+    for cut in (0, 3, 11, 20, len(blob) // 2, len(blob) - 3,
+                len(blob) - 1):
+        try:
+            _parse_avi_mjpeg(blob[:cut])
+            raise AssertionError(f"truncation at {cut} accepted")
+        except ValueError:
+            pass
+    for junk in (b"", b"\x00" * 200, b"RIFF" + b"\xff" * 100,
+                 blob[4:], bytes(reversed(blob))):
+        try:
+            _parse_avi_mjpeg(junk)
+            raise AssertionError("garbage accepted")
+        except ValueError:
+            pass
