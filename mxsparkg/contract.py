@@ -2656,6 +2656,107 @@ def profile_table(spark, sf):
     )
 
 
+@reg("qa_expectations",
+    """WITH dirty AS (
+       SELECT CASE WHEN o_orderkey % 97 = 3 THEN NULL
+                   ELSE o_custkey END AS custkey,
+              CASE WHEN o_orderkey % 89 = 5 THEN -o_totalprice
+                   ELSE o_totalprice END AS totalprice,
+              CASE WHEN o_orderkey % 83 = 7 THEN 'X'
+                   ELSE o_orderstatus END AS status,
+              CASE WHEN o_orderkey % 79 = 11 THEN 'URGENT'
+                   ELSE o_orderpriority END AS priority,
+              o_orderkey AS orderkey
+       FROM orders
+       UNION ALL
+       SELECT o_custkey, o_totalprice, o_orderstatus, o_orderpriority,
+              o_orderkey
+       FROM orders WHERE o_orderkey % 101 = 13),
+     agg AS (
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN custkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS v_null,
+              CAST(sum(CASE WHEN totalprice < 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS v_range,
+              CAST(sum(CASE WHEN status NOT IN ('O', 'F', 'P')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+              CAST(sum(CASE WHEN NOT regexp_matches(priority,
+                                                    '^[1-5]-')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v_re,
+              CAST(count(*) - count(DISTINCT orderkey) AS BIGINT)
+                AS v_uniq
+       FROM dirty)
+     SELECT exp_name, n_checked, n_violations FROM (
+       SELECT 'not_null:o_custkey' AS exp_name, n_rows AS n_checked,
+              v_null AS n_violations FROM agg
+       UNION ALL SELECT 'range:o_totalprice>=0', n_rows, v_range
+       FROM agg
+       UNION ALL SELECT 'in_set:o_orderstatus', n_rows, v_set FROM agg
+       UNION ALL SELECT 'regexp:o_orderpriority', n_rows, v_re FROM agg
+       UNION ALL SELECT 'unique:o_orderkey', n_rows, v_uniq FROM agg) u
+    """)
+def qa_expectations(spark, sf):
+    """P6 declared-expectation checks — the quality GATE that follows
+    P5's profile (Great-Expectations/dbt-test shape): not-null, range,
+    value-set, regexp, and uniqueness expectations evaluated in one
+    pass, emitting (expectation, n_checked, n_violations) — the table
+    an ingest publishes next to a snapshot and alerts on. Violations
+    are PLANTED in-query (nulled custkeys, negated prices, a bogus
+    status, a dash-less priority, duplicated keys — each on its own
+    co-prime residue class) so every check is live, with closed-form
+    expected counts pytest-pinned.
+
+    Scale shape: the four row-local expectations are sibling
+    conditional aggregates on ONE scan (the profile_table discipline —
+    no per-expectation jobs); uniqueness rides the same aggregate as
+    count(*) − count(DISTINCT key) (one Expand, the multi-distinct
+    plan); the 5-row long form unnests driver-free via stack. At 10^12
+    rows uniqueness swaps to the HLL sketch (profile_table's documented
+    exact→approx trade) or a bucketed pre-aggregation on the key."""
+    o = _t(spark, sf, "orders")
+    dirty = o.select(
+        F.when(F.col("o_orderkey") % 97 == 3, F.lit(None))
+        .otherwise(F.col("o_custkey")).alias("custkey"),
+        F.when(F.col("o_orderkey") % 89 == 5, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice")).alias("totalprice"),
+        F.when(F.col("o_orderkey") % 83 == 7, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(F.col("o_orderkey") % 79 == 11, F.lit("URGENT"))
+        .otherwise(F.col("o_orderpriority")).alias("priority"),
+        F.col("o_orderkey").alias("orderkey"),
+    ).unionAll(
+        o.filter(F.col("o_orderkey") % 101 == 13).select(
+            "o_custkey", "o_totalprice", "o_orderstatus",
+            "o_orderpriority", "o_orderkey",
+        )
+    )
+    agg = dirty.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("custkey").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("v_null"),
+        F.sum(F.when(F.col("totalprice") < 0, 1).otherwise(0))
+        .cast("bigint").alias("v_range"),
+        F.sum(F.when(~F.col("status").isin("O", "F", "P"), 1)
+              .otherwise(0)).cast("bigint").alias("v_set"),
+        F.sum(F.when(~F.col("priority").rlike("^[1-5]-"), 1)
+              .otherwise(0)).cast("bigint").alias("v_re"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("orderkey")))
+        .cast("bigint").alias("v_uniq"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5,"
+            " 'not_null:o_custkey', v_null,"
+            " 'range:o_totalprice>=0', v_range,"
+            " 'in_set:o_orderstatus', v_set,"
+            " 'regexp:o_orderpriority', v_re,"
+            " 'unique:o_orderkey', v_uniq)"
+            " AS (exp_name, n_violations)"
+        ),
+        F.col("n_rows").alias("n_checked"),
+    ).select("exp_name", "n_checked", "n_violations")
+
+
 @reg("agg_mode",
      """WITH cnt AS (
        SELECT lang, source, CAST(count(*) AS BIGINT) AS n

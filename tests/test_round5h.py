@@ -376,3 +376,37 @@ def test_avi_parser_hostile_input(spark):
             raise AssertionError("garbage accepted")
         except ValueError:
             pass
+
+
+def test_qa_expectations_closed_form(spark, tmp_path):
+    """Synthesized orders with keys 0..199: each planted residue class
+    yields an exactly countable violation set (classes overlap on
+    purpose — checks are per-column independent), and n_checked counts
+    the duplicated rows too."""
+    import datetime as dt
+
+    from mxsparkg.contract import contract_queries
+
+    n = 200
+    ts = dt.datetime(2026, 1, 1)
+    rows = [(k, 10 + k, "OFP"[k % 3], 100.0 + k, ts, "3-MEDIUM")
+            for k in range(n)]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {r.exp_name: (r.n_checked, r.n_violations)
+           for r in contract_queries()["qa_expectations"](
+               spark, str(tmp_path)).collect()}
+    dups = len([k for k in range(n) if k % 101 == 13])          # 13, 114
+    total = n + dups
+    def viol(m, r):
+        base = len([k for k in range(n) if k % m == r])
+        extra = len([k for k in range(n) if k % m == r and k % 101 == 13])
+        return base + extra
+    assert got["not_null:o_custkey"] == (total, viol(97, 3))
+    assert got["range:o_totalprice>=0"] == (total, viol(89, 5))
+    assert got["in_set:o_orderstatus"] == (total, viol(83, 7))
+    assert got["regexp:o_orderpriority"] == (total, viol(79, 11))
+    assert got["unique:o_orderkey"] == (total, dups)
