@@ -41,6 +41,10 @@ def main() -> None:
                     help="comma-separated values to point-query in the CMS")
     ap.add_argument("--out", default=None,
                     help="write hll/ + cms/ parquet sketch tables here")
+    ap.add_argument("--expect", default=None,
+                    help="comma-separated expectations kind:col[:arg] — "
+                         "not_null:c | range_min:c:lo | in_set:c:a|b|c "
+                         "| regexp:c:pattern | unique:c")
     ap.add_argument("--master", default=None,
                     help="override spark master (default: active session "
                          "or local[8])")
@@ -111,6 +115,27 @@ def main() -> None:
             }
         if args.out:
             out["sketches_out"] = args.out
+    if args.expect:
+        from mxsparkg.datapipe import check_expectations
+
+        specs = []
+        for item in args.expect.split(","):
+            parts = item.split(":", 2)
+            kind, col = parts[0], parts[1]
+            if kind in ("not_null", "unique"):
+                specs.append((kind, col))
+            elif kind == "range_min":
+                specs.append((kind, col, float(parts[2])))
+            elif kind == "in_set":
+                specs.append((kind, col, parts[2].split("|")))
+            elif kind == "regexp":
+                specs.append((kind, col, parts[2]))
+            else:
+                raise SystemExit(f"unknown expectation kind {kind!r}")
+        out["expectations"] = {
+            r["exp_name"]: r["n_violations"]
+            for r in check_expectations(df, specs).collect()
+        }
     out["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(out))
     spark.stop()

@@ -6689,6 +6689,64 @@ def url_canon_dedup_sql() -> str:
     """
 
 
+# ------------------------------------------------------ data-quality gate --
+
+def check_expectations(df: "DataFrame", specs: list) -> "DataFrame":
+    """Declared-expectation checks over an arbitrary table — the
+    production engine behind the qa_expectations gate key (parity
+    pytest-pinned): evaluate every spec in ONE aggregate pass and
+    return (exp_name, n_checked, n_violations).
+
+    specs is a list of tuples:
+      ("not_null", col)            — col must not be NULL
+      ("range_min", col, lo)       — col >= lo (NULLs not counted here)
+      ("in_set", col, [v, ...])    — col within the value set
+      ("regexp", col, pattern)     — col rlike pattern
+      ("unique", col)              — no duplicate values of col
+
+    Scale shape: row-local specs are sibling conditional aggregates on
+    one scan; each "unique" adds a count(DISTINCT col) to the SAME
+    aggregate (one Expand per distinct column — swap for the HLL sketch
+    at 10^12 rows, the profile_table trade)."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    names = []
+    for i, spec in enumerate(specs):
+        kind, col = spec[0], spec[1]
+        if kind == "not_null":
+            cond = F.col(col).isNull()
+            name = f"not_null:{col}"
+        elif kind == "range_min":
+            cond = F.col(col) < F.lit(spec[2])
+            name = f"range:{col}>={spec[2]}"
+        elif kind == "in_set":
+            cond = ~F.col(col).isin(*spec[2])
+            name = f"in_set:{col}"
+        elif kind == "regexp":
+            cond = ~F.col(col).rlike(spec[2])
+            name = f"regexp:{col}"
+        elif kind == "unique":
+            aggs.append(
+                (F.count(F.lit(1)) - F.count_distinct(F.col(col)))
+                .cast("bigint").alias(f"v{i}")
+            )
+            names.append((f"unique:{col}", f"v{i}"))
+            continue
+        else:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+            .alias(f"v{i}")
+        )
+        names.append((name, f"v{i}"))
+    agg = df.agg(*aggs)
+    pairs = ", ".join(f"'{n}', {v}" for n, v in names)
+    return agg.select(
+        F.expr(f"stack({len(names)}, {pairs})"
+               " AS (exp_name, n_violations)"),
+        F.col("n_rows").alias("n_checked"),
+    ).select("exp_name", "n_checked", "n_violations")
+
+
 # ------------------------------------------------------- crawl policy layer
 # The admission-control screens a Common-Crawl-style fetch loop runs
 # BEFORE a page's bytes enter the pipeline: robots.txt allow/deny

@@ -342,3 +342,21 @@ def test_crawl_admit_cli(cli, spark):
     assert sched["https://a.example/ok/2?q=1"] == (0, 0)
     assert sched["https://a.example/ok/1"] == (1, 3000)
     assert sched["https://b.example/anything"] == (0, 0)
+
+
+def test_table_profile_expectations_flag(cli):
+    """--expect wires check_expectations into the profiler CLI: clean
+    TPC-H orders report 0 violations for true constraints and n>0 for a
+    deliberately false range bound."""
+    out = cli("table_profile", [
+        "--table", "/root/testdata/sf0.001/orders.parquet",
+        "--expect", "not_null:o_custkey,range_min:o_totalprice:0,"
+                    "unique:o_orderkey,regexp:o_orderpriority:^[1-5]-,"
+                    "range_min:o_totalprice:100000",
+    ])
+    e = out["expectations"]
+    assert e["not_null:o_custkey"] == 0
+    assert e["range:o_totalprice>=0.0"] == 0
+    assert e["unique:o_orderkey"] == 0
+    assert e["regexp:o_orderpriority"] == 0
+    assert e["range:o_totalprice>=100000.0"] > 0

@@ -410,3 +410,61 @@ def test_qa_expectations_closed_form(spark, tmp_path):
     assert got["in_set:o_orderstatus"] == (total, viol(83, 7))
     assert got["regexp:o_orderpriority"] == (total, viol(79, 11))
     assert got["unique:o_orderkey"] == (total, dups)
+
+
+def test_check_expectations_parity_with_gate_key(spark, tmp_path):
+    """The production check_expectations (arbitrary specs) must make the
+    gate key's exact decisions on the gate key's own dirty table."""
+    from pyspark.sql import functions as F
+
+    from mxsparkg.contract import _t, contract_queries
+    from mxsparkg.datapipe import check_expectations
+
+    import datetime as dt
+
+    n, ts = 150, dt.datetime(2026, 1, 1)
+    rows = [(k, 10 + k, "OFP"[k % 3], 100.0 + k, ts, "3-MEDIUM")
+            for k in range(n)]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    sf = str(tmp_path)
+    want = {r.exp_name: (r.n_checked, r.n_violations)
+            for r in contract_queries()["qa_expectations"](
+                spark, sf).collect()}
+
+    o = _t(spark, sf, "orders")
+    dirty = o.select(
+        F.when(F.col("o_orderkey") % 97 == 3, F.lit(None))
+        .otherwise(F.col("o_custkey")).alias("custkey"),
+        F.when(F.col("o_orderkey") % 89 == 5, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice")).alias("totalprice"),
+        F.when(F.col("o_orderkey") % 83 == 7, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(F.col("o_orderkey") % 79 == 11, F.lit("URGENT"))
+        .otherwise(F.col("o_orderpriority")).alias("priority"),
+        F.col("o_orderkey").alias("orderkey"),
+    ).unionAll(
+        o.filter(F.col("o_orderkey") % 101 == 13).select(
+            "o_custkey", "o_totalprice", "o_orderstatus",
+            "o_orderpriority", "o_orderkey",
+        )
+    )
+    got = {r.exp_name: (r.n_checked, r.n_violations)
+           for r in check_expectations(dirty, [
+               ("not_null", "custkey"),
+               ("range_min", "totalprice", 0),
+               ("in_set", "status", ["O", "F", "P"]),
+               ("regexp", "priority", "^[1-5]-"),
+               ("unique", "orderkey"),
+           ]).collect()}
+    rename = {
+        "not_null:custkey": "not_null:o_custkey",
+        "range:totalprice>=0": "range:o_totalprice>=0",
+        "in_set:status": "in_set:o_orderstatus",
+        "regexp:priority": "regexp:o_orderpriority",
+        "unique:orderkey": "unique:o_orderkey",
+    }
+    assert {rename[k]: v for k, v in got.items()} == want
