@@ -7023,6 +7023,156 @@ def crawl_mime_sniff_sql() -> str:
     """
 
 
+ROBOTS_UA = "*"   # the agent token our group selection matches
+
+
+def crawl_robots_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt TEXT parsing — the step before C2's admission: turn
+    fetched robots.txt bodies into the (host, prefix, allow) rule table
+    robots_admit consumes. RFC 9309 group semantics, JVM-side only:
+    comments stripped (#...), lines split+exploded with position,
+    consecutive User-agent lines open ONE group (group id = running
+    count of UA-run starts, a lag+cumsum window), a group applies when
+    any of its UA lines names our token, and only Allow/Disallow lines
+    of applicable groups become rules (empty-prefix Disallow — "allow
+    everything" — emits no rule, matching robots_admit's default-allow).
+    Planted bodies give every host a decoy group for another agent
+    (must be SKIPPED), a multi-UA group header, comment/blank noise, and
+    host-dependent rules; the output is exactly the C2 fixture's rule
+    table (parity pytest closes fetch -> parse -> admit -> schedule).
+
+    Scale shape: one body row per host (robots.txt is capped at 500 KiB
+    by the RFC); split/explode fans lines out with no shuffle; the two
+    windows partition by host — bounded by lines-per-file, never
+    corpus-wide."""
+    from pyspark.sql.window import Window
+
+    hosts = (
+        _docs(spark, sf)
+        .select((F.col("doc_id") % ROBOTS_HOSTS).alias("h"))
+        .distinct()
+    )
+    body = F.concat(
+        F.lit("# robots.txt\nUser-agent: otherbot\n"
+              "Disallow: /only-for-otherbot\n\n"
+              "User-agent: helperbot\nUser-agent: *\n"
+              "Disallow: /private  # keep out\n"
+              "Allow: /private/ok\n"),
+        F.when(F.col("h") % 2 == 0, F.lit("Disallow: /tmp\n"))
+        .otherwise(F.lit("")),
+        F.when(F.col("h") % 3 == 0,
+               F.lit("Disallow: /\nAllow: /public\n"))
+        .otherwise(F.lit("")),
+        F.lit("Disallow:\n"),   # empty prefix: allow-all, no rule
+    )
+    lines = hosts.select(
+        "h", F.posexplode(F.split(body, "\n")).alias("ln", "raw")
+    ).select(
+        "h", "ln",
+        F.trim(F.regexp_replace("raw", "#.*", "")).alias("line"),
+    )
+    kind = (
+        F.when(F.lower("line").rlike("^user-agent:"), F.lit("ua"))
+        .when(F.lower("line").rlike("^disallow:"), F.lit("dis"))
+        .when(F.lower("line").rlike("^allow:"), F.lit("alw"))
+        .otherwise(F.lit(""))
+    )
+    # strip at the FIRST colon (a path like /a:b must survive intact)
+    val = F.trim(F.regexp_replace("line", "^[^:]*:", ""))
+    typed = lines.select(
+        "h", "ln", kind.alias("kind"), val.alias("val")
+    ).filter(F.col("kind") != "")
+    w = Window.partitionBy("h").orderBy("ln")
+    grouped = typed.select(
+        "h", "ln", "kind", "val",
+        F.sum(
+            F.when(
+                (F.col("kind") == "ua")
+                & (F.coalesce(F.lag("kind").over(w), F.lit("x")) != "ua"),
+                1,
+            ).otherwise(0)
+        ).over(w).alias("grp"),
+    )
+    ours = (
+        grouped.filter(
+            (F.col("kind") == "ua") & (F.col("val") == ROBOTS_UA)
+        )
+        .select("h", "grp")
+        .distinct()
+    )
+    return (
+        grouped.join(ours, ["h", "grp"])
+        .filter(F.col("kind").isin("dis", "alw") & (F.col("val") != ""))
+        .select(
+            F.concat(F.lit("site"), F.col("h").cast("string"))
+            .alias("host"),
+            F.col("val").alias("prefix"),
+            F.when(F.col("kind") == "alw", 1).otherwise(0)
+            .cast("int").alias("allow"),
+        )
+    )
+
+
+def crawl_robots_parse_sql() -> str:
+    return f"""
+      WITH hosts AS (
+        SELECT DISTINCT doc_id % {ROBOTS_HOSTS} AS h FROM documents),
+      bodies AS (
+        SELECT h,
+          '# robots.txt' || chr(10) || 'User-agent: otherbot'
+          || chr(10) || 'Disallow: /only-for-otherbot' || chr(10)
+          || chr(10) || 'User-agent: helperbot' || chr(10)
+          || 'User-agent: *' || chr(10)
+          || 'Disallow: /private  # keep out' || chr(10)
+          || 'Allow: /private/ok' || chr(10)
+          || CASE WHEN h % 2 = 0
+                  THEN 'Disallow: /tmp' || chr(10) ELSE '' END
+          || CASE WHEN h % 3 = 0
+                  THEN 'Disallow: /' || chr(10)
+                       || 'Allow: /public' || chr(10) ELSE '' END
+          || 'Disallow:' || chr(10) AS body
+        FROM hosts),
+      lines AS (
+        SELECT h, ln,
+               trim(regexp_replace(raw, '#.*', '')) AS line
+        FROM (SELECT h,
+                     unnest(split(body, chr(10))) AS raw,
+                     generate_subscripts(split(body, chr(10)), 1) AS ln
+              FROM bodies) t),
+      typed AS (
+        SELECT h, ln,
+               CASE WHEN lower(line) LIKE 'user-agent:%' THEN 'ua'
+                    WHEN lower(line) LIKE 'disallow:%' THEN 'dis'
+                    WHEN lower(line) LIKE 'allow:%' THEN 'alw'
+                    ELSE '' END AS kind,
+               trim(regexp_replace(line, '^[^:]*:', '')) AS val
+        FROM lines
+        WHERE lower(line) LIKE 'user-agent:%'
+           OR lower(line) LIKE 'disallow:%'
+           OR lower(line) LIKE 'allow:%'),
+      marked AS (
+        SELECT h, ln, kind, val,
+               CASE WHEN kind = 'ua' AND
+                    coalesce(lag(kind) OVER
+                      (PARTITION BY h ORDER BY ln), 'x') <> 'ua'
+                    THEN 1 ELSE 0 END AS is_start
+        FROM typed),
+      grouped AS (
+        SELECT h, ln, kind, val,
+               sum(is_start) OVER (PARTITION BY h ORDER BY ln) AS grp
+        FROM marked),
+      ours AS (
+        SELECT DISTINCT h, grp FROM grouped
+        WHERE kind = 'ua' AND val = '{ROBOTS_UA}')
+      SELECT 'site' || CAST(g.h AS VARCHAR) AS host,
+             g.val AS prefix,
+             CAST(CASE WHEN g.kind = 'alw' THEN 1 ELSE 0 END AS INT)
+               AS allow
+      FROM grouped g JOIN ours o ON o.h = g.h AND o.grp = g.grp
+      WHERE g.kind IN ('dis', 'alw') AND g.val <> ''
+    """
+
+
 REDIRECT_CAP = 4  # max hops followed (browsers cap ~20; plant max chain 3)
 
 
@@ -7868,6 +8018,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "url_canon_dedup": url_canon_dedup,
         "crawl_robots": crawl_robots,
+        "crawl_robots_parse": crawl_robots_parse,
         "crawl_sitemap": crawl_sitemap,
         "crawl_mime_sniff": crawl_mime_sniff,
         "crawl_redirects": crawl_redirects,
@@ -7944,6 +8095,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "dedup_incremental": dedup_incremental_sql(),
         "url_canon_dedup": url_canon_dedup_sql(),
         "crawl_robots": crawl_robots_sql(),
+        "crawl_robots_parse": crawl_robots_parse_sql(),
         "crawl_sitemap": crawl_sitemap_sql(),
         "crawl_mime_sniff": crawl_mime_sniff_sql(),
         "crawl_redirects": crawl_redirects_sql(),

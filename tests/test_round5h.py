@@ -468,3 +468,71 @@ def test_check_expectations_parity_with_gate_key(spark, tmp_path):
         "unique:orderkey": "unique:o_orderkey",
     }
     assert {rename[k]: v for k, v in got.items()} == want
+
+
+def test_robots_parse_closes_the_chain(spark, tmp_path):
+    """fetch -> PARSE -> admit: crawl_robots_parse's rule table is
+    exactly the C2 fixture's (decoy otherbot group skipped, multi-UA
+    header honored, comments/blank noise ignored, empty Disallow
+    dropped), and feeding it to robots_admit reproduces the certified
+    crawl_robots decisions end-to-end."""
+    from mxsparkg.datapipe import (
+        ROBOTS_HOSTS,
+        crawl_robots,
+        crawl_robots_parse,
+    )
+    from mxsparkg.weblinks import robots_admit
+
+    sf = _write_docs(spark, tmp_path, n=70)
+    got_rules = {(r.host, r.prefix, r.allow)
+                 for r in crawl_robots_parse(spark, sf).collect()}
+    want_rules = set()
+    for h in range(ROBOTS_HOSTS):
+        want_rules.add((f"site{h}", "/private", 0))
+        want_rules.add((f"site{h}", "/private/ok", 1))
+        if h % 2 == 0:
+            want_rules.add((f"site{h}", "/tmp", 0))
+        if h % 3 == 0:
+            want_rules.add((f"site{h}", "/", 0))
+            want_rules.add((f"site{h}", "/public", 1))
+    assert got_rules == want_rules
+
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    frontier = d.select(
+        "doc_id",
+        F.concat(F.lit("site"),
+                 (F.col("doc_id") % ROBOTS_HOSTS).cast("string"))
+        .alias("host"),
+        F.expr(
+            "CASE CAST(doc_id % 5 AS INT)"
+            "  WHEN 0 THEN concat('/private/data/', doc_id)"
+            "  WHEN 1 THEN concat('/private/ok/', doc_id)"
+            "  WHEN 2 THEN concat('/public/page/', doc_id)"
+            "  WHEN 3 THEN concat('/tmp/cache/', doc_id)"
+            "  ELSE concat('/index/', doc_id) END"
+        ).alias("path"),
+    )
+    got = {r.doc_id: (r.allowed, r.rule_len)
+           for r in robots_admit(
+               frontier, crawl_robots_parse(spark, sf)).collect()}
+    want = {r.doc_id: (r.allowed, r.rule_len)
+            for r in crawl_robots(spark, sf).collect()}
+    assert got == want
+
+
+def test_robots_parse_colon_path_survives(spark):
+    """A Disallow path containing a colon must split at the FIRST colon
+    only (regression: last-segment splitting would emit 'b')."""
+    from pyspark.sql import functions as F
+
+    hosts = spark.createDataFrame([(0,)], ["h"])
+    body = "User-agent: *\nDisallow: /a:b\n"
+    lines = hosts.select(
+        "h", F.posexplode(F.split(F.lit(body), "\n")).alias("ln", "raw")
+    ).select("h", "ln",
+             F.trim(F.regexp_replace("raw", "#.*", "")).alias("line"))
+    val = F.trim(F.regexp_replace("line", "^[^:]*:", ""))
+    got = [r.v for r in lines.filter(
+        F.lower("line").rlike("^disallow:")).select(val.alias("v"))
+        .collect()]
+    assert got == ["/a:b"]
