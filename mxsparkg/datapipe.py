@@ -6944,6 +6944,134 @@ def crawl_sitemap_sql() -> str:
     """
 
 
+SITEMAP_SHARDS = 3  # planted sub-sitemaps per host (50k-URL cap shards)
+
+
+def crawl_sitemap_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-level sitemap protocol — real sites shard their URL lists
+    under a sitemapindex (the 50k-URL/50MB caps force it): parse the
+    index for <sitemap><loc> entries, JOIN each to its fetched
+    sub-sitemap body (certifying the index's loc strings actually
+    resolve), then extract the page <loc>s — (host, sitemap_url,
+    loc_url) rows proving every page landed in its declared shard
+    (doc_id % SITEMAP_SHARDS). Same portable regexp/explode machinery
+    as C3'; the recursion adds the index parse + one equi-join.
+
+    Scale shape: index and shard bodies are protocol-capped rows; the
+    shard join is url-equi (broadcastable — an index is config-sized
+    per host); explodes fan out shuffle-free. The listagg exists only
+    to synthesize fixtures in-engine (C3' note)."""
+    e = _docs(spark, sf).select(
+        "doc_id",
+        (F.col("doc_id") % ROBOTS_HOSTS).alias("h"),
+        (F.col("doc_id") % SITEMAP_SHARDS).alias("j"),
+        F.expr(
+            "concat('<url><loc>https://site', doc_id % 7, '/page/',"
+            " doc_id, '</loc></url>')"
+        ).alias("entry"),
+    )
+    listagg = F.concat(
+        F.lit("<urlset>"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("doc_id").alias("i"),
+                            F.col("entry").alias("e"),
+                        )
+                    )
+                ),
+                lambda x: x["e"],
+            ),
+            "",
+        ),
+        F.lit("</urlset>"),
+    )
+    subs = e.groupBy("h", "j").agg(listagg.alias("body")).select(
+        F.expr(
+            "concat('https://site', h, '/sm', j, '.xml')"
+        ).alias("sm_url_b"),
+        "body",
+    )
+    hosts = e.select("h").distinct()
+    idx_body = F.concat(
+        F.lit("<sitemapindex>"),
+        F.concat_ws(
+            "",
+            *[
+                F.concat(
+                    F.lit("<sitemap><loc>https://site"),
+                    F.col("h").cast("string"),
+                    F.lit(f"/sm{j}.xml</loc></sitemap>"),
+                )
+                for j in range(SITEMAP_SHARDS)
+            ],
+        ),
+        F.lit("</sitemapindex>"),
+    )
+    sm_urls = hosts.select("h", idx_body.alias("ibody")).select(
+        "h",
+        F.explode(
+            F.expr(
+                r"regexp_extract_all(ibody, '<loc>([^<]+)</loc>', 1)"
+            )
+        ).alias("sm_url"),
+    )
+    joined = sm_urls.join(
+        subs, sm_urls["sm_url"] == subs["sm_url_b"]
+    )
+    return joined.select(
+        F.concat(F.lit("site"), F.col("h").cast("string")).alias("host"),
+        F.col("sm_url").alias("sitemap_url"),
+        F.explode(
+            F.expr(
+                r"regexp_extract_all(body, '<loc>([^<]+)</loc>', 1)"
+            )
+        ).alias("loc_url"),
+    )
+
+
+def crawl_sitemap_index_sql() -> str:
+    sm_entries = " || ".join(
+        f"'<sitemap><loc>https://site' || CAST(h AS VARCHAR)"
+        f" || '/sm{j}.xml</loc></sitemap>'"
+        for j in range(SITEMAP_SHARDS)
+    )
+    return f"""
+      WITH e AS (
+        SELECT doc_id, doc_id % {ROBOTS_HOSTS} AS h,
+               doc_id % {SITEMAP_SHARDS} AS j,
+               '<url><loc>https://site' || CAST(doc_id % 7 AS VARCHAR)
+               || '/page/' || CAST(doc_id AS VARCHAR)
+               || '</loc></url>' AS entry
+        FROM documents),
+      subs AS (
+        SELECT 'https://site' || CAST(h AS VARCHAR) || '/sm'
+               || CAST(j AS VARCHAR) || '.xml' AS sm_url_b,
+               '<urlset>' || string_agg(entry, '' ORDER BY doc_id)
+               || '</urlset>' AS body
+        FROM e GROUP BY h, j),
+      hosts AS (SELECT DISTINCT h FROM e),
+      idx AS (
+        SELECT h, '<sitemapindex>' || {sm_entries}
+               || '</sitemapindex>' AS ibody
+        FROM hosts),
+      sm_urls AS (
+        SELECT h, unnest(regexp_extract_all(
+                 ibody, '<loc>([^<]+)</loc>', 1)) AS sm_url
+        FROM idx),
+      joined AS (
+        SELECT u.h, u.sm_url, s.body
+        FROM sm_urls u JOIN subs s ON s.sm_url_b = u.sm_url)
+      SELECT 'site' || CAST(h AS VARCHAR) AS host,
+             sm_url AS sitemap_url,
+             unnest(regexp_extract_all(
+               body, '<loc>([^<]+)</loc>', 1)) AS loc_url
+      FROM joined
+    """
+
+
 # (magic hex, mime) rows: the payload-byte signatures the sniffer keys
 # on; classes are planted by doc_id % 7 (class 6 = unknown junk).
 MIME_MAGIC = [
@@ -8020,6 +8148,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots": crawl_robots,
         "crawl_robots_parse": crawl_robots_parse,
         "crawl_sitemap": crawl_sitemap,
+        "crawl_sitemap_index": crawl_sitemap_index,
         "crawl_mime_sniff": crawl_mime_sniff,
         "crawl_redirects": crawl_redirects,
         "crawl_schedule": crawl_schedule,
@@ -8097,6 +8226,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "crawl_robots": crawl_robots_sql(),
         "crawl_robots_parse": crawl_robots_parse_sql(),
         "crawl_sitemap": crawl_sitemap_sql(),
+        "crawl_sitemap_index": crawl_sitemap_index_sql(),
         "crawl_mime_sniff": crawl_mime_sniff_sql(),
         "crawl_redirects": crawl_redirects_sql(),
         "crawl_schedule": crawl_schedule_sql(),

@@ -536,3 +536,63 @@ def test_robots_parse_colon_path_survives(spark):
         F.lower("line").rlike("^disallow:")).select(val.alias("v"))
         .collect()]
     assert got == ["/a:b"]
+
+
+def test_robots_admit_property_vs_python_reference(spark):
+    """Hypothesis: for random rule tables and frontiers (including the
+    empty-prefix and identical-rule edge cases), robots_admit's
+    distributed decision equals a 6-line Python reference of RFC 9309
+    longest-match with allow-wins-ties."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mxsparkg.weblinks import robots_admit
+
+    seg = st.sampled_from(["/a", "/b", "/a/x", "/b/y", "/", ""])
+    hostname = st.sampled_from(["h0", "h1"])
+    rule = st.tuples(hostname, seg, st.integers(0, 1))
+    pathname = st.sampled_from(
+        ["/a", "/a/x", "/a/x/1", "/b", "/b/y/2", "/c", "/"])
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        rules=st.lists(rule, min_size=0, max_size=6),
+        urls=st.lists(st.tuples(hostname, pathname),
+                      min_size=1, max_size=8),
+    )
+    def check(rules, urls):
+        frontier = spark.createDataFrame(
+            [(i, h, p) for i, (h, p) in enumerate(urls)],
+            "uid int, host string, path string",
+        )
+        rules_df = spark.createDataFrame(
+            rules or [("zz", "/never", 1)],
+            "host string, prefix string, allow int",
+        )
+        eff_rules = rules or [("zz", "/never", 1)]
+        got = {r.uid: (r.allowed, r.rule_len)
+               for r in robots_admit(frontier, rules_df).collect()}
+        for i, (h, p) in enumerate(urls):
+            matching = [(len(pre), a) for (rh, pre, a) in eff_rules
+                        if rh == h and p.startswith(pre)]
+            want = max(matching) if matching else None
+            want = (want[1], want[0]) if want else (1, 0)
+            assert got[i] == want, (i, h, p, eff_rules, got[i], want)
+
+    check()
+
+
+def test_sitemap_index_recursion_and_shard_assignment(spark, tmp_path):
+    """Every doc comes back exactly once through the two-level parse,
+    attributed to the sub-sitemap its doc_id % SHARDS shard declares;
+    the index→shard url join resolves for every shard."""
+    from mxsparkg.datapipe import SITEMAP_SHARDS, crawl_sitemap_index
+
+    sf = _write_docs(spark, tmp_path, n=70)
+    rows = crawl_sitemap_index(spark, sf).collect()
+    assert len(rows) == 70
+    for r in rows:
+        doc = int(r.loc_url.rsplit("/", 1)[1])
+        h, j = doc % 7, doc % SITEMAP_SHARDS
+        assert r.host == f"site{h}"
+        assert r.sitemap_url == f"https://site{h}/sm{j}.xml"
