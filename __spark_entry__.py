@@ -67,6 +67,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(kgembed_queries())
     except ImportError:
         pass
+    try:
+        from mxsparkg.geo import geo_queries
+
+        out.update(geo_queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -95,6 +101,12 @@ def oracle_sql() -> dict[str, str]:
         from mxsparkg.kgembed import kgembed_oracle_sql
 
         out.update(kgembed_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from mxsparkg.geo import geo_oracle_sql
+
+        out.update(geo_oracle_sql())
     except ImportError:
         pass
     return out

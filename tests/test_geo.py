@@ -1,0 +1,92 @@
+"""Geo family semantics: the grid-bucketed spatial join must equal the
+all-pairs distance join (soundness AND completeness of the 3x3 probe),
+kNN must rank true distances, and results must be partitioning-invariant.
+Oracle equivalence itself is covered by the full gate
+(tests/test_contract_gate.py); these tests pin the geometry."""
+
+from __future__ import annotations
+
+import duckdb
+
+from mxsparkg.geo import (
+    GEO_CELL_E6,
+    GEO_KNN_K,
+    GEO_R_E6,
+    _PTS_CTE,
+    geo_join_cell,
+    geo_knn_cell,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_pairs():
+    """All-pairs O(n^2) distance join at sf0.001 (1k-ish events) — the
+    ground truth the bucketed join must reproduce exactly."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    rows = con.sql(
+        f"""WITH {_PTS_CTE}
+        SELECT a.pid, b.pid, (a.lat_e6 - b.lat_e6)*(a.lat_e6 - b.lat_e6)
+               + (a.lon_e6 - b.lon_e6)*(a.lon_e6 - b.lon_e6)
+        FROM cells a JOIN cells b ON a.pid < b.pid
+        WHERE (a.lat_e6 - b.lat_e6)*(a.lat_e6 - b.lat_e6)
+              + (a.lon_e6 - b.lon_e6)*(a.lon_e6 - b.lon_e6)
+              <= {GEO_R_E6}::BIGINT * {GEO_R_E6}"""
+    ).fetchall()
+    return {(a, b): d for a, b, d in rows}
+
+
+def test_bucketed_join_equals_brute_force(spark):
+    # R <= CELL is the precondition that makes the 3x3 probe complete
+    assert GEO_R_E6 <= GEO_CELL_E6
+    got = {
+        (r.pid_a, r.pid_b): r.dist2_e6
+        for r in geo_join_cell(spark, SF).collect()
+    }
+    want = _brute_pairs()
+    assert got == want
+    assert len(got) > 0  # the fixture world is dense enough to mean something
+
+
+def test_knn_ranks_true_distances(spark):
+    rows = geo_knn_cell(spark, SF).collect()
+    by_pid: dict = {}
+    for r in rows:
+        by_pid.setdefault(r.pid_a, []).append((r.k, r.dist2_e6, r.nbr))
+    assert by_pid
+    for pid, ks in by_pid.items():
+        ks.sort()
+        assert [k for k, _, _ in ks] == list(range(1, len(ks) + 1)), pid
+        assert len(ks) <= GEO_KNN_K
+        # distances nondecreasing in rank; ties broken by nbr pid
+        for (k1, d1, n1), (k2, d2, n2) in zip(ks, ks[1:]):
+            assert (d1, n1) < (d2, n2), pid
+    # rank-1 neighbors at distance <= R must be each other's pair-join hit
+    pairs = {
+        (r.pid_a, r.pid_b) for r in geo_join_cell(spark, SF).collect()
+    }
+    r2 = GEO_R_E6 * GEO_R_E6
+    for pid, ks in by_pid.items():
+        _, d, nbr = ks[0]
+        if d <= r2:
+            assert (min(pid, nbr), max(pid, nbr)) in pairs, pid
+
+
+def test_pair_fingerprint_partition_invariant(spark):
+    df = geo_join_cell(spark, SF)
+    fp1 = sorted((r.pid_a, r.pid_b, r.dist2_e6) for r in df.collect())
+    fp2 = sorted(
+        (r.pid_a, r.pid_b, r.dist2_e6)
+        for r in df.repartition(13).collect()
+    )
+    assert fp1 == fp2
+
+
+def test_join_plan_is_equi_not_nested_loop(spark):
+    plan = geo_join_cell(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
