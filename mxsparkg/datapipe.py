@@ -8140,6 +8140,181 @@ def sketch_cms_sql() -> str:
     """
 
 
+# KMV (k-minimum-values / bottom-k) sketch — the third mergeable sketch:
+# the one that answers SET-EXPRESSION cardinalities (|A∩B|, Jaccard),
+# which HLL registers and CMS cells cannot. State = the KMV_K smallest
+# distinct 60-bit md5 hashes of a set's members. Properties this repo
+# pins in tests/test_sketch.py:
+#   merge: kmin_k(sketch(A) ∪ sketch(B)) == sketch(A ∪ B) EXACTLY (not
+#     approximately — the k smallest of a union are among the k smallest
+#     of each side), so executors fold partial sketches losslessly;
+#   estimate: N̂ = (k-1)·2^60/h_(k), std err ~ 1/sqrt(k-2) (12.7% at 64);
+#     when |set| < k the sketch is exhaustive and the count is EXACT;
+#   intersect: rho = |{x ∈ kmin_k(A∪B) : x ∈ A and x ∈ B}|/k estimates
+#     Jaccard, |A∩B| ≈ rho · N̂(A∪B) (Beyer et al., SIGMOD 2007).
+# The estimate rides the repo's integer-ppm idiom (h_(k) floor-divided
+# into ppm of the hash space, then one integer division) so the gate
+# value-hashes the ESTIMATES too, not just the hash state.
+
+KMV_K = 64
+KMV_HSPACE = 1 << 60                    # 15 md5 hex chars, BIGINT-positive
+KMV_HDIV = KMV_HSPACE // 1_000_000      # h → ppm of the hash space
+
+# The two gate sets: returned orders vs bulk orders (11.1k / 13.1k
+# distinct l_orderkey at sf0.01, overlap 10.2k — real collision regime).
+KMV_SETS = {
+    "returned": "l_returnflag = 'R'",
+    "bulk": "l_quantity >= 25",
+}
+
+
+def _kmv_hash(key: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv|"), key.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+
+
+def kmv_sketch(df: DataFrame, key: Column, set_id: str) -> DataFrame:
+    """(set_id, rank, hval): the KMV_K smallest distinct hashes of `key`.
+    The distinct-hash groupBy is the only input-sized pass (map-side
+    combinable); the rank window runs over the distinct-key table. At
+    10^12 rows the window would be replaced by per-partition bottom-k +
+    a lossless merge fold (the merge property above is what licenses
+    that swap); exact-k ranking keeps the oracle form here."""
+    from pyspark.sql import Window
+
+    h = (
+        df.select(_kmv_hash(key).alias("hval"))
+        .groupBy("hval").agg(F.count(F.lit(1)).alias("_n"))
+        .select("hval")
+    )
+    w = Window.orderBy("hval")
+    return (
+        h.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= KMV_K)
+        .select(F.lit(set_id).alias("set_id"), "rank", "hval")
+    )
+
+
+def kmv_estimate(hvals: list[int]) -> int:
+    """Driver-side distinct-count estimate from a sketch's hash list:
+    exhaustive count when |sketch| < KMV_K, else (k-1)·2^60/h_(k)."""
+    if len(hvals) < KMV_K:
+        return len(hvals)
+    hk = max(hvals)
+    return (KMV_K - 1) * KMV_HSPACE // hk
+
+
+def kmv_merge(a: list[int], b: list[int]) -> list[int]:
+    """Lossless sketch union: k smallest of the merged hash sets."""
+    return sorted(set(a) | set(b))[:KMV_K]
+
+
+def sketch_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: the KMV state tables for both gate sets — 2×KMV_K rows
+    of exact deterministic integer state, bit-certified cross-engine."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    parts = [
+        kmv_sketch(li.filter(F.expr(pred)), F.col("l_orderkey"), sid)
+        for sid, pred in KMV_SETS.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sketch_kmv_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"""SELECT '{sid}' AS set_id, CAST(rank AS INT) AS rank, hval
+        FROM (
+          SELECT row_number() OVER (ORDER BY hval) AS rank, hval
+          FROM (
+            SELECT DISTINCT ('0x' || substr(
+                md5('kmv|' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+              AS hval
+            FROM lineitem WHERE {pred}))
+        WHERE rank <= {KMV_K}"""
+        for sid, pred in KMV_SETS.items()
+    )
+    return arms
+
+
+def sketch_kmv_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: the full KMV set-expression epilogue IN-PLAN — merge the
+    two sketches, estimate |A∪B| from the merged k-th hash, estimate
+    Jaccard as the both-sets fraction of the merged bottom-k, and |A∩B|
+    as their product; every step integer (ppm idiom), single-row output.
+    After the two sketch builds everything is model-sized (≤2k rows)."""
+    from pyspark.sql import Window
+
+    sids = list(KMV_SETS)
+    sk = sketch_kmv(spark, sf)
+    flags = sk.groupBy("hval").agg(
+        F.max(F.when(F.col("set_id") == sids[0], 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("set_id") == sids[1], 1).otherwise(0)).alias("in_b"),
+    )
+    w = Window.orderBy("hval")
+    merged = (
+        flags.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KMV_K)
+    )
+    agg = merged.agg(
+        F.max("hval").alias("hk"),
+        F.sum(F.expr("in_a * in_b")).cast("long").alias("n_both"),
+        F.count(F.lit(1)).cast("long").alias("n_rank"),
+    )
+    return agg.select(
+        F.lit(KMV_K).alias("k"),
+        F.expr(f"hk div {KMV_HDIV}").alias("hk_ppm"),
+        F.expr(f"CASE WHEN n_rank < {KMV_K} THEN n_rank "
+               f"ELSE {KMV_K - 1} * 1000000 div greatest(hk div {KMV_HDIV}, 1)"
+               " END").alias("est_union"),
+        "n_both",
+        F.expr(f"1000000 * n_both div {KMV_K}").alias("jacc_ppm"),
+        F.expr(f"(1000000 * n_both div {KMV_K}) * "
+               f"(CASE WHEN n_rank < {KMV_K} THEN n_rank "
+               f"ELSE {KMV_K - 1} * 1000000 div greatest(hk div {KMV_HDIV}, 1)"
+               " END) div 1000000").alias("est_intersection"),
+    )
+
+
+def sketch_kmv_jaccard_sql() -> str:
+    return f"""
+      WITH sk AS ({sketch_kmv_sql()}),
+      flags AS (
+        SELECT hval,
+               max(CASE WHEN set_id = '{list(KMV_SETS)[0]}' THEN 1 ELSE 0 END)
+                 AS in_a,
+               max(CASE WHEN set_id = '{list(KMV_SETS)[1]}' THEN 1 ELSE 0 END)
+                 AS in_b
+        FROM sk GROUP BY hval),
+      merged AS (
+        SELECT hval, in_a, in_b,
+               row_number() OVER (ORDER BY hval) AS rank
+        FROM flags QUALIFY rank <= {KMV_K}),
+      agg AS (
+        SELECT max(hval) AS hk,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+               CAST(count(*) AS BIGINT) AS n_rank
+        FROM merged)
+      SELECT {KMV_K} AS k,
+             hk // {KMV_HDIV} AS hk_ppm,
+             CASE WHEN n_rank < {KMV_K} THEN n_rank
+                  ELSE {KMV_K - 1} * 1000000
+                       // greatest(hk // {KMV_HDIV}, 1) END AS est_union,
+             n_both,
+             1000000 * n_both // {KMV_K} AS jacc_ppm,
+             (1000000 * n_both // {KMV_K}) *
+             (CASE WHEN n_rank < {KMV_K} THEN n_rank
+                   ELSE {KMV_K - 1} * 1000000
+                        // greatest(hk // {KMV_HDIV}, 1) END) // 1000000
+               AS est_intersection
+      FROM agg
+    """
+
+
 def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": dedup_exact,
@@ -8192,6 +8367,8 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_containment_pairs": txt_containment_pairs,
         "sketch_hll": sketch_hll,
         "sketch_cms": sketch_cms,
+        "sketch_kmv": sketch_kmv,
+        "sketch_kmv_jaccard": sketch_kmv_jaccard,
         "txt_bpe_merges": txt_bpe_merges,
         "txt_bpe_encode": txt_bpe_encode,
         "txt_collocations": txt_collocations,
@@ -8270,6 +8447,8 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "txt_containment_pairs": txt_containment_pairs_sql(),
         "sketch_hll": sketch_hll_sql(),
         "sketch_cms": sketch_cms_sql(),
+        "sketch_kmv": sketch_kmv_sql(),
+        "sketch_kmv_jaccard": sketch_kmv_jaccard_sql(),
         "txt_bpe_merges": txt_bpe_merges_sql(),
         "txt_bpe_encode": txt_bpe_encode_sql(),
         "txt_collocations": txt_collocations_sql(),

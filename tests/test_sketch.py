@@ -13,12 +13,18 @@ from mxsparkg.contract import evt_gap_fill
 from mxsparkg.datapipe import (
     CMS_D,
     CMS_W,
+    KMV_K,
+    KMV_SETS,
     cms_point_query,
     cms_sketch,
     hll_estimate,
     hll_registers,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
     sketch_cms,
     sketch_hll,
+    sketch_kmv_jaccard,
 )
 
 
@@ -161,3 +167,73 @@ def test_gap_fill_grid_contiguous_and_filled(spark, sf001):
             else:
                 assert r["val_filled"] == last_real, (user, d)
         assert rs[0]["gap"] == 0, user
+
+
+# --------------------------------------------------------------- KMV -----
+
+
+def _kmv_hashes(spark, sf001, pred):
+    df = _li(spark, sf001).filter(F.expr(pred))
+    return sorted(
+        r.hval for r in kmv_sketch(df, F.col("l_orderkey"), "x").collect()
+    )
+
+
+def test_kmv_merge_is_lossless(spark, sf001):
+    """kmin_k(sketch(A) ∪ sketch(B)) == sketch(A ∪ B) EXACTLY — the
+    property that lets executors fold partial sketches without touching
+    raw keys again."""
+    preds = list(KMV_SETS.values())
+    a = _kmv_hashes(spark, sf001, preds[0])
+    b = _kmv_hashes(spark, sf001, preds[1])
+    union_df = _li(spark, sf001).filter(
+        F.expr(f"({preds[0]}) OR ({preds[1]})")
+    )
+    direct = sorted(
+        r.hval
+        for r in kmv_sketch(union_df, F.col("l_orderkey"), "u").collect()
+    )
+    assert kmv_merge(a, b) == direct
+
+
+def test_kmv_estimate_within_std_err(spark, sf001):
+    """(k-1)·2^60/h_(k) lands within 4 std errs (4/sqrt(k-2)) of the true
+    distinct count for both gate sets and their union."""
+    li = _li(spark, sf001)
+    preds = list(KMV_SETS.values())
+    tol = 4.0 / (KMV_K - 2) ** 0.5
+    for pred in preds + [f"({preds[0]}) OR ({preds[1]})"]:
+        sub = li.filter(F.expr(pred))
+        true_n = sub.select("l_orderkey").distinct().count()
+        est = kmv_estimate(_kmv_hashes(spark, sf001, pred))
+        assert abs(est - true_n) <= tol * true_n, (pred, est, true_n)
+
+
+def test_kmv_small_set_is_exact(spark, sf001):
+    """|set| < k ⇒ the sketch is exhaustive and the estimate is the exact
+    count (the n_rank < k arm of the in-plan estimator)."""
+    li = _li(spark, sf001)
+    sub = li.filter(F.col("l_orderkey") % 1000 == 7)
+    true_n = sub.select("l_orderkey").distinct().count()
+    assert true_n < KMV_K
+    hvals = sorted(
+        r.hval for r in kmv_sketch(sub, F.col("l_orderkey"), "s").collect()
+    )
+    assert len(hvals) == true_n
+    assert kmv_estimate(hvals) == true_n
+
+
+def test_kmv_jaccard_epilogue_tracks_truth(spark, sf001):
+    """The single-row in-plan set-expression estimates stay within loose
+    KMV error bounds of the true |A∪B|, Jaccard, and |A∩B| at sf0.001."""
+    li = _li(spark, sf001)
+    preds = list(KMV_SETS.values())
+    a = {r.l_orderkey for r in li.filter(F.expr(preds[0]))
+         .select("l_orderkey").distinct().collect()}
+    b = {r.l_orderkey for r in li.filter(F.expr(preds[1]))
+         .select("l_orderkey").distinct().collect()}
+    row = sketch_kmv_jaccard(spark, sf001).collect()[0]
+    true_union, true_inter = len(a | b), len(a & b)
+    assert abs(row.est_union - true_union) <= 0.55 * true_union
+    assert abs(row.jacc_ppm / 1e6 - true_inter / true_union) <= 0.3
+    assert abs(row.est_intersection - true_inter) <= 0.6 * true_inter
