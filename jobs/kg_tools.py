@@ -21,6 +21,8 @@ ops:
              candidates = the objects observed for that predicate
   nquads     provenance N-Quads from the pipeline TRIPLES table (pass it
              as --edges): 4th term = the source page as a graph IRI
+  jsonld     compacted JSON-LD node objects from the edges table, one
+             JSON document per subject per line (JSON-Lines shards)
   snapshot   time-travel read of a version-dir table written by --op
              apply (--snapshots root, --version N, default latest) —
              the in-sandbox `VERSION AS OF`
@@ -87,7 +89,7 @@ def _dense_entities(edges):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
-                    choices=["conflicts", "reliability", "ntriples", "nquads", "turtle", "validate",
+                    choices=["conflicts", "reliability", "ntriples", "nquads", "turtle", "jsonld", "validate",
                              "infer", "diff", "embed", "predict", "apply",
                              "bgp", "snapshot", "expire"])
     ap.add_argument("--delta", default=None,
@@ -208,6 +210,11 @@ def main() -> None:
             .filter(F.col("value").endswith(" ."))
             .count()
         )
+    elif args.op == "jsonld":
+        kx.export_edges_jsonld(edges).select("doc").write.mode(
+            "overwrite").text(args.out)
+        # one self-contained JSON document per line (JSON-Lines shards)
+        n = spark.read.text(args.out).count()
     elif args.op == "validate":
         typed = _typed_edges(edges, spark.read.parquet(args.nodes))
         cons = spark.read.parquet(args.constraints)

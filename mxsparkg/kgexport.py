@@ -180,6 +180,21 @@ def export_edges_turtle(edges: DataFrame) -> DataFrame:
     return to_turtle(t)
 
 
+def export_edges_jsonld(edges: DataFrame) -> DataFrame:
+    """Serialize the pipeline's materialized edges table into compacted
+    JSON-LD node objects (see to_jsonld): percent-encoded bare IRIs, one
+    self-contained JSON document per subject, so
+    `df.select("doc").write.text(dir)` yields valid JSON-Lines shards and
+    export parallelism is the groupBy's partitioning."""
+    enc = lambda c: F.url_encode(F.col(c))  # noqa: E731
+    t = edges.select(
+        F.concat(F.lit(BASE_E), enc("subj")).alias("subj"),
+        F.concat(F.lit(BASE_P), enc("pred")).alias("pred"),
+        F.concat(F.lit(BASE_E), enc("obj")).alias("obj"),
+    )
+    return to_jsonld(t)
+
+
 def negative_sample(
     triples: DataFrame,
     entities: DataFrame,
@@ -984,6 +999,142 @@ def kg_turtle_sql() -> str:
       FROM r GROUP BY subj
     """
 
+
+
+def to_jsonld(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    obj_is_literal: str | None = None,
+) -> DataFrame:
+    """Compacted JSON-LD serialization — the third RDF surface beside
+    N-Triples/N-Quads lines and Turtle blocks: one JSON node object per
+    subject, `{"@id": s, p1: [o1, o2], p2: [...]}`, IRIs as `{"@id":...}`
+    objects and literals as plain JSON strings (valid compact form). The
+    escape chain for JSON string content over this corpus is exactly the
+    N-Triples one (backslash-first, then quote/newline/CR/tab), so
+    escape_literal is reused — one discipline, three surfaces.
+
+    Determinism + scale shape mirrors to_turtle: predicates within a node
+    and values within a predicate are sorted (collect_list order is
+    partition-dependent; sort_array is the bit-stability guarantee), both
+    rollups are map-side-combinable groupBys, and per-subject fan-in is
+    KG-schema-bounded. Returns (subj, n_preds, doc) where doc parses with
+    any JSON parser (round-trip pytest-pinned)."""
+    s, p, o = F.col(subj), F.col(pred), F.col(obj)
+    if obj_is_literal is None:
+        rendered = F.concat(F.lit('{"@id":"'), o, F.lit('"}'))
+    else:
+        rendered = F.when(
+            F.col(obj_is_literal),
+            F.concat(F.lit('"'), escape_literal(o), F.lit('"')),
+        ).otherwise(F.concat(F.lit('{"@id":"'), o, F.lit('"}')))
+    per_pred = (
+        triples.select(s.alias("subj"), p.alias("pred"), rendered.alias("r"))
+        .groupBy("subj", "pred")
+        .agg(
+            F.concat(
+                F.lit('"'), F.col("pred"), F.lit('":['),
+                F.array_join(F.sort_array(F.collect_list("r")), ","),
+                F.lit("]"),
+            ).alias("frag")
+        )
+    )
+    body = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pred"), F.col("frag")))
+            ),
+            lambda x: x["frag"],
+        ),
+        ",",
+    )
+    return per_pred.groupBy("subj").agg(
+        F.count(F.lit(1)).alias("n_preds"),
+        F.concat(
+            F.lit('{"@id":"'), F.col("subj"), F.lit('",'), body, F.lit("}")
+        ).alias("doc"),
+    )
+
+
+def kg_jsonld(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-LD export of the same deterministic 3-relation KG slice as
+    kg_ntriples/kg_turtle (bare IRIs — JSON-LD keys carry no angle
+    brackets), nation labels planting the quote+backslash escape chain
+    under the value hash."""
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    bare = lambda kind, key: F.concat(  # noqa: E731 - local shorthand
+        F.lit(f"{BASE_E}{kind}:"), key.cast("string")
+    )
+    t1 = cust.select(
+        bare("cust", F.col("c_custkey")).alias("subj"),
+        F.lit(f"{BASE_P}in_nation").alias("pred"),
+        bare("nat", F.col("c_nationkey")).alias("obj"),
+        F.lit(False).alias("lit"),
+    )
+    t2 = nat.select(
+        bare("nat", F.col("n_nationkey")).alias("subj"),
+        F.lit(f"{BASE_P}in_region").alias("pred"),
+        bare("reg", F.col("n_regionkey")).alias("obj"),
+        F.lit(False).alias("lit"),
+    )
+    label = F.concat(
+        F.col("n_name"), F.lit(' "r\\'),
+        F.col("n_regionkey").cast("string"), F.lit('"'),
+    )
+    t3 = nat.select(
+        bare("nat", F.col("n_nationkey")).alias("subj"),
+        F.lit(f"{BASE_P}label").alias("pred"),
+        label.alias("obj"),
+        F.lit(True).alias("lit"),
+    )
+    return to_jsonld(
+        t1.unionByName(t2).unionByName(t3), obj_is_literal="lit"
+    )
+
+
+def kg_jsonld_sql() -> str:
+    esc = (
+        "replace(replace(replace(replace(replace(obj,"
+        " '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'),"
+        " chr(13), '\\r'), chr(9), '\\t')"
+    )
+    return f"""
+      WITH t AS (
+        SELECT '{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) AS subj,
+               '{BASE_P}in_nation' AS pred,
+               '{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) AS obj,
+               FALSE AS lit
+        FROM customer
+        UNION ALL
+        SELECT '{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR),
+               '{BASE_P}in_region',
+               '{BASE_E}reg:' || CAST(n_regionkey AS VARCHAR),
+               FALSE
+        FROM nation
+        UNION ALL
+        SELECT '{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR),
+               '{BASE_P}label',
+               n_name || ' "r\\' || CAST(n_regionkey AS VARCHAR) || '"',
+               TRUE
+        FROM nation),
+      r AS (
+        SELECT subj, pred,
+               CASE WHEN lit THEN '"' || {esc} || '"'
+                    ELSE '{{"@id":"' || obj || '"}}' END AS rend
+        FROM t),
+      pp AS (
+        SELECT subj, pred,
+               '"' || pred || '":[' ||
+               string_agg(rend, ',' ORDER BY rend) || ']' AS frag
+        FROM r GROUP BY subj, pred)
+      SELECT subj, CAST(count(*) AS BIGINT) AS n_preds,
+             '{{"@id":"' || subj || '",' ||
+             string_agg(frag, ',' ORDER BY pred) || '}}' AS doc
+      FROM pp GROUP BY subj
+    """
 
 
 def detect_conflicts(triples: DataFrame,
@@ -2201,6 +2352,7 @@ def kgexport_queries() -> dict:
     return {
         "kg_ntriples": kg_ntriples,
         "kg_turtle": kg_turtle,
+        "kg_jsonld": kg_jsonld,
         "kg_bgp_2hop": kg_bgp_2hop,
         "kg_type_check": kg_type_check,
         "kg_conflict": kg_conflict,
@@ -2230,6 +2382,7 @@ def kgexport_oracle_sql() -> dict[str, str]:
         "kg_fusion": kg_fusion_sql(),
         "kg_ntriples": kg_ntriples_sql(),
         "kg_turtle": kg_turtle_sql(),
+        "kg_jsonld": kg_jsonld_sql(),
         "kg_bgp_2hop": kg_bgp_2hop_sql(),
         "kg_type_check": kg_type_check_sql(),
         "kg_temporal_diff": kg_temporal_diff_sql(),

@@ -212,6 +212,14 @@ def test_kg_tools_exports_and_snapshots(cli, spark):
     edges = triples.select("subj", "pred", "obj")
     ep = f"{ROOT}/kt_edges"
     edges.write.mode("overwrite").parquet(ep)
+    res = cli("kg_tools", [
+        "--op", "jsonld", "--edges", ep, "--out", f"{ROOT}/kt_jsonld",
+    ])
+    assert res["rows"] == 2  # one JSON-Lines doc per distinct subject
+    import json
+
+    for r in spark.read.text(f"{ROOT}/kt_jsonld").collect():
+        assert json.loads(r["value"])["@id"].startswith("urn:kg:e:")
     delta = spark.createDataFrame(
         [("add", "e3", "rel", "e4")], ["op", "subj", "pred", "obj"]
     )

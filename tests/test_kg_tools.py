@@ -81,3 +81,30 @@ def test_export_edges_turtle_blocks_group_and_escape(spark):
         "  <urn:kg:p:p2> <urn:kg:e:x> ."
     )
     assert rows["<urn:kg:e:c>"]["block"].endswith(" .")
+
+
+def test_export_edges_jsonld_documents_parse_and_group(spark):
+    """JSON-LD export: one self-contained JSON document per subject,
+    predicates and values sorted, IRIs url_encoded bare (no angle
+    brackets — JSON-LD keys), every doc valid JSON."""
+    import json
+
+    from mxsparkg.kgexport import export_edges_jsonld
+
+    edges = spark.createDataFrame(
+        [("a b", "p2", "x"), ("a b", "p1", "y"), ("c", "p1", "x")],
+        "subj string, pred string, obj string",
+    )
+    rows = {r["subj"]: r for r in export_edges_jsonld(edges).collect()}
+    assert set(rows) == {"urn:kg:e:a+b", "urn:kg:e:c"}
+    ab = rows["urn:kg:e:a+b"]
+    assert ab["n_preds"] == 2
+    node = json.loads(ab["doc"])
+    assert node == {
+        "@id": "urn:kg:e:a+b",
+        "urn:kg:p:p1": [{"@id": "urn:kg:e:y"}],
+        "urn:kg:p:p2": [{"@id": "urn:kg:e:x"}],
+    }
+    # key order in the serialized text is the sorted predicate order
+    assert ab["doc"].index("p1") < ab["doc"].index("p2")
+    assert json.loads(rows["urn:kg:e:c"]["doc"])["@id"] == "urn:kg:e:c"

@@ -315,3 +315,40 @@ def test_nquads_provenance_lines(spark):
     for ln in lines:
         assert ln.count(" ") == 4 and ln.endswith(" .")
         assert " <urn:kg:src:" in ln
+
+
+def test_jsonld_round_trips_the_triple_set(spark, sf001):
+    """Every kg_jsonld doc must be valid JSON, and parsing the whole
+    export back must reproduce EXACTLY the triple set it serialized —
+    escaping, grouping, and sorting are all under this certificate."""
+    import json
+
+    from mxsparkg.kgexport import BASE_E, BASE_P, kg_jsonld
+
+    docs = kg_jsonld(spark, sf001).collect()
+    got = set()
+    for r in docs:
+        node = json.loads(r.doc)  # raises on any malformed escape
+        subj = node.pop("@id")
+        assert subj == r.subj
+        assert len(node) == r.n_preds
+        for pred, vals in node.items():
+            assert pred.startswith(BASE_P)
+            assert vals == sorted(vals, key=lambda v: json.dumps(v))
+            for v in vals:
+                if isinstance(v, dict):
+                    got.add((subj, pred, v["@id"], False))
+                else:
+                    got.add((subj, pred, v, True))
+    cust = spark.read.parquet(f"{sf001}/customer.parquet").collect()
+    nat = spark.read.parquet(f"{sf001}/nation.parquet").collect()
+    want = set()
+    for c in cust:
+        want.add((f"{BASE_E}cust:{c.c_custkey}", f"{BASE_P}in_nation",
+                  f"{BASE_E}nat:{c.c_nationkey}", False))
+    for n in nat:
+        want.add((f"{BASE_E}nat:{n.n_nationkey}", f"{BASE_P}in_region",
+                  f"{BASE_E}reg:{n.n_regionkey}", False))
+        want.add((f"{BASE_E}nat:{n.n_nationkey}", f"{BASE_P}label",
+                  f'{n.n_name} "r\\{n.n_regionkey}"', True))
+    assert got == want
