@@ -1,0 +1,208 @@
+"""Geo distance-join scale exercise (round 5i): the GEO2 grid-probe join
+at 10^6 points, with (1) a closed-form EXACT certificate on an isolated-
+cluster layout and (2) a hot-cell skew study showing how the GEO1/candidate
+planning table picks a radius-matched grid instead of hanging a stage.
+
+Arm 1 — closed form: K clusters of 8 points, centers on a 3-cell-spaced
+grid (clusters can never interact, even via neighbor cells), per-point
+offsets within ±r_c of the center with 8·r_c² ≤ R² — so EVERY intra-
+cluster pair qualifies and NO inter-cluster pair can: the join must
+return exactly K·C(8,2) pairs, all with dist2 ≤ 8·r_c², at any input
+partitioning (xor-fingerprint compared across 7 vs 64 partitions).
+
+Arm 2 — hot cell: 30% of 10^6 points packed into ONE 1-degree cell (a
+"city"), the rest spread over a ~10^5-degree world. At the contract's
+1-degree grid the city cell alone contributes |city|² ≈ 9·10^10 candidate
+rows — computed ANALYTICALLY via geo.candidate_count (the planning query
+over the cell histogram), NOT by running the join. Radius-matching the
+grid (cell = R = 0.005 deg) collapses candidates by ~3 orders of
+magnitude; the join is then run at TWO different radius-compatible cell
+sizes and must produce the identical pair set (count + xor fingerprint) —
+cell size is an execution knob, never a semantics knob.
+
+Appends a markdown section to BENCH/GEO.md and prints one JSON line.
+
+Usage: python jobs/bench_geo.py [--cores 16] [--clusters 125000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+M = 8                 # points per cluster
+R_C = 100_000         # cluster offset radius: 8*R_C^2 <= GEO_R_E6^2
+CITY_FRAC = 0.3
+CITY_R = 5_000        # skew-arm radius 0.005 deg
+WORLD = 100_000_000_000  # skew-arm world span (10^5 degrees)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--clusters", type=int, default=125_000)
+    ap.add_argument("--skew-n", type=int, default=1_000_000)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "GEO.md"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from mxsparkg.geo import GEO_CELL_E6, GEO_R_E6, candidate_count, distance_pairs
+    from mxsparkg.session import get_spark
+
+    assert 8 * R_C * R_C <= GEO_R_E6 * GEO_R_E6
+
+    spark = get_spark(
+        master=f"local[{args.cores}]",
+        shuffle_partitions=max(16, args.cores * 2),
+        app_name="bench-geo",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def h(col, salt, nchars=12):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(salt)).cast("binary")),
+                1, nchars,
+            ), 16, 10,
+        ).cast("long")
+
+    # ---------------- arm 1: isolated clusters, closed form ----------------
+    n1 = args.clusters * M
+    gw = 350  # cluster-grid width in 3-cell steps
+
+    def cluster_pts(parts: int):
+        r = spark.range(0, n1, 1, parts)
+        center_lat = (F.expr(f"(3 * (id div {M} div {gw}) + 1)")
+                      * GEO_CELL_E6 + GEO_CELL_E6 // 2)
+        center_lon = (F.expr(f"(3 * (id div {M} % {gw}) + 1)")
+                      * GEO_CELL_E6 + GEO_CELL_E6 // 2)
+        return r.select(
+            F.col("id").alias("pid"),
+            (center_lat + h(F.col("id"), ":glat") % (2 * R_C + 1) - R_C)
+            .alias("lat_e6"),
+            (center_lon + h(F.col("id"), ":glon") % (2 * R_C + 1) - R_C)
+            .alias("lon_e6"),
+        )
+
+    expected_pairs = args.clusters * (M * (M - 1) // 2)
+    fps, walls1 = [], []
+    for parts in (7, 64):
+        t0 = time.time()
+        pairs = distance_pairs(cluster_pts(parts), GEO_CELL_E6, GEO_R_E6)
+        row = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("pid_a", "pid_b", "dist2_e6")).alias("fp"),
+            F.max("dist2_e6").alias("maxd2"),
+        ).collect()[0]
+        walls1.append(round(time.time() - t0, 2))
+        assert row.n == expected_pairs, (row.n, expected_pairs)
+        assert row.maxd2 <= 8 * R_C * R_C
+        fps.append(row.fp)
+    assert fps[0] == fps[1], "pair set depends on input partitioning"
+    print(f"[geo] arm1: {expected_pairs} pairs EXACT at both layouts, "
+          f"walls {walls1}", file=sys.stderr)
+
+    # ---------------- arm 2: hot-cell skew ----------------
+    n2 = args.skew_n
+    city_n = int(n2 * CITY_FRAC)
+
+    city_pts = spark.range(0, n2, 1, args.cores * 2).select(
+        F.col("id").alias("pid"),
+        F.when(F.col("id") < city_n, h(F.col("id"), ":clat") % 1_000_000)
+        .otherwise(h(F.col("id"), ":wlat") % WORLD).alias("lat_e6"),
+        F.when(F.col("id") < city_n, h(F.col("id"), ":clon") % 1_000_000)
+        .otherwise(h(F.col("id"), ":wlon") % WORLD).alias("lon_e6"),
+    )
+    city_pts.persist().count()
+
+    cands = {}
+    t0 = time.time()
+    for cell in (GEO_CELL_E6, 2 * CITY_R, CITY_R):
+        cands[cell] = candidate_count(city_pts, cell)
+    plan_wall = round(time.time() - t0, 2)
+    assert cands[GEO_CELL_E6] > city_n * (city_n - 1)  # the mega-cell term
+    assert cands[CITY_R] < cands[GEO_CELL_E6] // 500
+
+    skew = {}
+    for cell in (2 * CITY_R, CITY_R):
+        t0 = time.time()
+        row = distance_pairs(city_pts, cell, CITY_R).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("pid_a", "pid_b", "dist2_e6")).alias("fp"),
+        ).collect()[0]
+        skew[cell] = {"wall": round(time.time() - t0, 2),
+                      "n": row.n, "fp": row.fp}
+    assert skew[CITY_R]["n"] == skew[2 * CITY_R]["n"]
+    assert skew[CITY_R]["fp"] == skew[2 * CITY_R]["fp"]
+    city_pts.unpersist()
+    print(f"[geo] arm2: {skew[CITY_R]['n']} pairs, identical at both cell "
+          f"sizes; candidates {cands}", file=sys.stderr)
+
+    stats = {
+        "ok": True,
+        "arm1_points": n1,
+        "arm1_pairs": expected_pairs,
+        "arm1_walls": walls1,
+        "arm2_points": n2,
+        "arm2_city_points": city_n,
+        "arm2_pairs": skew[CITY_R]["n"],
+        "arm2_candidates": {str(k): v for k, v in cands.items()},
+        "arm2_plan_wall": plan_wall,
+        "arm2_walls": {str(k): v["wall"] for k, v in skew.items()},
+        "cores": args.cores,
+    }
+    print(json.dumps(stats))
+
+    md = f"""# BENCH/GEO — grid-probe distance join at 10^6 points
+
+## Closed-form cluster certificate
+
+{args.clusters} isolated 8-point clusters ({n1} points), cluster
+radius ±{R_C} µdeg (8·r_c² ≤ R²), centers 3 cells apart: the grid-probe
+join must return exactly K·C(8,2) = {expected_pairs} pairs and nothing
+else.
+
+| check | result |
+| --- | --- |
+| pair count | {expected_pairs} EXACT (asserted, both layouts) |
+| max dist² | ≤ 8·r_c² (asserted) |
+| partition invariance | xor fingerprint equal at 7 vs 64 input partitions |
+| wall (local[{args.cores}]) | {min(walls1)}s |
+
+## Hot-cell skew: the planning table picks the grid
+
+{n2} points, {city_n} ({int(CITY_FRAC * 100)}%) packed into ONE
+1-degree cell, radius {CITY_R} µdeg. Candidate rows (Σ n_c·n_3x3nbr)
+computed analytically from the cell histogram (geo.candidate_count,
+{plan_wall}s for all three grids) — the mega-cell shows up as a number,
+not a hung stage:
+
+| grid cell | candidate rows | join wall | pairs |
+| --- | --- | --- | --- |
+| 1 deg (contract default) | {cands[GEO_CELL_E6]:,} | NOT RUN (planner rejects) | — |
+| {2 * CITY_R} µdeg (2×R) | {cands[2 * CITY_R]:,} | {skew[2 * CITY_R]["wall"]}s | {skew[2 * CITY_R]["n"]:,} |
+| {CITY_R} µdeg (= R, radius-matched) | {cands[CITY_R]:,} | {skew[CITY_R]["wall"]}s | {skew[CITY_R]["n"]:,} |
+
+Pair sets at the two executed grids are IDENTICAL (count + xor
+fingerprint asserted): cell size is an execution knob, never a semantics
+knob. The 1-degree grid's ~{cands[GEO_CELL_E6] // max(cands[CITY_R], 1)}×
+candidate blowup is the quadratic mega-cell term |city|² — the reason a
+10^12-point deployment sizes the grid from the GEO1 density table
+(radius-matched cells, or salted sub-splitting of residual hot cells via
+the join_salted machinery) before launching the join.
+
+Regenerate: `python jobs/bench_geo.py --cores {args.cores}`
+"""
+    with open(args.out, "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # World is a 40x40-degree region in integer microdegrees: at sf0.01's 10k
@@ -83,6 +83,99 @@ _OFFSETS_CTE = """offsets AS (
   FROM (VALUES (-1), (0), (1)) dx(dx), (VALUES (-1), (0), (1)) dy(dy))"""
 
 
+# ------------------------------------------------------- generic engine --
+
+def _with_cells(pts: DataFrame, cell_e6: int) -> DataFrame:
+    return pts.select(
+        "pid", "lat_e6", "lon_e6",
+        F.expr(f"lat_e6 div {cell_e6}").alias("cell_y"),
+        F.expr(f"lon_e6 div {cell_e6}").alias("cell_x"),
+    )
+
+
+def _probe_side(cells: DataFrame) -> DataFrame:
+    return cells.select(
+        F.col("pid").alias("pid_a"),
+        F.col("lat_e6").alias("lat_a"),
+        F.col("lon_e6").alias("lon_a"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cell_x") + dx).alias("cell_x"),
+                    (F.col("cell_y") + dy).alias("cell_y"),
+                )
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            ])
+        ).alias("probe"),
+    ).select("pid_a", "lat_a", "lon_a", "probe.cell_x", "probe.cell_y")
+
+
+def _d2() -> Column:
+    # built lazily: constructing Columns needs an active session
+    return (
+        (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
+        + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    )
+
+
+def distance_pairs(pts: DataFrame, cell_e6: int, r_e6: int) -> DataFrame:
+    """All unordered pairs of `pts` (pid, lat_e6, lon_e6) within r_e6,
+    via the 3x3 grid probe (requires r_e6 <= cell_e6 for completeness —
+    asserted). Returns (pid_a, pid_b, dist2_e6) with pid_a < pid_b,
+    each qualifying pair exactly once. The generic engine behind the
+    geo_join_cell gate key and jobs/bench_geo.py's scale exercises."""
+    assert r_e6 <= cell_e6, "3x3 probe incomplete when radius > cell"
+    cells = _with_cells(pts, cell_e6)
+    return (
+        _probe_side(cells).join(
+            cells.select(
+                F.col("pid").alias("pid_b"),
+                F.col("lat_e6").alias("lat_b"),
+                F.col("lon_e6").alias("lon_b"),
+                "cell_x", "cell_y",
+            ),
+            ["cell_x", "cell_y"],
+        )
+        .filter(F.col("pid_a") < F.col("pid_b"))
+        .withColumn("dist2_e6", _d2())
+        .filter(F.col("dist2_e6") <= r_e6 * r_e6)
+        .select("pid_a", "pid_b", "dist2_e6")
+    )
+
+
+def candidate_count(pts: DataFrame, cell_e6: int) -> int:
+    """Number of candidate rows the probe join would feed the distance
+    filter at this cell size, computed ANALYTICALLY from the cell
+    histogram (Σ over cells of n_c · Σ_{3x3 nbrs} n_nbr — including the
+    cell itself) without running the join. This is the planning query a
+    spatial engine runs over the GEO1 density table before picking a
+    grid: a mega-cell's quadratic term shows up here as a number, not as
+    a hung stage."""
+    hist = (
+        _with_cells(pts, cell_e6)
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = hist.select(
+        F.col("n").alias("n_a"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cell_x") + dx).alias("cell_x"),
+                    (F.col("cell_y") + dy).alias("cell_y"),
+                )
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            ])
+        ).alias("probe"),
+    ).select("n_a", "probe.cell_x", "probe.cell_y")
+    row = (
+        probes.join(hist, ["cell_x", "cell_y"])
+        .agg(F.sum(F.col("n_a") * F.col("n")).alias("cand"))
+        .collect()[0]
+    )
+    return int(row.cand)
+
+
 # ------------------------------------------------------------------ keys --
 
 def geo_cell_assign(spark: SparkSession, sf: str) -> DataFrame:
@@ -121,41 +214,11 @@ def geo_join_cell(spark: SparkSession, sf: str) -> DataFrame:
     mirrored (b probes a) hit. The join is a plain equi-join on
     (cell_x, cell_y) — shuffle-partitioned by cell, broadcastable when
     one side is a small query set, salt-able when a cell is hot. The
-    distance test is exact integer squared-euclidean microdegrees."""
-    pts = _points(spark, sf)
-    probes = pts.select(
-        F.col("pid").alias("pid_a"),
-        F.col("lat_e6").alias("lat_a"),
-        F.col("lon_e6").alias("lon_a"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    (F.col("cell_x") + dx).alias("cell_x"),
-                    (F.col("cell_y") + dy).alias("cell_y"),
-                )
-                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-            ])
-        ).alias("probe"),
-    ).select("pid_a", "lat_a", "lon_a", "probe.cell_x", "probe.cell_y")
-    d2 = (
-        (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
-        + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
-    )
-    return (
-        probes.join(
-            pts.select(
-                F.col("pid").alias("pid_b"),
-                F.col("lat_e6").alias("lat_b"),
-                F.col("lon_e6").alias("lon_b"),
-                "cell_x", "cell_y",
-            ),
-            ["cell_x", "cell_y"],
-        )
-        .filter(F.col("pid_a") < F.col("pid_b"))
-        .withColumn("dist2_e6", d2)
-        .filter(F.col("dist2_e6") <= GEO_R_E6 * GEO_R_E6)
-        .select("pid_a", "pid_b", "dist2_e6")
-    )
+    distance test is exact integer squared-euclidean microdegrees.
+    Thin wrapper over distance_pairs — the generic engine shared with
+    jobs/bench_geo.py's 10^6-point scale exercises."""
+    pts = _points(spark, sf).select("pid", "lat_e6", "lon_e6")
+    return distance_pairs(pts, GEO_CELL_E6, GEO_R_E6)
 
 
 def geo_join_cell_sql() -> str:
@@ -184,28 +247,12 @@ def geo_knn_cell(spark: SparkSession, sf: str) -> DataFrame:
     the candidate set, partitioned by point — per-partition state is the
     3x3 occupancy, never the corpus. Ties break on neighbor pid, so the
     result is deterministic in both engines."""
-    pts = _points(spark, sf)
-    probes = pts.select(
-        F.col("pid").alias("pid_a"),
-        F.col("lat_e6").alias("lat_a"),
-        F.col("lon_e6").alias("lon_a"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    (F.col("cell_x") + dx).alias("cell_x"),
-                    (F.col("cell_y") + dy).alias("cell_y"),
-                )
-                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-            ])
-        ).alias("probe"),
-    ).select("pid_a", "lat_a", "lon_a", "probe.cell_x", "probe.cell_y")
-    d2 = (
-        (F.col("lat_a") - F.col("lat_b")) * (F.col("lat_a") - F.col("lat_b"))
-        + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    cells = _with_cells(
+        _points(spark, sf).select("pid", "lat_e6", "lon_e6"), GEO_CELL_E6
     )
     cand = (
-        probes.join(
-            pts.select(
+        _probe_side(cells).join(
+            cells.select(
                 F.col("pid").alias("pid_b"),
                 F.col("lat_e6").alias("lat_b"),
                 F.col("lon_e6").alias("lon_b"),
@@ -214,7 +261,7 @@ def geo_knn_cell(spark: SparkSession, sf: str) -> DataFrame:
             ["cell_x", "cell_y"],
         )
         .filter(F.col("pid_a") != F.col("pid_b"))
-        .withColumn("dist2_e6", d2)
+        .withColumn("dist2_e6", _d2())
     )
     w = Window.partitionBy("pid_a").orderBy("dist2_e6", "pid_b")
     return (
