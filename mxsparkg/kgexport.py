@@ -1137,6 +1137,188 @@ def kg_jsonld_sql() -> str:
     """
 
 
+# --- literal normalization: the production step right after extraction ---
+# A web KG's object literals arrive as surface strings ("3.05 km",
+# "5 March 1998"); before fusion/conflict-detection they must be
+# canonicalized, or the same fact from two pages reads as two facts.
+# Both normalizers run on the portable built-in subset (printf-style
+# formatting, Java-regex ∩ RE2 patterns, integer arithmetic only — no
+# float parsing, no locale functions), so Spark and DuckDB agree
+# bit-for-bit and the gate certifies the WHOLE parse→normalize chain.
+
+_UNIT_UM = {"mm": 1, "cm": 10, "m": 1_000, "km": 1_000_000}
+_UNITS = list(_UNIT_UM)         # planted unit cycle, index by key mod 4
+_QTY_RE = r"^([0-9]+)\.([0-9]{2}) ([a-z]+)$"
+_MONTHS = ["January", "February", "March", "April", "May", "June",
+           "July", "August", "September", "October", "November",
+           "December"]
+_DATE_RE = r"^([0-9]{1,2}) ([A-Za-z]+) ([0-9]{4})$"
+
+
+def kg_literal_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Measurement-literal normalization: parse '<int>.<2dp> <unit>'
+    strings (planted deterministically from lineitem — value from
+    l_quantity/l_partkey, unit cycling mm/cm/m/km, every 37th literal
+    corrupted with a prefix to exercise the reject arm) and normalize to
+    exact integer MICROMETERS: si_um = (whole·1000 + frac·10) · um-per-
+    milliunit. Zero floats anywhere — '3.05' is parsed as two integer
+    regex groups, never as a double, so there is no representability
+    drift between engines. Malformed literals surface with parsed=0 and
+    NULL si (kept, not dropped — a fusion pass needs to see them)."""
+    li = _t(spark, sf, "lineitem")
+    unit = F.element_at(
+        F.array(*[F.lit(u) for u in _UNITS]),
+        (F.col("l_partkey") % 4 + 1).cast("int"),
+    )
+    raw_core = F.format_string(
+        "%d.%02d %s",
+        F.col("l_quantity").cast("long"),
+        F.col("l_partkey") % 100,
+        unit,
+    )
+    lit_id = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    raw = F.when(lit_id % 37 == 0, F.concat(F.lit("approx "), raw_core)) \
+        .otherwise(raw_core)
+    g = lambda i: F.regexp_extract(F.col("raw"), _QTY_RE, i)  # noqa: E731
+    factor = F.create_map(
+        *[F.lit(x) for kv in _UNIT_UM.items() for x in kv]
+    )[F.col("unit")]
+    return (
+        li.select(lit_id.alias("lit_id"), raw.alias("raw"))
+        .withColumn("unit", g(3))
+        .withColumn(
+            "qty_milli",
+            F.when(
+                g(1) != "",
+                g(1).cast("long") * 1000 + g(2).cast("long") * 10,
+            ),
+        )
+        .select(
+            "lit_id", "raw",
+            F.coalesce(
+                (F.col("qty_milli").isNotNull()
+                 & factor.isNotNull()).cast("int"),
+                F.lit(0),
+            ).alias("parsed"),
+            F.when(F.col("unit") != "", F.col("unit")).alias("unit"),
+            "qty_milli",
+            (F.col("qty_milli") * factor).alias("si_um"),
+        )
+    )
+
+
+def kg_literal_norm_sql() -> str:
+    units = ", ".join(f"'{u}'" for u in _UNITS)
+    fac = " ".join(
+        f"WHEN '{u}' THEN {f}" for u, f in _UNIT_UM.items()
+    )
+    return f"""
+      WITH planted AS (
+        SELECT l_orderkey * 8 + l_linenumber AS lit_id,
+               CASE WHEN (l_orderkey * 8 + l_linenumber) % 37 = 0
+                    THEN 'approx ' ELSE '' END ||
+               printf('%d.%02d %s',
+                      CAST(l_quantity AS BIGINT),
+                      l_partkey % 100,
+                      [{units}][CAST(l_partkey % 4 AS INT) + 1]) AS raw
+        FROM lineitem),
+      parsed AS (
+        SELECT lit_id, raw,
+               regexp_extract(raw, '{_QTY_RE}', 1) AS g1,
+               regexp_extract(raw, '{_QTY_RE}', 2) AS g2,
+               regexp_extract(raw, '{_QTY_RE}', 3) AS g3
+        FROM planted)
+      SELECT lit_id, raw,
+             CASE WHEN g1 <> '' AND (CASE g3 {fac} END) IS NOT NULL
+                  THEN 1 ELSE 0 END AS parsed,
+             CASE WHEN g3 <> '' THEN g3 END AS unit,
+             CASE WHEN g1 <> ''
+                  THEN g1::BIGINT * 1000 + g2::BIGINT * 10 END AS qty_milli,
+             CASE WHEN g1 <> ''
+                  THEN (g1::BIGINT * 1000 + g2::BIGINT * 10)
+                       * (CASE g3 {fac} END) END AS si_um
+      FROM parsed
+    """
+
+
+def kg_date_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-literal normalization: parse '<d> <MonthName> <yyyy>' surface
+    strings (planted from l_shipdate via an explicit month-name CASE map
+    — no locale-dependent formatter in either engine) back to ISO
+    'yyyy-mm-dd', month resolved case-insensitively against the same
+    12-entry map. The gate certifies round-trip identity: normalized ==
+    the ISO form of the source date for every parseable literal."""
+    li = _t(spark, sf, "lineitem")
+    mname = F.element_at(
+        F.array(*[F.lit(m) for m in _MONTHS]),
+        F.month("l_shipdate"),
+    )
+    lit_id = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    raw = F.format_string(
+        "%d %s %d", F.dayofmonth("l_shipdate"), mname, F.year("l_shipdate")
+    )
+    g = lambda i: F.regexp_extract(F.col("raw"), _DATE_RE, i)  # noqa: E731
+    mnum = F.create_map(
+        *[F.lit(x) for m, i in zip(_MONTHS, range(1, 13))
+          for x in (m.lower(), i)]
+    )[F.lower(g(2))]
+    return (
+        li.select(
+            lit_id.alias("lit_id"),
+            raw.alias("raw"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("want_iso"),
+        )
+        .withColumn("mnum", mnum)
+        .select(
+            "lit_id", "raw",
+            F.coalesce(
+                (F.col("mnum").isNotNull()).cast("int"), F.lit(0)
+            ).alias("parsed"),
+            F.when(
+                F.col("mnum").isNotNull(),
+                F.format_string(
+                    "%04d-%02d-%02d",
+                    g(3).cast("int"), F.col("mnum"), g(1).cast("int"),
+                ),
+            ).alias("iso"),
+            "want_iso",
+        )
+    )
+
+
+def kg_date_norm_sql() -> str:
+    mnames = ", ".join(f"'{m}'" for m in _MONTHS)
+    mmap = " ".join(
+        f"WHEN '{m.lower()}' THEN {i}"
+        for i, m in enumerate(_MONTHS, start=1)
+    )
+    return f"""
+      WITH planted AS (
+        SELECT l_orderkey * 8 + l_linenumber AS lit_id,
+               printf('%d %s %d',
+                      CAST(date_part('day', l_shipdate) AS BIGINT),
+                      [{mnames}][CAST(date_part('month', l_shipdate)
+                                      AS INT)],
+                      CAST(date_part('year', l_shipdate) AS BIGINT)) AS raw,
+               strftime(l_shipdate, '%Y-%m-%d') AS want_iso
+        FROM lineitem),
+      parsed AS (
+        SELECT lit_id, raw, want_iso,
+               regexp_extract(raw, '{_DATE_RE}', 1) AS g1,
+               CASE lower(regexp_extract(raw, '{_DATE_RE}', 2))
+                    {mmap} END AS mnum,
+               regexp_extract(raw, '{_DATE_RE}', 3) AS g3
+        FROM planted)
+      SELECT lit_id, raw,
+             CASE WHEN mnum IS NOT NULL THEN 1 ELSE 0 END AS parsed,
+             CASE WHEN mnum IS NOT NULL
+                  THEN printf('%04d-%02d-%02d',
+                              g3::INT, mnum, g1::INT) END AS iso,
+             want_iso
+      FROM parsed
+    """
+
+
 def detect_conflicts(triples: DataFrame,
                      functional_preds: list[str] | None = None) -> DataFrame:
     """Production functional-property conflict report over a pipeline
@@ -2353,6 +2535,8 @@ def kgexport_queries() -> dict:
         "kg_ntriples": kg_ntriples,
         "kg_turtle": kg_turtle,
         "kg_jsonld": kg_jsonld,
+        "kg_literal_norm": kg_literal_norm,
+        "kg_date_norm": kg_date_norm,
         "kg_bgp_2hop": kg_bgp_2hop,
         "kg_type_check": kg_type_check,
         "kg_conflict": kg_conflict,
@@ -2383,6 +2567,8 @@ def kgexport_oracle_sql() -> dict[str, str]:
         "kg_ntriples": kg_ntriples_sql(),
         "kg_turtle": kg_turtle_sql(),
         "kg_jsonld": kg_jsonld_sql(),
+        "kg_literal_norm": kg_literal_norm_sql(),
+        "kg_date_norm": kg_date_norm_sql(),
         "kg_bgp_2hop": kg_bgp_2hop_sql(),
         "kg_type_check": kg_type_check_sql(),
         "kg_temporal_diff": kg_temporal_diff_sql(),

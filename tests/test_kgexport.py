@@ -352,3 +352,35 @@ def test_jsonld_round_trips_the_triple_set(spark, sf001):
         want.add((f"{BASE_E}nat:{n.n_nationkey}", f"{BASE_P}label",
                   f'{n.n_name} "r\\{n.n_regionkey}"', True))
     assert got == want
+
+
+def test_literal_norm_parses_and_rejects(spark, sf001):
+    """Unit normalization: every well-formed literal lands in exact
+    integer micrometers (si_um = qty_milli x um-factor), every corrupted
+    literal (the %37 plant) survives with parsed=0 and NULL si."""
+    from mxsparkg.kgexport import _UNIT_UM, kg_literal_norm
+
+    rows = kg_literal_norm(spark, sf001).collect()
+    assert rows
+    seen_units = set()
+    for r in rows:
+        if r.lit_id % 37 == 0:
+            assert r.parsed == 0 and r.si_um is None, r
+            assert r.raw.startswith("approx ")
+        else:
+            assert r.parsed == 1, r
+            assert r.si_um == r.qty_milli * _UNIT_UM[r.unit], r
+            seen_units.add(r.unit)
+    assert seen_units == set(_UNIT_UM)
+
+
+def test_date_norm_round_trips_iso(spark, sf001):
+    """Date normalization: parsing the planted '<d> <Month> <yyyy>'
+    surface form reproduces the source date's ISO form exactly."""
+    from mxsparkg.kgexport import kg_date_norm
+
+    rows = kg_date_norm(spark, sf001).collect()
+    assert rows
+    for r in rows:
+        assert r.parsed == 1
+        assert r.iso == r.want_iso, r
