@@ -175,7 +175,13 @@ def headline_queries() -> dict:
               "crawl_robots",
               # round-5h video tier: AVI demux + k-th-frame sample +
               # JPEG entropy decode of sampled frames (mapInPandas)
-              "mm_video_frames"):
+              "mm_video_frames",
+              # round-5i batch: the grid-probe spatial self-join (explode
+              # x9 + cell equi-join + integer distance filter), the KMV
+              # set-expression epilogue (two bottom-k sketch builds +
+              # model-sized merge), and the JSON-LD export (two-level
+              # sorted string assembly over the customer KG slice)
+              "geo_join_cell", "sketch_kmv_jaccard", "kg_jsonld"):
         if k in q:
             out[k] = q[k]
     out["kg_detect"] = _kg_detect

@@ -39,6 +39,14 @@ from pyspark.sql import functions as F
 GEO_WORLD_E6 = 40_000_001   # modulus: coordinates in [0, 40_000_000]
 GEO_CELL_E6 = 1_000_000     # 1-degree grid cells
 GEO_R_E6 = 300_000          # pair-join radius 0.3 deg (< cell ⇒ 3x3 sound)
+# The pair join runs on its own RADIUS-MATCHED grid (cell = R): candidate
+# rows scale with 9·cell²·density, so a 1-degree grid would feed the
+# distance filter ~11x more candidates than the 0.3-degree one for the
+# same (provably identical — see jobs/bench_geo.py) pair set. kNN and the
+# density table keep the coarser 1-degree cell: kNN WANTS the bigger 3x3
+# window (more candidates = closer true neighbors), and the density table
+# is the human-scale planning view.
+GEO_PAIR_CELL_E6 = 300_000
 GEO_KNN_K = 3               # neighbors kept per point
 
 
@@ -65,7 +73,8 @@ def _points(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_PTS_CTE = f"""pts AS (
+def _pts_cte(cell_e6: int = GEO_CELL_E6) -> str:
+    return f"""pts AS (
   SELECT event_id AS pid,
          ('0x' || substr(md5(event_id::VARCHAR || ':geo'), 1, 12))::BIGINT
            % {GEO_WORLD_E6} AS lat_e6,
@@ -74,9 +83,12 @@ _PTS_CTE = f"""pts AS (
   FROM events),
 cells AS (
   SELECT pid, lat_e6, lon_e6,
-         lat_e6 // {GEO_CELL_E6} AS cell_y,
-         lon_e6 // {GEO_CELL_E6} AS cell_x
+         lat_e6 // {cell_e6} AS cell_y,
+         lon_e6 // {cell_e6} AS cell_x
   FROM pts)"""
+
+
+_PTS_CTE = _pts_cte()
 
 _OFFSETS_CTE = """offsets AS (
   SELECT dx.dx, dy.dy
@@ -218,11 +230,11 @@ def geo_join_cell(spark: SparkSession, sf: str) -> DataFrame:
     Thin wrapper over distance_pairs — the generic engine shared with
     jobs/bench_geo.py's 10^6-point scale exercises."""
     pts = _points(spark, sf).select("pid", "lat_e6", "lon_e6")
-    return distance_pairs(pts, GEO_CELL_E6, GEO_R_E6)
+    return distance_pairs(pts, GEO_PAIR_CELL_E6, GEO_R_E6)
 
 
 def geo_join_cell_sql() -> str:
-    return f"""WITH {_PTS_CTE},
+    return f"""WITH {_pts_cte(GEO_PAIR_CELL_E6)},
 {_OFFSETS_CTE}
 SELECT a.pid AS pid_a, b.pid AS pid_b,
        (a.lat_e6 - b.lat_e6) * (a.lat_e6 - b.lat_e6)

@@ -9,8 +9,8 @@ from __future__ import annotations
 import duckdb
 
 from mxsparkg.geo import (
-    GEO_CELL_E6,
     GEO_KNN_K,
+    GEO_PAIR_CELL_E6,
     GEO_R_E6,
     _PTS_CTE,
     geo_join_cell,
@@ -42,7 +42,8 @@ def _brute_pairs():
 
 def test_bucketed_join_equals_brute_force(spark):
     # R <= CELL is the precondition that makes the 3x3 probe complete
-    assert GEO_R_E6 <= GEO_CELL_E6
+    # (the pair join runs on its radius-matched grid)
+    assert GEO_R_E6 <= GEO_PAIR_CELL_E6
     got = {
         (r.pid_a, r.pid_b): r.dist2_e6
         for r in geo_join_cell(spark, SF).collect()
