@@ -436,6 +436,93 @@ def start_media_dedup_stream(
     )
 
 
+def start_geo_match_stream(
+    point_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cell_e6: int | None = None,
+    r_e6: int | None = None,
+) -> StreamingQuery:
+    """Streaming proximity matcher — geofencing / POI conflation on a
+    point feed (pid, lat_e6, lon_e6): every incoming point is matched
+    against ALL points ever ingested, within radius r_e6, via the same
+    grid-probe join the batch geo tier uses (mxsparkg/geo.py). Three
+    layers per micro-batch, the start_media_dedup_stream shape:
+
+    - vs the INDEX: the new batch's 3x3 cell probes equi-join the
+      index's (pid, coords, cell) parquet — a plain batch hash join per
+      micro-batch, zero streaming state, index arbitrarily large;
+    - WITHIN the batch: geo.distance_pairs over the batch itself;
+    - the batch's points + cells APPEND to the index, so later batches
+      match against earlier ones exactly once.
+
+    Every qualifying pair therefore surfaces EXACTLY once regardless of
+    how the feed is sliced into micro-batches, and the emitted pair set
+    (normalized to pid_lo < pid_hi) equals the batch distance_pairs over
+    the whole feed — stream==batch pytest-pinned across forced
+    micro-batch boundaries. At-least-once append on retry like every
+    foreachBatch sink here; batch_id-keyed output partitions are the
+    documented exactly-once hardening."""
+    from mxsparkg.geo import (
+        GEO_PAIR_CELL_E6,
+        GEO_R_E6,
+        _d2,
+        _probe_side,
+        _with_cells,
+        distance_pairs,
+    )
+
+    cell = GEO_PAIR_CELL_E6 if cell_e6 is None else cell_e6
+    r = GEO_R_E6 if r_e6 is None else r_e6
+    assert r <= cell, "3x3 probe incomplete when radius > cell"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        pts = batch_df.select("pid", "lat_e6", "lon_e6")
+        cells_new = _with_cells(pts, cell).localCheckpoint(eager=True)
+        try:
+            idx = spark.read.parquet(index_dir)
+        except Exception:  # first batch: no index yet
+            idx = None
+        within = distance_pairs(pts, cell, r)
+        pairs = within.select(
+            F.col("pid_a").alias("pid_lo"),
+            F.col("pid_b").alias("pid_hi"),
+            "dist2_e6",
+        )
+        if idx is not None:
+            cross = (
+                _probe_side(cells_new)
+                .join(
+                    idx.select(
+                        F.col("pid").alias("pid_b"),
+                        F.col("lat_e6").alias("lat_b"),
+                        F.col("lon_e6").alias("lon_b"),
+                        "cell_x", "cell_y",
+                    ),
+                    ["cell_x", "cell_y"],
+                )
+                .withColumn("dist2_e6", _d2())
+                .filter(F.col("dist2_e6") <= r * r)
+                .select(
+                    F.least("pid_a", "pid_b").alias("pid_lo"),
+                    F.greatest("pid_a", "pid_b").alias("pid_hi"),
+                    "dist2_e6",
+                )
+            )
+            pairs = pairs.unionByName(cross)
+        pairs.write.mode("append").parquet(out_dir)
+        cells_new.write.mode("append").parquet(index_dir)
+
+    return (
+        point_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def hourly_ingest_stats(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling-window ingest metrics (streaming-native agg): pages and
     hosts per hour of crawl time, watermark-bounded."""

@@ -870,3 +870,54 @@ def test_streaming_frontier_admission_matches_batch(spark):
         for r in robots_admit(batch, rules_df).collect()
     }
     assert got == want
+
+
+def test_streaming_geo_match_equals_batch_pairs(spark):
+    """start_geo_match_stream over forced micro-batch boundaries emits
+    EXACTLY the batch distance_pairs pair set of the whole feed: within-
+    batch pairs from the batch join, cross-batch pairs from the index
+    probe, each exactly once."""
+    from mxsparkg.geo import distance_pairs
+    from mxsparkg.streaming import start_geo_match_stream
+
+    CELL, R = 1000, 1000
+    # three micro-batches with within-batch, cross-batch (adjacent-cell),
+    # and isolated points; coordinates chosen so ties and the R boundary
+    # are exercised (dist == R qualifies)
+    mb = [
+        [(1, 100, 100), (2, 900, 100), (3, 5000, 5000)],
+        [(4, 100, 1100), (5, 50_000, 50_000)],
+        [(6, 900, 1100), (7, 5000, 6000), (8, 99_000, 99_000)],
+    ]
+    root = f"{ROOT}/geo_match"
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/src"
+    for rows in mb:
+        spark.createDataFrame(
+            rows, "pid long, lat_e6 long, lon_e6 long"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("pid long, lat_e6 long, lon_e6 long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_geo_match_stream(
+        stream, f"{root}/index", f"{root}/out", f"{root}/ckpt",
+        cell_e6=CELL, r_e6=R,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pid_lo, r.pid_hi, r.dist2_e6)
+        for r in spark.read.parquet(f"{root}/out").collect()
+    }
+    want = {
+        (r.pid_a, r.pid_b, r.dist2_e6)
+        for r in distance_pairs(
+            spark.read.parquet(src), CELL, R
+        ).collect()
+    }
+    assert got == want
+    assert len(got) >= 3  # within-batch, cross-batch, boundary all present
+    # every point (even isolates) is in the index exactly once
+    idx = spark.read.parquet(f"{root}/index")
+    assert idx.count() == 8 and idx.select("pid").distinct().count() == 8
