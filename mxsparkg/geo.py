@@ -304,11 +304,112 @@ FROM (
 WHERE k <= {GEO_KNN_K}"""
 
 
+# Point-in-region: bounding boxes derived from the nation table (25
+# regions), spans 1..3 degrees per axis — each box covers at most
+# GEO_BBOX_MAX_CELLS cells per axis on the 1-degree grid, so the cover
+# explode is a bounded constant, never data-dependent.
+GEO_BBOX_MAX_SPAN = 3 * GEO_CELL_E6
+GEO_BBOX_MAX_CELLS = GEO_BBOX_MAX_SPAN // GEO_CELL_E6 + 2  # span + partial ends
+
+
+def geo_bbox_join(spark: SparkSession, sf: str) -> DataFrame:
+    """GEO4 point-in-region join — the ASYMMETRIC spatial join beside
+    GEO2's self-join: which points fall inside each region's bounding
+    box (geofence hit-testing, reverse geocoding's first stage). The
+    scalable pattern inverts GEO2's probe: each REGION explodes into the
+    grid cells its box covers (bounded by the box's own size — at most
+    GEO_BBOX_MAX_CELLS² cells here, a constant), the cell list equi-joins
+    the points' cell, and the exact containment test filters the cell-
+    level candidates. Work is Σ points-in-covered-cells — proportional
+    to the answer's neighborhood, never |points| × |regions|; a hot
+    region (continent-sized box) is bounded by its cell count, and a hot
+    CELL rides the same salting story as GEO2. All integer; region
+    boxes md5-derived from nation rows."""
+    nat = spark.read.parquet(f"{sf}/nation.parquet")
+    h1 = F.md5(F.concat(F.col("n_nationkey").cast("string"),
+                        F.lit(":bbox1")).cast("binary"))
+    h2 = F.md5(F.concat(F.col("n_nationkey").cast("string"),
+                        F.lit(":bbox2")).cast("binary"))
+    span = GEO_WORLD_E6 - GEO_BBOX_MAX_SPAN - 1
+    regions = nat.select(
+        F.col("n_nationkey").alias("region_id"),
+        (F.conv(F.substring(h1, 1, 12), 16, 10).cast("long") % span)
+        .alias("x0"),
+        (F.conv(F.substring(h1, 13, 12), 16, 10).cast("long") % span)
+        .alias("y0"),
+        (F.conv(F.substring(h2, 1, 12), 16, 10).cast("long")
+         % (GEO_BBOX_MAX_SPAN - GEO_CELL_E6 + 1) + GEO_CELL_E6)
+        .alias("w"),
+        (F.conv(F.substring(h2, 13, 12), 16, 10).cast("long")
+         % (GEO_BBOX_MAX_SPAN - GEO_CELL_E6 + 1) + GEO_CELL_E6)
+        .alias("h"),
+    ).select(
+        "region_id", "x0", "y0",
+        (F.col("x0") + F.col("w")).alias("x1"),
+        (F.col("y0") + F.col("h")).alias("y1"),
+    )
+    offs = list(range(GEO_BBOX_MAX_CELLS))
+    cover = (
+        regions
+        .withColumn("oi", F.explode(F.array(*[F.lit(i) for i in offs])))
+        .withColumn("oj", F.explode(F.array(*[F.lit(j) for j in offs])))
+        .withColumn("cell_x", F.expr(f"x0 div {GEO_CELL_E6}") + F.col("oi"))
+        .withColumn("cell_y", F.expr(f"y0 div {GEO_CELL_E6}") + F.col("oj"))
+        .filter(
+            (F.col("cell_x") <= F.expr(f"x1 div {GEO_CELL_E6}"))
+            & (F.col("cell_y") <= F.expr(f"y1 div {GEO_CELL_E6}"))
+        )
+        .select("region_id", "x0", "y0", "x1", "y1", "cell_x", "cell_y")
+    )
+    pts = _points(spark, sf)  # carries cell_x/cell_y on the 1-degree grid
+    return (
+        pts.join(cover, ["cell_x", "cell_y"])
+        .filter(
+            (F.col("lon_e6") >= F.col("x0")) & (F.col("lon_e6") <= F.col("x1"))
+            & (F.col("lat_e6") >= F.col("y0")) & (F.col("lat_e6") <= F.col("y1"))
+        )
+        .select("region_id", "pid", "lat_e6", "lon_e6")
+    )
+
+
+def geo_bbox_join_sql() -> str:
+    offs = ", ".join(f"({i})" for i in range(GEO_BBOX_MAX_CELLS))
+    span = GEO_WORLD_E6 - GEO_BBOX_MAX_SPAN - 1
+    wmod = GEO_BBOX_MAX_SPAN - GEO_CELL_E6 + 1
+    return f"""WITH {_PTS_CTE},
+regions AS (
+  SELECT n_nationkey AS region_id,
+         ('0x' || substr(md5(n_nationkey::VARCHAR || ':bbox1'), 1, 12))
+           ::BIGINT % {span} AS x0,
+         ('0x' || substr(md5(n_nationkey::VARCHAR || ':bbox1'), 13, 12))
+           ::BIGINT % {span} AS y0,
+         ('0x' || substr(md5(n_nationkey::VARCHAR || ':bbox2'), 1, 12))
+           ::BIGINT % {wmod} + {GEO_CELL_E6} AS w,
+         ('0x' || substr(md5(n_nationkey::VARCHAR || ':bbox2'), 13, 12))
+           ::BIGINT % {wmod} + {GEO_CELL_E6} AS h
+  FROM nation),
+boxes AS (
+  SELECT region_id, x0, y0, x0 + w AS x1, y0 + h AS y1 FROM regions),
+cover AS (
+  SELECT b.region_id, b.x0, b.y0, b.x1, b.y1,
+         b.x0 // {GEO_CELL_E6} + oi.i AS cell_x,
+         b.y0 // {GEO_CELL_E6} + oj.j AS cell_y
+  FROM boxes b, (VALUES {offs}) oi(i), (VALUES {offs}) oj(j)
+  WHERE b.x0 // {GEO_CELL_E6} + oi.i <= b.x1 // {GEO_CELL_E6}
+    AND b.y0 // {GEO_CELL_E6} + oj.j <= b.y1 // {GEO_CELL_E6})
+SELECT c.region_id, p.pid, p.lat_e6, p.lon_e6
+FROM cells p
+JOIN cover c ON c.cell_x = p.cell_x AND c.cell_y = p.cell_y
+WHERE p.lon_e6 >= c.x0 AND p.lon_e6 <= c.x1
+  AND p.lat_e6 >= c.y0 AND p.lat_e6 <= c.y1"""
+
+
 def geo_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geo_cell_assign": geo_cell_assign,
         "geo_join_cell": geo_join_cell,
         "geo_knn_cell": geo_knn_cell,
+        "geo_bbox_join": geo_bbox_join,
     }
 
 
@@ -317,4 +418,5 @@ def geo_oracle_sql() -> dict[str, str]:
         "geo_cell_assign": geo_cell_assign_sql(),
         "geo_join_cell": geo_join_cell_sql(),
         "geo_knn_cell": geo_knn_cell_sql(),
+        "geo_bbox_join": geo_bbox_join_sql(),
     }

@@ -91,3 +91,54 @@ def test_join_plan_is_equi_not_nested_loop(spark):
     plan = geo_join_cell(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bbox_join_equals_brute_force(spark):
+    """The bounded cell-cover explode must reproduce the all-pairs
+    point-in-box containment exactly (cover completeness: a box's
+    partial edge cells are included)."""
+    from mxsparkg.geo import (
+        GEO_BBOX_MAX_SPAN,
+        GEO_CELL_E6,
+        GEO_WORLD_E6,
+        geo_bbox_join,
+    )
+
+    span = GEO_WORLD_E6 - GEO_BBOX_MAX_SPAN - 1
+    wmod = GEO_BBOX_MAX_SPAN - GEO_CELL_E6 + 1
+    got = {
+        (r.region_id, r.pid) for r in geo_bbox_join(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW nation AS SELECT * FROM "
+        f"read_parquet('{SF}/nation.parquet')"
+    )
+    # strip the cover join down to the brute-force cross test
+    want = {
+        (rid, pid)
+        for rid, pid in con.sql(
+            f"""WITH {_PTS_CTE},
+            regions AS (
+              SELECT n_nationkey AS region_id,
+                     ('0x' || substr(md5(n_nationkey::VARCHAR || ':bbox1'),
+                       1, 12))::BIGINT % {span} AS x0,
+                     ('0x' || substr(md5(n_nationkey::VARCHAR || ':bbox1'),
+                       13, 12))::BIGINT % {span} AS y0,
+                     ('0x' || substr(md5(n_nationkey::VARCHAR || ':bbox2'),
+                       1, 12))::BIGINT % {wmod} + {GEO_CELL_E6} AS w,
+                     ('0x' || substr(md5(n_nationkey::VARCHAR || ':bbox2'),
+                       13, 12))::BIGINT % {wmod} + {GEO_CELL_E6} AS h
+              FROM nation)
+            SELECT r.region_id, p.pid
+            FROM pts p, regions r
+            WHERE p.lon_e6 BETWEEN r.x0 AND r.x0 + r.w
+              AND p.lat_e6 BETWEEN r.y0 AND r.y0 + r.h"""
+        ).fetchall()
+    }
+    assert got == want
+    assert got  # non-vacuous at sf0.001
