@@ -7151,6 +7151,118 @@ def crawl_mime_sniff_sql() -> str:
     """
 
 
+# Public-suffix slice for eTLD+1 extraction: the planted PSL. Real
+# deployments broadcast the full ~9k-entry list; the algebra (longest
+# suffix match + one more label) is identical.
+PSL_SUFFIXES = ["com", "org", "net", "io", "uk", "co.uk", "gov.uk",
+                "au", "com.au"]
+_ETLD_SUBS = ["", "www", "api", "cdn"]
+_ETLD_DOMS = ["example", "shop", "news", "blog", "wiki"]
+_ETLD_SUFS = ["com", "org", "co.uk", "com.au", "io", "gov.uk", "xyz"]
+
+
+def crawl_etld1(spark: SparkSession, sf: str) -> DataFrame:
+    """eTLD+1 (registrable domain) extraction — how a crawler actually
+    groups hosts: politeness, dedup, and authority all key on the
+    REGISTRABLE domain, not the host ('a.shop.co.uk' and 'b.shop.co.uk'
+    are one site; 'co.uk' alone is not a site). Longest-match against
+    the public-suffix list: each host explodes into its ≤3 dot-suffix
+    candidates (bounded by label count, never data-sized), candidates
+    equi-join the broadcast PSL, the longest proper match wins
+    (max_by over suffix label count), and unknown TLDs fall back to the
+    last-label-is-suffix default (the PSL's own rule '*'). Hosts planted
+    from doc_id over sub×domain×suffix cycles, including the unknown
+    'xyz' arm and suffix-only never-registrable cases via the proper-
+    match guard (i < n_labels)."""
+    subs = F.array(*[F.lit(s) for s in _ETLD_SUBS])
+    doms = F.array(*[F.lit(s) for s in _ETLD_DOMS])
+    sufs = F.array(*[F.lit(s) for s in _ETLD_SUFS])
+    hosts = _docs(spark, sf).select(
+        "doc_id",
+        F.concat_ws(
+            ".",
+            F.when(
+                F.element_at(subs, (F.col("doc_id") % 4 + 1).cast("int"))
+                != "",
+                F.element_at(subs, (F.col("doc_id") % 4 + 1).cast("int")),
+            ),
+            F.element_at(doms, (F.col("doc_id") % 5 + 1).cast("int")),
+            F.element_at(sufs, (F.col("doc_id") % 7 + 1).cast("int")),
+        ).alias("host"),
+    ).withColumn("labels", F.split("host", "\\.")) \
+        .withColumn("n", F.size("labels"))
+    psl = spark.createDataFrame(
+        [(s, s.count(".") + 1) for s in PSL_SUFFIXES], "suffix string, sl int"
+    )
+    cand = (
+        hosts
+        .withColumn("ci", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .filter(F.col("ci") < F.col("n"))  # proper suffix: ≥1 label left
+        .withColumn(
+            "cand", F.expr("array_join(slice(labels, -ci, ci), '.')")
+        )
+        .join(F.broadcast(psl), F.col("cand") == F.col("suffix"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("ci"), F.col("cand"))).alias("best"))
+        .select("doc_id", F.col("best.ci").alias("mi"),
+                F.col("best.cand").alias("metld"))
+    )
+    return (
+        hosts.join(cand, "doc_id", "left")
+        .select(
+            "doc_id", "host",
+            F.coalesce(
+                F.col("metld"), F.expr("element_at(labels, -1)")
+            ).alias("etld"),
+            F.coalesce(
+                F.expr("array_join(slice(labels, -(mi + 1), mi + 1), '.')"),
+                F.expr("array_join(slice(labels, -2, 2), '.')"),
+            ).alias("registrable"),
+            F.coalesce(F.col("mi"), F.lit(1)).cast("int")
+            .alias("n_suffix_labels"),
+        )
+    )
+
+
+def crawl_etld1_sql() -> str:
+    subs = ", ".join(f"'{s}'" for s in _ETLD_SUBS)
+    doms = ", ".join(f"'{s}'" for s in _ETLD_DOMS)
+    sufs = ", ".join(f"'{s}'" for s in _ETLD_SUFS)
+    psl = ", ".join(f"('{s}', {s.count('.') + 1})" for s in PSL_SUFFIXES)
+    return f"""
+      WITH hosts AS (
+        SELECT doc_id,
+               array_to_string(list_filter([
+                 [{subs}][CAST(doc_id % 4 AS INT) + 1],
+                 [{doms}][CAST(doc_id % 5 AS INT) + 1],
+                 [{sufs}][CAST(doc_id % 7 AS INT) + 1]
+               ], x -> x <> ''), '.') AS host
+        FROM documents),
+      lab AS (
+        SELECT doc_id, host, string_split(host, '.') AS labels,
+               len(string_split(host, '.')) AS n
+        FROM hosts),
+      cand AS (
+        SELECT l.doc_id, ci.ci,
+               array_to_string(l.labels[-ci.ci:], '.') AS cand
+        FROM lab l, (VALUES (1), (2), (3)) ci(ci)
+        WHERE ci.ci < l.n),
+      matched AS (
+        SELECT c.doc_id,
+               max(c.ci) AS mi,
+               max_by(c.cand, c.ci) AS metld
+        FROM cand c JOIN (VALUES {psl}) p(suffix, sl)
+          ON c.cand = p.suffix
+        GROUP BY c.doc_id)
+      SELECT l.doc_id, l.host,
+             COALESCE(m.metld, l.labels[-1]) AS etld,
+             COALESCE(array_to_string(l.labels[-(m.mi + 1):], '.'),
+                      array_to_string(l.labels[-2:], '.')) AS registrable,
+             CAST(COALESCE(m.mi, 1) AS INT) AS n_suffix_labels
+      FROM lab l LEFT JOIN matched m USING (doc_id)
+    """
+
+
 ROBOTS_UA = "*"   # the agent token our group selection matches
 
 
@@ -8325,6 +8437,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_sitemap": crawl_sitemap,
         "crawl_sitemap_index": crawl_sitemap_index,
         "crawl_mime_sniff": crawl_mime_sniff,
+        "crawl_etld1": crawl_etld1,
         "crawl_redirects": crawl_redirects,
         "crawl_schedule": crawl_schedule,
         "mm_video_frames": mm_video_frames,
@@ -8405,6 +8518,7 @@ def datapipe_oracle_sql() -> dict[str, str]:
         "crawl_sitemap": crawl_sitemap_sql(),
         "crawl_sitemap_index": crawl_sitemap_index_sql(),
         "crawl_mime_sniff": crawl_mime_sniff_sql(),
+        "crawl_etld1": crawl_etld1_sql(),
         "crawl_redirects": crawl_redirects_sql(),
         "crawl_schedule": crawl_schedule_sql(),
         "mm_video_frames": mm_video_frames_sql(),

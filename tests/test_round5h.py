@@ -596,3 +596,27 @@ def test_sitemap_index_recursion_and_shard_assignment(spark, tmp_path):
         h, j = doc % 7, doc % SITEMAP_SHARDS
         assert r.host == f"site{h}"
         assert r.sitemap_url == f"https://site{h}/sm{j}.xml"
+
+
+def test_crawl_etld1_longest_match_and_fallback(spark, sf001):
+    """eTLD+1: multi-label suffixes beat their single-label prefixes
+    (co.uk wins over uk), registrable = one label past the suffix, and
+    unknown TLDs fall back to last-label-is-suffix."""
+    from mxsparkg.datapipe import crawl_etld1
+
+    rows = {r.doc_id: r for r in crawl_etld1(spark, sf001).collect()}
+    assert rows
+    for r in rows.values():
+        labels = r.host.split(".")
+        if r.host.endswith(".co.uk"):
+            assert r.etld == "co.uk" and r.n_suffix_labels == 2
+            assert r.registrable == ".".join(labels[-3:])
+        elif r.host.endswith(".xyz"):
+            # unknown TLD -> default rule: last label is the suffix
+            assert r.etld == "xyz" and r.n_suffix_labels == 1
+            assert r.registrable == ".".join(labels[-2:])
+        # registrable is always etld plus exactly one more label
+        assert r.registrable.endswith("." + r.etld) or r.etld == r.registrable
+        assert r.registrable.count(".") == r.etld.count(".") + 1
+        # the host belongs to its registrable domain
+        assert r.host.endswith(r.registrable)
