@@ -3256,3 +3256,50 @@ def graph_degree_hist(spark, sf):
     )
     return deg.groupBy("deg").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+
+
+TRENDING_K = 3        # items surfaced per day
+
+
+@reg("evt_trending",
+     f"""WITH d AS (
+       SELECT epoch_us(ts) // {_DAY_US} AS day,
+              json_extract(props, '$.k')::INT AS item
+       FROM events),
+     c AS (
+       SELECT day, item, CAST(count(*) AS BIGINT) AS n
+       FROM d GROUP BY day, item)
+     SELECT day, CAST(rnk AS INT) AS rnk, item, n
+     FROM (
+       SELECT day, item, n,
+              row_number() OVER (PARTITION BY day
+                                 ORDER BY n DESC, item) AS rnk
+       FROM c)
+     WHERE rnk <= {TRENDING_K}""")
+def evt_trending(spark, sf):
+    """T43' daily trending items — 'what is hot today', the leaderboard
+    query every feed/search/ops dashboard runs: per-day top-K items
+    (props.k) by event count, rank ties broken on item id so the board
+    is deterministic in both engines. Day indices are exact integer
+    division of the microsecond epoch (the evt_sessionize time base).
+
+    Scale shape: the (day, item) count is ONE map-side-combinable
+    shuffle over the events — the only input-sized pass; the rank window
+    runs on the day×item table (model-sized: days × distinct items, not
+    events), partitioned by day so per-partition state is one day's
+    item census. At 10^12 events with an unbounded item vocabulary the
+    count table itself is the txt_heavy_hitters regime — the MG
+    candidate pass bounds it; here the vocabulary is the planning-table
+    assumption (documented), matching every leaderboard deployment that
+    counts on a bounded catalog."""
+    e = _t(spark, sf, "events").select(
+        F.expr(f"({_FUNNEL_US}) div {_DAY_US}").alias("day"),
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+    )
+    c = e.groupBy("day", "item").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day").orderBy(F.col("n").desc(), "item")
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TRENDING_K)
+        .select("day", "rnk", "item", "n")
+    )
