@@ -43,6 +43,7 @@ def main() -> None:
 
     from mxsparkg.datapipe import (
         CMS_W,
+        KMV_HSPACE,
         cms_point_query,
         cms_sketch,
         hll_estimate,
@@ -50,11 +51,38 @@ def main() -> None:
     )
     from mxsparkg.session import get_spark
 
+    # KMV scale arm: k=1024 (std err ~3.1%) built the PRODUCTION way —
+    # a hash-threshold prefilter (T sized for ~8k expected survivors)
+    # replaces the gate key's global rank window entirely; bottom-k of
+    # the survivors equals bottom-k overall iff survivors >= k (asserted)
+    kmv_k = 1024
+    kmv_t = KMV_HSPACE // n * 8192
+
+    def kmv_bottomk(df) -> list[int]:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv|k"), F.col("id").cast("string"))
+                      .cast("binary")), 1, 15),
+            16, 10,
+        ).cast("long")
+        surv = sorted(
+            r.hval
+            for r in df.select(h.alias("hval"))
+            .filter(F.col("hval") < kmv_t)
+            .distinct()
+            .collect()
+        )
+        assert len(surv) >= kmv_k, (len(surv), kmv_k)
+        return surv[:kmv_k]
+
     hll_runs: list[tuple[int, float]] = []
     cms_runs: list[tuple[int, float]] = []
+    kmv_runs: list[tuple[int, float]] = []
     hll_state = None
     cms_state = None
+    kmv_state = None
     hll_err = 0.0
+    kmv_err = 0.0
     hot_est = 0
     for cores in [int(x) for x in args.cores.split(",")]:
         spark = get_spark(
@@ -105,13 +133,31 @@ def main() -> None:
         else:
             assert cells == cms_state
 
+        t0 = time.time()
+        kmv = kmv_bottomk(base)
+        kmv_wall = time.time() - t0
+        kmv_est = (kmv_k - 1) * KMV_HSPACE // kmv[-1]
+        kmv_err = abs(kmv_est - n) / n
+        assert kmv_err < 4.0 / (kmv_k - 2) ** 0.5, (kmv_est, n)
+        if kmv_state is None:
+            kmv_state = kmv
+        else:
+            assert kmv == kmv_state  # pure function of the value set
+        # lossless merge at scale: bottom-k of the two halves' sketches
+        # == the whole sketch
+        lo = kmv_bottomk(base.filter(F.col("id") < n // 2))
+        hi = kmv_bottomk(base.filter(F.col("id") >= n // 2))
+        assert sorted(set(lo) | set(hi))[:kmv_k] == kmv
+
         hll_runs.append((cores, hll_wall))
         cms_runs.append((cores, cms_wall))
+        kmv_runs.append((cores, kmv_wall))
         print(
             f"[sketch] local[{cores}]: hll {hll_wall:.1f}s "
             f"({n / hll_wall / 1e6:.1f}M rows/s, est err {hll_err:.3%}) "
             f"cms {cms_wall:.1f}s ({n / cms_wall / 1e6:.1f}M rows/s, "
-            f"hot over-est {hot_est - hot_true:,})"
+            f"hot over-est {hot_est - hot_true:,}) "
+            f"kmv {kmv_wall:.1f}s (est err {kmv_err:.3%})"
         )
         spark.stop()
 
@@ -146,6 +192,15 @@ def main() -> None:
             f"\nHLL scaling efficiency local[{c0}]→local[{c1}]: "
             f"{eff:.3f} of ideal."
         )
+    lines.append(
+        f"\nKMV bottom-k (k={kmv_k}, round 5i) built the production "
+        "way — hash-threshold prefilter instead of a global rank window "
+        f"(bottom-k of survivors == bottom-k overall, asserted): "
+        f"estimate err {kmv_err:.2%} (std err ~3.1%), sketch "
+        "parallelism-identical, and the half∪half lossless-merge "
+        "property holds at full scale. Walls: "
+        + ", ".join(f"local[{c}] {w:.1f}s" for c, w in kmv_runs) + "."
+    )
     with open(args.out, "a") as f:
         f.write("\n".join(lines) + "\n")
     print(f"appended to {args.out}")
