@@ -20,7 +20,7 @@ magnitude; the join is then run at TWO different radius-compatible cell
 sizes and must produce the identical pair set (count + xor fingerprint) —
 cell size is an execution knob, never a semantics knob.
 
-Appends a markdown section to BENCH/GEO.md and prints one JSON line.
+Writes BENCH/GEO.md (regenerate semantics) and prints one JSON line.
 
 Usage: python jobs/bench_geo.py [--cores 16] [--clusters 125000]
 """

@@ -7192,7 +7192,7 @@ def crawl_etld1(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumn("labels", F.split("host", "\\.")) \
         .withColumn("n", F.size("labels"))
     psl = spark.createDataFrame(
-        [(s, s.count(".") + 1) for s in PSL_SUFFIXES], "suffix string, sl int"
+        [(s,) for s in PSL_SUFFIXES], "suffix string"
     )
     cand = (
         hosts
@@ -7228,7 +7228,7 @@ def crawl_etld1_sql() -> str:
     subs = ", ".join(f"'{s}'" for s in _ETLD_SUBS)
     doms = ", ".join(f"'{s}'" for s in _ETLD_DOMS)
     sufs = ", ".join(f"'{s}'" for s in _ETLD_SUFS)
-    psl = ", ".join(f"('{s}', {s.count('.') + 1})" for s in PSL_SUFFIXES)
+    psl = ", ".join(f"('{s}')" for s in PSL_SUFFIXES)
     return f"""
       WITH hosts AS (
         SELECT doc_id,
@@ -7251,7 +7251,7 @@ def crawl_etld1_sql() -> str:
         SELECT c.doc_id,
                max(c.ci) AS mi,
                max_by(c.cand, c.ci) AS metld
-        FROM cand c JOIN (VALUES {psl}) p(suffix, sl)
+        FROM cand c JOIN (VALUES {psl}) p(suffix)
           ON c.cand = p.suffix
         GROUP BY c.doc_id)
       SELECT l.doc_id, l.host,
@@ -8296,11 +8296,7 @@ def kmv_sketch(df: DataFrame, key: Column, set_id: str) -> DataFrame:
     that swap); exact-k ranking keeps the oracle form here."""
     from pyspark.sql import Window
 
-    h = (
-        df.select(_kmv_hash(key).alias("hval"))
-        .groupBy("hval").agg(F.count(F.lit(1)).alias("_n"))
-        .select("hval")
-    )
+    h = df.select(_kmv_hash(key).alias("hval")).distinct()
     w = Window.orderBy("hval")
     return (
         h.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -8377,18 +8373,31 @@ def sketch_kmv_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.expr("in_a * in_b")).cast("long").alias("n_both"),
         F.count(F.lit(1)).cast("long").alias("n_rank"),
     )
-    return agg.select(
-        F.lit(KMV_K).alias("k"),
-        F.expr(f"hk div {KMV_HDIV}").alias("hk_ppm"),
-        F.expr(f"CASE WHEN n_rank < {KMV_K} THEN n_rank "
-               f"ELSE {KMV_K - 1} * 1000000 div greatest(hk div {KMV_HDIV}, 1)"
-               " END").alias("est_union"),
-        "n_both",
-        F.expr(f"1000000 * n_both div {KMV_K}").alias("jacc_ppm"),
-        F.expr(f"(1000000 * n_both div {KMV_K}) * "
-               f"(CASE WHEN n_rank < {KMV_K} THEN n_rank "
-               f"ELSE {KMV_K - 1} * 1000000 div greatest(hk div {KMV_HDIV}, 1)"
-               " END) div 1000000").alias("est_intersection"),
+    # Exhaustive regime (n_rank < k: the merged sketch IS the union):
+    # Jaccard's denominator is n_rank and the intersection is n_both,
+    # exactly — honoring the module's |set| < k ⇒ EXACT contract.
+    # Saturated regime: n_rank == k, so n_rank is the right denominator
+    # in both arms; est_intersection in the exhaustive arm is emitted
+    # directly as n_both (not jacc·est/1e6, whose double floor can land
+    # one short). Staged select so the estimator exists ONCE per engine.
+    return (
+        agg.select(
+            F.lit(KMV_K).alias("k"),
+            F.expr(f"hk div {KMV_HDIV}").alias("hk_ppm"),
+            F.expr(f"CASE WHEN n_rank < {KMV_K} THEN n_rank "
+                   f"ELSE {KMV_K - 1} * 1000000"
+                   f" div greatest(hk div {KMV_HDIV}, 1)"
+                   " END").alias("est_union"),
+            "n_both",
+            "n_rank",
+            F.expr("1000000 * n_both div n_rank").alias("jacc_ppm"),
+        )
+        .select(
+            "k", "hk_ppm", "est_union", "n_both", "jacc_ppm",
+            F.expr(f"CASE WHEN n_rank < {KMV_K} THEN n_both "
+                   "ELSE jacc_ppm * est_union div 1000000 END")
+            .alias("est_intersection"),
+        )
     )
 
 
@@ -8410,20 +8419,22 @@ def sketch_kmv_jaccard_sql() -> str:
         SELECT max(hval) AS hk,
                CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
                CAST(count(*) AS BIGINT) AS n_rank
-        FROM merged)
-      SELECT {KMV_K} AS k,
-             hk // {KMV_HDIV} AS hk_ppm,
-             CASE WHEN n_rank < {KMV_K} THEN n_rank
-                  ELSE {KMV_K - 1} * 1000000
-                       // greatest(hk // {KMV_HDIV}, 1) END AS est_union,
-             n_both,
-             1000000 * n_both // {KMV_K} AS jacc_ppm,
-             (1000000 * n_both // {KMV_K}) *
-             (CASE WHEN n_rank < {KMV_K} THEN n_rank
-                   ELSE {KMV_K - 1} * 1000000
-                        // greatest(hk // {KMV_HDIV}, 1) END) // 1000000
+        FROM merged),
+      est AS (
+        SELECT {KMV_K} AS k,
+               hk // {KMV_HDIV} AS hk_ppm,
+               CASE WHEN n_rank < {KMV_K} THEN n_rank
+                    ELSE {KMV_K - 1} * 1000000
+                         // greatest(hk // {KMV_HDIV}, 1) END AS est_union,
+               n_both,
+               n_rank,
+               1000000 * n_both // n_rank AS jacc_ppm
+        FROM agg)
+      SELECT k, hk_ppm, est_union, n_both, jacc_ppm,
+             CASE WHEN n_rank < {KMV_K} THEN n_both
+                  ELSE jacc_ppm * est_union // 1000000 END
                AS est_intersection
-      FROM agg
+      FROM est
     """
 
 

@@ -105,20 +105,26 @@ def _with_cells(pts: DataFrame, cell_e6: int) -> DataFrame:
     )
 
 
+def _nbr_cells() -> Column:
+    # the 3x3 neighborhood, defined ONCE: candidate_count must predict
+    # exactly the window the probe join uses
+    return F.explode(
+        F.array(*[
+            F.struct(
+                (F.col("cell_x") + dx).alias("cell_x"),
+                (F.col("cell_y") + dy).alias("cell_y"),
+            )
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])
+    )
+
+
 def _probe_side(cells: DataFrame) -> DataFrame:
     return cells.select(
         F.col("pid").alias("pid_a"),
         F.col("lat_e6").alias("lat_a"),
         F.col("lon_e6").alias("lon_a"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    (F.col("cell_x") + dx).alias("cell_x"),
-                    (F.col("cell_y") + dy).alias("cell_y"),
-                )
-                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-            ])
-        ).alias("probe"),
+        _nbr_cells().alias("probe"),
     ).select("pid_a", "lat_a", "lon_a", "probe.cell_x", "probe.cell_y")
 
 
@@ -170,15 +176,7 @@ def candidate_count(pts: DataFrame, cell_e6: int) -> int:
     )
     probes = hist.select(
         F.col("n").alias("n_a"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    (F.col("cell_x") + dx).alias("cell_x"),
-                    (F.col("cell_y") + dy).alias("cell_y"),
-                )
-                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-            ])
-        ).alias("probe"),
+        _nbr_cells().alias("probe"),
     ).select("n_a", "probe.cell_x", "probe.cell_y")
     row = (
         probes.join(hist, ["cell_x", "cell_y"])

@@ -1016,6 +1016,12 @@ def to_jsonld(
     N-Triples one (backslash-first, then quote/newline/CR/tab), so
     escape_literal is reused — one discipline, three surfaces.
 
+    PRECONDITION: subject/predicate/IRI-object strings are emitted into
+    JSON verbatim, so they must already be JSON-clean — i.e. IRIs in a
+    quote/backslash-free encoding (export_edges_jsonld url_encodes them;
+    the gate slice's urn:kg: IRIs are clean by construction). Only the
+    LITERAL arm is escaped.
+
     Determinism + scale shape mirrors to_turtle: predicates within a node
     and values within a predicate are sorted (collect_list order is
     partition-dependent; sort_array is the bit-stability guarantee), both

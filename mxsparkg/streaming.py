@@ -394,12 +394,18 @@ def start_media_dedup_stream(
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         fp = fp_fn(batch_df)
         try:
             idx = spark.read.parquet(index_dir)
-        except Exception:  # first batch: no index yet
+        except AnalysisException:  # first batch: index path not created yet
             idx = None
+        # any other failure propagates: a transient index-read error must
+        # fail (and retry) the batch, not silently skip the cross-batch
+        # screen (a re-delivered doc is already idempotent here — it
+        # Hamming-0 matches its own indexed fingerprint and drops)
         if idx is not None:
             ham = sum(
                 F.bit_count(F.col(f"f.b{i}").bitwiseXOR(F.col(f"x.b{i}")))
@@ -478,13 +484,22 @@ def start_geo_match_stream(
     assert r <= cell, "3x3 probe incomplete when radius > cell"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         pts = batch_df.select("pid", "lat_e6", "lon_e6")
-        cells_new = _with_cells(pts, cell).localCheckpoint(eager=True)
         try:
             idx = spark.read.parquet(index_dir)
-        except Exception:  # first batch: no index yet
+        except AnalysisException:  # first batch: index path not created yet
             idx = None
+        # any OTHER read failure must fail the batch (foreachBatch retries
+        # it) — swallowing it would silently drop every cross-batch pair
+        if idx is not None:
+            # at-least-once sources can re-deliver points; a point already
+            # in the index is dropped from the batch entirely, so replays
+            # emit no (p, p) self-pair and re-emit no already-found pairs
+            pts = pts.join(idx.select("pid"), "pid", "left_anti")
+        cells_new = _with_cells(pts, cell).localCheckpoint(eager=True)
         within = distance_pairs(pts, cell, r)
         pairs = within.select(
             F.col("pid_a").alias("pid_lo"),

@@ -237,3 +237,27 @@ def test_kmv_jaccard_epilogue_tracks_truth(spark, sf001):
     assert abs(row.est_union - true_union) <= 0.55 * true_union
     assert abs(row.jacc_ppm / 1e6 - true_inter / true_union) <= 0.3
     assert abs(row.est_intersection - true_inter) <= 0.6 * true_inter
+
+
+def test_kmv_jaccard_exhaustive_regime_is_exact(spark, tmp_path):
+    """|A∪B| < k ⇒ the merged sketch IS the union: est_union, Jaccard
+    denominator, and est_intersection must all be EXACT (the review-found
+    regression: dividing by k instead of n_rank in this arm)."""
+    import pandas as pd
+
+    # 20 orderkeys: returned = multiples of 2, bulk = multiples of 3
+    rows = []
+    for ok in range(1, 21):
+        rows.append({
+            "l_orderkey": ok,
+            "l_returnflag": "R" if ok % 2 == 0 else "N",
+            "l_quantity": 30.0 if ok % 3 == 0 else 10.0,
+        })
+    pd.DataFrame(rows).to_parquet(tmp_path / "lineitem.parquet")
+    row = sketch_kmv_jaccard(spark, str(tmp_path)).collect()[0]
+    a = {ok for ok in range(1, 21) if ok % 2 == 0}
+    b = {ok for ok in range(1, 21) if ok % 3 == 0}
+    assert row.est_union == len(a | b)
+    assert row.n_both == len(a & b)
+    assert row.jacc_ppm == 1_000_000 * len(a & b) // len(a | b)
+    assert row.est_intersection == len(a & b)

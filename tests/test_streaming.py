@@ -921,3 +921,45 @@ def test_streaming_geo_match_equals_batch_pairs(spark):
     # every point (even isolates) is in the index exactly once
     idx = spark.read.parquet(f"{root}/index")
     assert idx.count() == 8 and idx.select("pid").distinct().count() == 8
+
+
+def test_streaming_geo_match_redelivery_is_idempotent(spark):
+    """An at-least-once source re-delivering an already-indexed point
+    must not emit a (p, p) self-pair, must not re-emit its pairs, and
+    must not duplicate it in the index."""
+    from mxsparkg.streaming import start_geo_match_stream
+
+    CELL, R = 1000, 1000
+    mb = [
+        [(1, 100, 100), (2, 900, 100)],
+        [(1, 100, 100), (3, 100, 900)],   # pid 1 re-delivered
+    ]
+    root = f"{ROOT}/geo_redeliver"
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/src"
+    for rows in mb:
+        spark.createDataFrame(
+            rows, "pid long, lat_e6 long, lon_e6 long"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("pid long, lat_e6 long, lon_e6 long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_geo_match_stream(
+        stream, f"{root}/index", f"{root}/out", f"{root}/ckpt",
+        cell_e6=CELL, r_e6=R,
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.pid_lo, r.pid_hi, r.dist2_e6)
+        for r in spark.read.parquet(f"{root}/out").collect()
+    )
+    # (1,2) from batch 1; (1,3) from batch 2's new point 3 ((2,3) is at
+    # dist ~1131 > R); NO (1,1) self-pair, NO duplicate (1,2)
+    assert got == [
+        (1, 2, 800 * 800),
+        (1, 3, 800 * 800),
+    ]
+    idx = spark.read.parquet(f"{root}/index")
+    assert idx.count() == 3 and idx.select("pid").distinct().count() == 3
