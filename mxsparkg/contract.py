@@ -966,16 +966,27 @@ def evt_sessionize(spark, sf):
         " + cast(minute(ts) as bigint)*60000000"
         " + cast(extract(SECOND from ts)*1000000 as bigint)"
     )
+    return sessionize_us(
+        e.select("user_id", "event_id", "value", us.alias("_us")),
+        SESSION_GAP_US,
+    )
+
+
+def sessionize_us(events_us: DataFrame, gap_us: int) -> DataFrame:
+    """The session-assembly core over (user_id, event_id, _us, value):
+    lag + new-session flag + running sum (both windows share ONE
+    user-partitioned sort exchange), then the per-session rollup.
+    Shared by the evt_sessionize gate key and jobs/bench_events.py's
+    10^8-event scale exercise — the scale proof runs THIS code, not a
+    reimplementation."""
     w = Window.partitionBy("user_id").orderBy("_us", "event_id")
     gap = F.col("_us") - F.lag("_us").over(w)
-    flagged = e.select(
-        "user_id", "event_id", "ts", "value", us.alias("_us")
-    ).select(
+    flagged = events_us.select(
         "user_id",
         "event_id",
         "_us",
         "value",
-        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1)
+        F.when(gap.isNull() | (gap > gap_us), 1)
         .otherwise(0)
         .alias("ns"),
     )
