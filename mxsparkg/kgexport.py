@@ -1841,6 +1841,132 @@ def kg_rdfs_closure_sql() -> str:
 PATH_MAX_HOPS = 4  # gate bound for the Kleene-plus key (power of two)
 
 
+# OWL 2 RL inverseOf / symmetric-property entailment: the rule family
+# beside RDFS subclass closure. Ontology: in_nation inverseOf
+# has_citizen, in_region inverseOf contains_nation, adjacent_to
+# inverseOf itself (symmetric). Planted asymmetric adjacency (only the
+# lower-key direction asserted) makes the symmetric arm non-vacuous,
+# and a deliberately pre-asserted inverse (both directions of one pair)
+# makes the dedup arm non-vacuous.
+OWL_INVERSES = {
+    "in_nation": "has_citizen",
+    "in_region": "contains_nation",
+    "adjacent_to": "adjacent_to",
+}
+
+
+def owl_inverse_closure(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj) ∪ {(obj, inv(pred), subj)} for every pred with
+    a declared inverse, deduplicated — one broadcast map lookup + one
+    union + one distinct; rule application is a single pass (inverse of
+    the inverse is the original, so the closure converges in one step,
+    unlike subclass chains). Output carries `asserted` = whether the
+    row existed before entailment (max over the union, so a triple both
+    asserted and entailed reads asserted=1)."""
+    inv = F.create_map(
+        *[F.lit(x) for kv in OWL_INVERSES.items() for x in kv]
+    )[F.col("pred")]
+    fwd = triples.select("subj", "pred", "obj", F.lit(1).alias("asserted"))
+    ent = (
+        triples.withColumn("ipred", inv)
+        .filter(F.col("ipred").isNotNull())
+        .select(
+            F.col("obj").alias("subj"),
+            F.col("ipred").alias("pred"),
+            F.col("subj").alias("obj"),
+            F.lit(0).alias("asserted"),
+        )
+    )
+    return (
+        fwd.unionByName(ent)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.max("asserted").cast("int").alias("asserted"))
+    )
+
+
+def kg_owl_inverse(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate key: the inverse closure over a deterministic slice —
+    customer in_nation, nation in_region, and a planted adjacent_to ring
+    over nations asserted in the lower-key direction only (plus ONE
+    pre-asserted reverse edge to exercise dedup). The census output
+    (per-pred asserted/entailed counts) pins the swap, the symmetric
+    arm, and the dedup under the value hash; full-row equivalence rides
+    the same grouping."""
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    t = (
+        cust.select(
+            iri("cust", F.col("c_custkey")).alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            iri("nat", F.col("c_nationkey")).alias("obj"),
+        )
+        .unionByName(nat.select(
+            iri("nat", F.col("n_nationkey")).alias("subj"),
+            F.lit("in_region").alias("pred"),
+            iri("reg", F.col("n_regionkey")).alias("obj"),
+        ))
+        # adjacency ring: nation k adjacent_to nation (k+1) mod 25,
+        # asserted one way; nation 0's reverse edge pre-asserted too
+        .unionByName(nat.select(
+            iri("nat", F.col("n_nationkey")).alias("subj"),
+            F.lit("adjacent_to").alias("pred"),
+            iri("nat", (F.col("n_nationkey") + 1) % 25).alias("obj"),
+        ))
+        .unionByName(nat.filter(F.col("n_nationkey") == 0).select(
+            iri("nat", F.lit(1)).alias("subj"),
+            F.lit("adjacent_to").alias("pred"),
+            iri("nat", F.lit(0)).alias("obj"),
+        ))
+    )
+    closed = owl_inverse_closure(t)
+    return closed.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.sum("asserted").cast("long").alias("n_asserted"),
+        F.sum(1 - F.col("asserted")).cast("long").alias("n_entailed"),
+        F.countDistinct("subj").alias("n_subjects"),
+    )
+
+
+def kg_owl_inverse_sql() -> str:
+    inv_case = " ".join(
+        f"WHEN '{p}' THEN '{q}'" for p, q in OWL_INVERSES.items()
+    )
+    return f"""
+      WITH t AS (
+        SELECT '<{BASE_E}cust:' || CAST(c_custkey AS VARCHAR) || '>' AS subj,
+               'in_nation' AS pred,
+               '<{BASE_E}nat:' || CAST(c_nationkey AS VARCHAR) || '>' AS obj
+        FROM customer
+        UNION ALL
+        SELECT '<{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR) || '>',
+               'in_region',
+               '<{BASE_E}reg:' || CAST(n_regionkey AS VARCHAR) || '>'
+        FROM nation
+        UNION ALL
+        SELECT '<{BASE_E}nat:' || CAST(n_nationkey AS VARCHAR) || '>',
+               'adjacent_to',
+               '<{BASE_E}nat:' || CAST((n_nationkey + 1) % 25 AS VARCHAR)
+                 || '>'
+        FROM nation
+        UNION ALL
+        SELECT '<{BASE_E}nat:1>', 'adjacent_to', '<{BASE_E}nat:0>'
+        FROM nation WHERE n_nationkey = 0),
+      closed AS (
+        SELECT subj, pred, obj, CAST(max(asserted) AS INT) AS asserted
+        FROM (
+          SELECT subj, pred, obj, 1 AS asserted FROM t
+          UNION ALL
+          SELECT obj, CASE pred {inv_case} END, subj, 0
+          FROM t WHERE (CASE pred {inv_case} END) IS NOT NULL)
+        GROUP BY subj, pred, obj)
+      SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+             CAST(sum(asserted) AS BIGINT) AS n_asserted,
+             CAST(sum(1 - asserted) AS BIGINT) AS n_entailed,
+             CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects
+      FROM closed GROUP BY pred
+    """
+
+
 def property_path(edges: DataFrame, max_hops: int = PATH_MAX_HOPS) -> DataFrame:
     """Bounded SPARQL property path `p+`: all (src, dst, min_hops) pairs
     reachable via 1..max_hops repetitions of one predicate's edges — the
@@ -2553,6 +2679,7 @@ def kgexport_queries() -> dict:
         "kg_negsample": kg_negsample,
         "kg_schema_infer": kg_schema_infer,
         "kg_rdfs_closure": kg_rdfs_closure,
+        "kg_owl_inverse": kg_owl_inverse,
         "kg_bgp_star": kg_bgp_star,
         "kg_rdfstar": kg_rdfstar,
         "kg_property_path": kg_property_path,
@@ -2582,6 +2709,7 @@ def kgexport_oracle_sql() -> dict[str, str]:
         "kg_negsample": kg_negsample_sql(),
         "kg_schema_infer": kg_schema_infer_sql(),
         "kg_rdfs_closure": kg_rdfs_closure_sql(),
+        "kg_owl_inverse": kg_owl_inverse_sql(),
         "kg_bgp_star": kg_bgp_star_sql(),
         "kg_rdfstar": kg_rdfstar_sql(),
         "kg_property_path": kg_property_path_sql(),

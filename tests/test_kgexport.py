@@ -384,3 +384,29 @@ def test_date_norm_round_trips_iso(spark, sf001):
     for r in rows:
         assert r.parsed == 1
         assert r.iso == r.want_iso, r
+
+
+def test_owl_inverse_closure_swap_symmetric_dedup(spark):
+    """inverseOf entailment: swapped triple under the inverse pred,
+    symmetric predicates swap onto themselves, and a triple both
+    asserted and entailed collapses to one row with asserted=1."""
+    from mxsparkg.kgexport import owl_inverse_closure
+
+    t = spark.createDataFrame(
+        [("a", "in_nation", "n1"),     # entails (n1, has_citizen, a)
+         ("x", "adjacent_to", "y"),    # entails (y, adjacent_to, x)
+         ("y", "adjacent_to", "x"),    # pre-asserted reverse -> dedup
+         ("a", "label", "A")],         # no declared inverse -> untouched
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r.subj, r.pred, r.obj): r.asserted
+        for r in owl_inverse_closure(t).collect()
+    }
+    assert got == {
+        ("a", "in_nation", "n1"): 1,
+        ("n1", "has_citizen", "a"): 0,
+        ("x", "adjacent_to", "y"): 1,
+        ("y", "adjacent_to", "x"): 1,   # asserted wins over entailed
+        ("a", "label", "A"): 1,
+    }
