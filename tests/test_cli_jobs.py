@@ -368,3 +368,45 @@ def test_table_profile_expectations_flag(cli):
     assert e["unique:o_orderkey"] == 0
     assert e["regexp:o_orderpriority"] == 0
     assert e["range:o_totalprice>=100000.0"] > 0
+
+
+def test_geo_tools_cli(cli, spark):
+    pts = spark.createDataFrame(
+        [(1, 100, 100), (2, 900, 100), (3, 5000, 5000), (4, 100, 1100)],
+        "pid long, lat_e6 long, lon_e6 long",
+    )
+    pp = f"{ROOT}/geo_pts"
+    pts.write.mode("overwrite").parquet(pp)
+    res = cli("geo_tools", [
+        "--op", "density", "--points", pp, "--cell-e6", "1000",
+    ])
+    assert res["rows"] == 3  # pids 1+2 share a cell; 3 and 4 are alone
+    assert res["candidate_rows_forecast"] >= 4
+    res = cli("geo_tools", [
+        "--op", "pairs", "--points", pp, "--cell-e6", "1000",
+        "--r-e6", "1000", "--out", f"{ROOT}/geo_pairs",
+    ])
+    # (1,2) d=800 and (1,4) d=1000 qualify; (2,4) at ~1131 does not
+    assert res["rows"] == 2
+    got = {
+        (r.pid_a, r.pid_b)
+        for r in spark.read.parquet(f"{ROOT}/geo_pairs").collect()
+    }
+    assert got == {(1, 2), (1, 4)}
+    res = cli("geo_tools", [
+        "--op", "knn", "--points", pp, "--cell-e6", "1000", "--k", "1",
+    ])
+    assert res["rows"] == 3  # pid 3 is isolated beyond the 3x3 window
+    regions = spark.createDataFrame(
+        [(7, 0, 0, 1000, 1500)], "region_id long, x0 long, y0 long,"
+        " x1 long, y1 long",
+    )
+    rp = f"{ROOT}/geo_regions"
+    regions.write.mode("overwrite").parquet(rp)
+    res = cli("geo_tools", [
+        "--op", "bbox", "--points", pp, "--cell-e6", "1000",
+        "--regions", rp,
+    ])
+    # box is lon in [0,1000] x lat in [0,1500]: pids 1,2 inside; 4 is
+    # out on lon (1100 > 1000); 3 is far outside
+    assert res["rows"] == 2
