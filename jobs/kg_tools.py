@@ -23,6 +23,8 @@ ops:
              as --edges): 4th term = the source page as a graph IRI
   jsonld     compacted JSON-LD node objects from the edges table, one
              JSON document per subject per line (JSON-Lines shards)
+  entail     OWL inverseOf/symmetric entailment over the edges table
+             (--inverses (pred, ipred) parquet; asserted-wins dedup)
   snapshot   time-travel read of a version-dir table written by --op
              apply (--snapshots root, --version N, default latest) —
              the in-sandbox `VERSION AS OF`
@@ -89,7 +91,7 @@ def _dense_entities(edges):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--op", required=True,
-                    choices=["conflicts", "reliability", "ntriples", "nquads", "turtle", "jsonld", "validate",
+                    choices=["conflicts", "reliability", "ntriples", "nquads", "turtle", "jsonld", "entail", "validate",
                              "infer", "diff", "embed", "predict", "apply",
                              "bgp", "snapshot", "expire"])
     ap.add_argument("--delta", default=None,
@@ -127,6 +129,9 @@ def main() -> None:
                     help="pipeline nodes parquet (canon_id, etype, ...)")
     ap.add_argument("--constraints", default=None,
                     help="(pred, styp, otyp) parquet for --op validate")
+    ap.add_argument("--inverses", default=None,
+                    help="(pred, ipred) parquet for --op entail "
+                         "(default: the module's gate ontology)")
     ap.add_argument("--out", default=None)  # required below except for --op expire
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--master", default=None)
@@ -210,6 +215,19 @@ def main() -> None:
             .filter(F.col("value").endswith(" ."))
             .count()
         )
+    elif args.op == "entail":
+        import mxsparkg.kgexport as _kx
+
+        inv = None
+        if args.inverses:
+            inv = {
+                r["pred"]: r["ipred"]
+                for r in spark.read.parquet(args.inverses).collect()
+            }
+        out_df = _kx.owl_inverse_closure(
+            edges.select("subj", "pred", "obj"), inv)
+        out_df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
     elif args.op == "jsonld":
         kx.export_edges_jsonld(edges).select("doc").write.mode(
             "overwrite").text(args.out)

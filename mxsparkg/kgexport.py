@@ -1855,16 +1855,20 @@ OWL_INVERSES = {
 }
 
 
-def owl_inverse_closure(triples: DataFrame) -> DataFrame:
+def owl_inverse_closure(
+    triples: DataFrame, inverses: dict[str, str] | None = None
+) -> DataFrame:
     """(subj, pred, obj) ∪ {(obj, inv(pred), subj)} for every pred with
     a declared inverse, deduplicated — one broadcast map lookup + one
     union + one distinct; rule application is a single pass (inverse of
     the inverse is the original, so the closure converges in one step,
     unlike subclass chains). Output carries `asserted` = whether the
     row existed before entailment (max over the union, so a triple both
-    asserted and entailed reads asserted=1)."""
+    asserted and entailed reads asserted=1). `inverses` defaults to the
+    gate ontology; kg_tools --op entail passes a (pred, ipred) table."""
+    inverses = OWL_INVERSES if inverses is None else inverses
     inv = F.create_map(
-        *[F.lit(x) for kv in OWL_INVERSES.items() for x in kv]
+        *[F.lit(x) for kv in inverses.items() for x in kv]
     )[F.col("pred")]
     fwd = triples.select("subj", "pred", "obj", F.lit(1).alias("asserted"))
     ent = (

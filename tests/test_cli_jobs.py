@@ -410,3 +410,29 @@ def test_geo_tools_cli(cli, spark):
     # box is lon in [0,1000] x lat in [0,1500]: pids 1,2 inside; 4 is
     # out on lon (1100 > 1000); 3 is far outside
     assert res["rows"] == 2
+
+
+def test_kg_tools_entail(cli, spark):
+    edges = spark.createDataFrame(
+        [("a", "works_for", "co"), ("x", "peer_of", "y")],
+        "subj string, pred string, obj string",
+    )
+    ep = f"{ROOT}/kt_ent_edges"
+    edges.write.mode("overwrite").parquet(ep)
+    inv = spark.createDataFrame(
+        [("works_for", "employs"), ("peer_of", "peer_of")],
+        "pred string, ipred string",
+    )
+    ip = f"{ROOT}/kt_ent_inv"
+    inv.write.mode("overwrite").parquet(ip)
+    res = cli("kg_tools", [
+        "--op", "entail", "--edges", ep, "--inverses", ip,
+        "--out", f"{ROOT}/kt_ent_out",
+    ])
+    assert res["rows"] == 4  # 2 asserted + 2 entailed
+    got = {
+        (r.subj, r.pred, r.obj, r.asserted)
+        for r in spark.read.parquet(f"{ROOT}/kt_ent_out").collect()
+    }
+    assert ("co", "employs", "a", 0) in got
+    assert ("y", "peer_of", "x", 0) in got
