@@ -145,6 +145,46 @@ def main() -> None:
     print(f"[geo] arm2: {skew[CITY_R]['n']} pairs, identical at both cell "
           f"sizes; candidates {cands}", file=sys.stderr)
 
+    # ------------- arm 3: point-in-region bbox join, closed form -------
+    # one region per cluster, its box exactly the cluster's home cell:
+    # every region contains precisely its cluster's M points (offsets
+    # stay within ±R_C of the cell-centered cluster center, and other
+    # clusters live >= 2 cells away), so the asymmetric join must return
+    # exactly K*M containment rows.
+    from mxsparkg.geo import GEO_CELL_E6 as CELL
+
+    regions = spark.range(0, args.clusters, 1, 32).select(
+        F.col("id").alias("region_id"),
+        (F.expr(f"(3 * (id % {gw}) + 1)") * CELL).alias("x0"),
+        (F.expr(f"(3 * (id div {gw}) + 1)") * CELL).alias("y0"),
+        (F.expr(f"(3 * (id % {gw}) + 2)") * CELL - 1).alias("x1"),
+        (F.expr(f"(3 * (id div {gw}) + 2)") * CELL - 1).alias("y1"),
+    )
+    pts1 = cluster_pts(64)
+    cover = (
+        regions
+        .withColumn("cell_x", F.expr(f"x0 div {CELL}"))
+        .withColumn("cell_y", F.expr(f"y0 div {CELL}"))
+    )  # box == one cell, so the cover is the box's own cell — no explode
+    t0 = time.time()
+    n_contained = (
+        pts1.select(
+            "pid", "lat_e6", "lon_e6",
+            F.expr(f"lon_e6 div {CELL}").alias("cell_x"),
+            F.expr(f"lat_e6 div {CELL}").alias("cell_y"),
+        )
+        .join(cover, ["cell_x", "cell_y"])
+        .filter(
+            (F.col("lon_e6") >= F.col("x0")) & (F.col("lon_e6") <= F.col("x1"))
+            & (F.col("lat_e6") >= F.col("y0")) & (F.col("lat_e6") <= F.col("y1"))
+        )
+        .count()
+    )
+    bbox_wall = round(time.time() - t0, 2)
+    assert n_contained == n1, (n_contained, n1)  # every point in its region
+    print(f"[geo] arm3: {n_contained} containment rows EXACT "
+          f"({bbox_wall}s)", file=sys.stderr)
+
     stats = {
         "ok": True,
         "arm1_points": n1,
@@ -156,6 +196,8 @@ def main() -> None:
         "arm2_candidates": {str(k): v for k, v in cands.items()},
         "arm2_plan_wall": plan_wall,
         "arm2_walls": {str(k): v["wall"] for k, v in skew.items()},
+        "arm3_contained": n_contained,
+        "arm3_wall": bbox_wall,
         "cores": args.cores,
     }
     print(json.dumps(stats))
@@ -197,6 +239,14 @@ candidate blowup is the quadratic mega-cell term |city|² — the reason a
 10^12-point deployment sizes the grid from the GEO1 density table
 (radius-matched cells, or salted sub-splitting of residual hot cells via
 the join_salted machinery) before launching the join.
+
+## Point-in-region containment at 10^6 points x {args.clusters:,} regions
+
+One region per cluster, box = the cluster's home cell: the asymmetric
+bbox join must contain exactly every point in its own region —
+{n1:,} containment rows EXACT in {bbox_wall}s (closed-form assert;
+work = points-in-covered-cells, the |points| x |regions| product never
+materializes).
 
 Regenerate: `python jobs/bench_geo.py --cores {args.cores}`
 """

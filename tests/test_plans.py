@@ -671,3 +671,15 @@ def test_gap_fill_reuses_user_partitioning(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_plan_audit_whitelist_names_registered_keys():
+    """The registry-wide audit's whitelist (tools/plan_audit.py) must
+    reference only keys that still exist — a renamed/removed key leaves
+    a stale justification that silently stops guarding anything."""
+    import __spark_entry__ as entrymod
+    from tools.plan_audit import ALLOWED
+
+    qs = set(entrymod.queries())
+    stale = sorted(set(ALLOWED) - qs)
+    assert not stale, f"whitelist entries for unregistered keys: {stale}"
