@@ -142,3 +142,44 @@ def test_bbox_join_equals_brute_force(spark):
     }
     assert got == want
     assert got  # non-vacuous at sf0.001
+
+
+def test_distance_pairs_property_vs_brute_force(spark):
+    """Hypothesis: for random small point sets — including coincident
+    points, cell-boundary coordinates, and dist == R ties — the grid
+    probe at ANY radius-compatible cell size equals the all-pairs
+    brute force computed in Python."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mxsparkg.geo import distance_pairs
+
+    coord = st.integers(0, 5000)
+    point = st.tuples(coord, coord)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        pts=st.lists(point, min_size=0, max_size=12),
+        cell=st.sampled_from([1000, 1500, 2500]),
+        r=st.sampled_from([500, 999, 1000]),
+    )
+    def check(pts, cell, r):
+        rows = [(i, la, lo) for i, (la, lo) in enumerate(pts)]
+        want = {
+            (a, b, (la - lb) ** 2 + (lo - lob) ** 2)
+            for a, la, lo in rows
+            for b, lb, lob in rows
+            if a < b and (la - lb) ** 2 + (lo - lob) ** 2 <= r * r
+        }
+        if rows:
+            df = spark.createDataFrame(
+                rows, "pid long, lat_e6 long, lon_e6 long")
+        else:
+            df = spark.createDataFrame([], "pid long, lat_e6 long, lon_e6 long")
+        got = {
+            (x.pid_a, x.pid_b, x.dist2_e6)
+            for x in distance_pairs(df, cell, r).collect()
+        }
+        assert got == want
+
+    check()
