@@ -57,7 +57,7 @@ def main() -> None:
                     choices=["salience", "triangles", "components", "scc",
                              "modularity", "linkpred", "assortativity",
                              "walk", "louvain", "coarsen", "ktruss",
-                             "msgpass"])
+                             "msgpass", "msf"])
     ap.add_argument("--edges", required=True,
                     help="pipeline edges parquet (subj, pred, obj, n_support)")
     ap.add_argument("--nodes", default=None,
@@ -150,6 +150,16 @@ def main() -> None:
             )
         )
         out_df = gq.random_walks(sym, seeds, steps=args.iters)
+    elif args.op == "msf":
+        # minimum spanning forest over the support-weighted edge graph:
+        # w = -n_support would pick the STRONGEST backbone; the positive
+        # convention here keeps w a cost (use a cost column upstream for
+        # latency-weighted host graphs)
+        we = edges.select(
+            F.col("subj").alias("u"), F.col("obj").alias("v"),
+            F.coalesce(F.col("n_support"), F.lit(1)).cast("long").alias("w"),
+        )
+        out_df = gq.minimum_spanning_forest(we)
     elif args.op in ("louvain", "coarsen"):
         und = (
             edges.select(

@@ -168,6 +168,12 @@ def test_graph_analytics_ops(cli, spark):
         "--iters", "2", "--top-k", "3",
     ])
     assert res["op"] == "ktruss" and res["rows"] == 3, res
+    # msf: the 4-node graph's spanning forest is 3 edges (Kruskal-
+    # equivalent Boruvka; certified in test_graphquery.py)
+    res = cli("graph_analytics", [
+        "--op", "msf", "--edges", ep, "--out", f"{ROOT}/ga_msf",
+    ])
+    assert res["op"] == "msf" and res["rows"] == 3, res
     # msgpass: one row per node of the subj/obj graph
     res = cli("graph_analytics", [
         "--op", "msgpass", "--edges", ep, "--out", f"{ROOT}/ga_msgpass",

@@ -781,3 +781,112 @@ def test_weighted_pagerank_differs_and_conserves_mass(spark):
     # top-25 of a conserved 10^12 distribution: every entry well under
     # total, every entry positive
     assert all(0 < v < PR_TOTAL_MASS for v in w.values())
+
+
+# --------------------------------------------------------------- MSF -----
+
+
+def _kruskal(edges):
+    """Pure-Python Kruskal under the same (w, u, v) total order the
+    distributed Borůvka uses — the certification reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    norm = {}
+    for u, v, w in edges:
+        if u == v:
+            continue
+        a, b = min(u, v), max(u, v)
+        norm[(a, b)] = min(norm.get((a, b), w), w)
+    out = []
+    for (u, v), w in sorted(norm.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            out.append((u, v, w))
+    return sorted(out)
+
+
+def _msf(spark, rows):
+    from mxsparkg.graphquery import minimum_spanning_forest
+
+    df = spark.createDataFrame(rows, "u string, v string, w long")
+    stats = {}
+    got = sorted(
+        (r.u, r.v, r.w)
+        for r in minimum_spanning_forest(df, stats=stats).collect()
+    )
+    return got, stats
+
+
+def test_msf_ring_closed_form(spark):
+    """Ring of n nodes, weight = index: the forest is every edge except
+    the heaviest (the unique cycle's max edge)."""
+    n = 12
+    rows = [
+        (f"n{i:02d}", f"n{(i + 1) % n:02d}", 100 + i) for i in range(n)
+    ]
+    got, stats = _msf(spark, rows)
+    want = _kruskal(rows)
+    assert got == want
+    assert len(got) == n - 1
+    assert all(w != 100 + n - 1 for _, _, w in got)
+    assert 1 <= stats["rounds"] <= 5
+
+
+def test_msf_matches_kruskal_on_random_graphs(spark):
+    """Seeded random multigraphs with duplicate edges, parallel weights,
+    self-loops, and multiple components: distributed Borůvka == Kruskal
+    under the shared total order, at two input partitionings."""
+    import random
+
+    rng = random.Random(4242)
+    rows = []
+    for comp in range(3):
+        nodes = [f"c{comp}_n{i}" for i in range(rng.randint(4, 14))]
+        for _ in range(30):
+            u, v = rng.choice(nodes), rng.choice(nodes)
+            rows.append((u, v, rng.randint(1, 9)))
+    want = _kruskal(rows)
+    from mxsparkg.graphquery import minimum_spanning_forest
+
+    for parts in (2, 16):
+        df = spark.createDataFrame(
+            rows, "u string, v string, w long").repartition(parts)
+        got = sorted(
+            (r.u, r.v, r.w)
+            for r in minimum_spanning_forest(df).collect()
+        )
+        assert got == want, parts
+    # forest property: |edges| = |nodes| - |components| per component
+    nodes = {x for u, v, _ in rows if u != v for x in (u, v)}
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v, _ in want:
+        adj[u].add(v)
+        adj[v].add(u)
+    seen, n_comp = set(), 0
+    for s in nodes:
+        if s in seen:
+            continue
+        n_comp += 1
+        stack = [s]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            stack.extend(adj[x] - seen)
+    assert len(want) == len(nodes) - n_comp
+
+
+def test_msf_empty_and_self_loop_only(spark):
+    got, _ = _msf(spark, [("a", "a", 5)])
+    assert got == []
