@@ -3314,3 +3314,67 @@ def evt_trending(spark, sf):
         .filter(F.col("rnk") <= TRENDING_K)
         .select("day", "rnk", "item", "n")
     )
+
+
+@reg("agg_corr",
+     """WITH m AS (
+       SELECT l_returnflag,
+              CAST(count(*) AS HUGEINT) AS n,
+              sum(CAST(l_quantity AS HUGEINT)) AS sq,
+              sum(CAST(l_quantity AS HUGEINT)
+                  * CAST(l_quantity AS HUGEINT)) AS sqq,
+              sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sp,
+              sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                  * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS spp,
+              sum(CAST(l_quantity AS HUGEINT)
+                  * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sqp
+       FROM lineitem GROUP BY l_returnflag)
+     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+            round(CAST(n * sqp - sq * sp AS DOUBLE)
+                  / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                         * CAST(n * spp - sp * sp AS DOUBLE)), 6)
+              AS corr_qty_price,
+            round(CAST(n * sqp - sq * sp AS DOUBLE)
+                  / CAST(n * sqq - sq * sq AS DOUBLE), 6)
+              AS slope_cents_per_qty
+     FROM m ORDER BY l_returnflag""")
+def agg_corr(spark, sf):
+    """A10b full Pearson correlation — the variant agg_moments documents
+    as needing the decimal-128 route (cents² sums cross bigint range):
+    ALL six moments accumulate as Spark decimal(38,0) == DuckDB HUGEINT
+    (bit-equal cross-engine, the graph_hits precedent), so the
+    aggregation — the partition-order-dependent part — is exact whole-bit
+    integers. Only the FINAL scalar assembly (two casts, one multiply,
+    sqrt, divide, round) runs in doubles: every input is an exact
+    integer and each IEEE op is correctly rounded, so both engines
+    compute the identical double — float drift needs float ACCUMULATION,
+    which never happens here. Emits corr and the regression slope per
+    group. At 10^12 rows this is one map-side-combinable aggregate, the
+    same cost as the built-in corr() with none of its ordering drift."""
+    li = _t(spark, sf, "lineitem")
+    q = F.col("l_quantity").cast("decimal(38,0)")
+    p = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p).alias("sp"),
+        F.sum(p * p).alias("spp"),
+        F.sum(q * p).alias("sqp"),
+    )
+    num = (F.col("n") * F.col("sqp") - F.col("sq") * F.col("sp"))
+    denq = (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq"))
+    denp = (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp"))
+    return (
+        m.select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                num.cast("double")
+                / F.sqrt(denq.cast("double") * denp.cast("double")), 6
+            ).alias("corr_qty_price"),
+            F.round(num.cast("double") / denq.cast("double"), 6)
+            .alias("slope_cents_per_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

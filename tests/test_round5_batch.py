@@ -247,3 +247,26 @@ def test_fusion_weighted_majority_geometry(spark, sf001):
     for r in fused.values():
         assert r["vote_ppm"] > 0
         assert r["changed_vs_round1"] in (0, 1)
+
+
+def test_agg_corr_matches_python_float_corr(spark, sf001):
+    """The decimal-moment Pearson assembly equals a direct Python
+    computation from the raw rows (to 6dp — the emitted rounding)."""
+    from mxsparkg.contract import agg_corr
+
+    rows = spark.read.parquet(f"{sf001}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.l_returnflag, []).append(
+            (int(r.l_quantity), round(r.l_extendedprice * 100)))
+    got = {r.l_returnflag: r for r in agg_corr(spark, sf001).collect()}
+    for flag, pts in by.items():
+        n = len(pts)
+        sq = sum(q for q, _ in pts); sp = sum(p for _, p in pts)
+        sqq = sum(q * q for q, _ in pts); spp = sum(p * p for _, p in pts)
+        sqp = sum(q * p for q, p in pts)
+        num = n * sqp - sq * sp
+        want = num / ((n * sqq - sq * sq) * (n * spp - sp * sp)) ** 0.5
+        assert got[flag].n == n
+        assert abs(got[flag].corr_qty_price - want) < 1.5e-6, flag
