@@ -3378,3 +3378,39 @@ def agg_corr(spark, sf):
         )
         .orderBy("l_returnflag")
     )
+
+
+@reg("evt_heatmap",
+     f"""SELECT (epoch_us(ts) // {_DAY_US} + 4) % 7 AS dow,
+            (epoch_us(ts) % {_DAY_US}) // 3600000000 AS hour,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+     FROM events GROUP BY 1, 2""")
+def evt_heatmap(spark, sf):
+    """T44' day-of-week × hour activity heatmap — the ops-dashboard
+    staple behind every 'when are users active' panel. Both axes are
+    EXPLICIT integer arithmetic on the microsecond epoch (1970-01-01
+    was a Thursday ⇒ dow = (epoch_days + 4) % 7, Sunday = 0): the
+    built-in dayofweek()/dow() functions disagree across engines on
+    both origin and locale, so neither is used. One map-side-combinable
+    groupBy into a ≤168-cell table; the distinct-user count is the only
+    real shuffle at 10^12 events and it is keyed on the cell."""
+    e = _t(spark, sf, "events")
+    return (
+        e.select(F.expr(_FUNNEL_US).alias("_us"), "user_id")
+        .select(
+            F.expr(f"_us div {_DAY_US} + 4").alias("_d"),
+            "_us",
+            "user_id",
+        )
+        .select(
+            F.expr("_d % 7").alias("dow"),
+            F.expr(f"(_us % {_DAY_US}) div 3600000000").alias("hour"),
+            "user_id",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
