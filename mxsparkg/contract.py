@@ -3414,3 +3414,71 @@ def evt_heatmap(spark, sf):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@reg("agg_skew",
+     """WITH m AS (
+       SELECT l_returnflag,
+              CAST(count(*) AS HUGEINT) AS n,
+              sum(CAST(l_quantity AS HUGEINT)) AS s1,
+              sum(CAST(l_quantity AS HUGEINT)
+                  * CAST(l_quantity AS HUGEINT)) AS s2,
+              sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)
+                  * CAST(l_quantity AS HUGEINT)) AS s3,
+              sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)
+                  * CAST(l_quantity AS HUGEINT)
+                  * CAST(l_quantity AS HUGEINT)) AS s4
+       FROM lineitem GROUP BY l_returnflag)
+     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+            round(CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+                       AS DOUBLE)
+                  / pow(CAST(n * s2 - s1 * s1 AS DOUBLE), 1.5), 6)
+              AS skewness,
+            round(CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+                       + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+                       AS DOUBLE)
+                  / (CAST(n AS DOUBLE)
+                     * pow(CAST(n * s2 - s1 * s1 AS DOUBLE), 2))
+                  * CAST(n AS DOUBLE) - 3, 6) AS excess_kurtosis
+     FROM m ORDER BY l_returnflag""")
+def agg_skew(spark, sf):
+    """A17 exact skewness / excess kurtosis — completing the moment
+    family (A10 covariance, A16 Pearson) with the 3rd/4th central
+    moments, the distribution-shape signals a profiler reports next to
+    mean/stddev. Same discipline as agg_corr: ALL power sums accumulate
+    as decimal(38,0)/HUGEINT exact integers (q⁴ sums stay < 10^38 far
+    past sf1), the central-moment expansions m3 = n³·M̄3 and m2 = n²·M̄2
+    are assembled IN exact integers (so g1 = m3/m2^1.5 and
+    g2 = n·m4/m2² − 3 need no separate n powers), and only the final normalize
+    (two casts, pow, divide, round) runs in correctly-rounded doubles on
+    exact inputs — no float accumulation anywhere. One map-side-
+    combinable aggregate at any scale."""
+    li = _t(spark, sf, "lineitem")
+    q = F.col("l_quantity").cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m3 = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
+    m2 = (n * s2 - s1 * s1)
+    m4 = (n * n * n * s4 - 4 * n * n * s1 * s3
+          + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+    nd = n.cast("double")
+    return (
+        m.select(
+            "l_returnflag",
+            n.cast("bigint").alias("n"),
+            F.round(
+                m3.cast("double") / F.pow(m2.cast("double"), 1.5), 6
+            ).alias("skewness"),
+            F.round(
+                m4.cast("double") / (nd * F.pow(m2.cast("double"), 2)) * nd
+                - 3, 6
+            ).alias("excess_kurtosis"),
+        )
+        .orderBy("l_returnflag")
+    )

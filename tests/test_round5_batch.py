@@ -270,3 +270,29 @@ def test_agg_corr_matches_python_float_corr(spark, sf001):
         want = num / ((n * sqq - sq * sq) * (n * spp - sp * sp)) ** 0.5
         assert got[flag].n == n
         assert abs(got[flag].corr_qty_price - want) < 1.5e-6, flag
+
+
+def test_agg_skew_matches_python_reference(spark, sf001):
+    """Skewness g1 = M3·√n / M2^1.5 and excess kurtosis g2 = n·M4/M2² − 3
+    from the decimal moments equal a direct Python computation (to 6dp);
+    uniform-ish quantities must land near g1 ≈ 0, g2 ≈ −1.2."""
+    from mxsparkg.contract import agg_skew
+
+    rows = spark.read.parquet(f"{sf001}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.l_returnflag, []).append(int(r.l_quantity))
+    got = {r.l_returnflag: r for r in agg_skew(spark, sf001).collect()}
+    for flag, xs in by.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum((x - mu) ** 2 for x in xs) / n
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        g1 = m3 / m2 ** 1.5
+        g2 = m4 / m2 ** 2 - 3
+        assert abs(got[flag].skewness - g1) < 2e-6, (flag, g1)
+        assert abs(got[flag].excess_kurtosis - g2) < 2e-6, (flag, g2)
+        assert abs(got[flag].skewness) < 0.3       # uniform-ish corpus
+        assert -1.4 < got[flag].excess_kurtosis < -0.9
