@@ -70,12 +70,26 @@ def main() -> None:
     t0 = time.time()
     df = spark.read.parquet(args.table)
     # one aggregate scan for every per-column stat (the profile_table
-    # shape: sibling aggregates, no per-column jobs)
+    # shape: sibling aggregates, no per-column jobs). Numeric columns
+    # also accumulate power sums for distribution-shape diagnostics
+    # (mean/std/skewness/excess kurtosis — double accumulation is fine
+    # for DIAGNOSTICS; the certified whole-bit path for shape stats is
+    # the agg_skew key's decimal-128 discipline on quantized columns).
+    from pyspark.sql.types import NumericType
+
+    numeric = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, NumericType)
+    ]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in df.columns:
         aggs.append(F.count(c).alias(f"nn_{c}"))
         aggs.append(F.min(F.col(c).cast("string")).alias(f"mn_{c}"))
         aggs.append(F.max(F.col(c).cast("string")).alias(f"mx_{c}"))
+    for c in numeric:
+        x = F.col(c).cast("double")
+        for k in (1, 2, 3, 4):
+            aggs.append(F.sum(F.pow(x, k)).alias(f"s{k}_{c}"))
     row = df.agg(*aggs).collect()[0].asDict()
     n_rows = row["n_rows"]
     cols = {
@@ -86,6 +100,25 @@ def main() -> None:
         }
         for c in df.columns
     }
+    for c in numeric:
+        n = row[f"nn_{c}"]
+        if not n or row[f"s1_{c}"] is None:
+            continue
+        s1, s2, s3, s4 = (row[f"s{k}_{c}"] for k in (1, 2, 3, 4))
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        if m2 <= 0:
+            cols[c]["mean"] = round(mu, 6)
+            cols[c]["std"] = 0.0
+            continue
+        m3 = s3 / n - 3 * mu * s2 / n + 2 * mu ** 3
+        m4 = s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu ** 4
+        cols[c].update({
+            "mean": round(mu, 6),
+            "std": round(m2 ** 0.5, 6),
+            "skewness": round(m3 / m2 ** 1.5, 6),
+            "excess_kurtosis": round(m4 / (m2 * m2) - 3, 6),
+        })
 
     out: dict = {
         "table": args.table,

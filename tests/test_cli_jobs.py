@@ -308,6 +308,12 @@ def test_table_profile_cli(cli, spark):
     )
     assert out["n_rows"] > 0
     assert out["columns"]["o_custkey"]["nulls"] == 0
+    # shape diagnostics present for numeric columns and sane: an
+    # order-total distribution is right-skewed with positive spread
+    shape = out["columns"]["o_totalprice"]
+    assert shape["std"] > 0
+    assert -10 < shape["skewness"] < 10
+    assert "skewness" not in out["columns"].get("o_orderstatus", {})
     assert abs(out["hll_distinct_est"] - truth) / truth < 0.20
     assert "7" in out["cms_est"]
     # persisted sketches re-read and merge-ready
