@@ -14,8 +14,9 @@ sessions). So the session table is known in closed form:
   max n_events   = EPU  (even users), min = 1 (odd users)
 
 checked EXACTLY, plus an xor fingerprint over (user, session_no,
-n_events, t_start) compared across 7 vs 64 input partitions (the window
-is a total order per user — layout must not move a session boundary).
+n_events, t_start) compared across two input layouts per level (7 vs
+max(16, 2*cores) partitions — the window is a total order per user, so
+layout must not move a session boundary).
 The same run at two local[] levels evidences the north-rule scaling
 criterion for the one-Exchange window shape.
 
@@ -82,7 +83,8 @@ def main() -> None:
 
         fps = []
         wall = None
-        for parts in (7, max(16, cores * 2)):
+        layouts = (7, max(16, cores * 2))
+        for parts in layouts:
             t0 = time.time()
             sess = sessionize_us(stream(parts), GAP_US)
             row = sess.agg(
@@ -128,7 +130,8 @@ def main() -> None:
         f"{epu}-event session; odd users 45-min spacing → {epu} singleton "
         f"sessions): the product sessionize_us path must emit exactly "
         f"{want_sessions:,} sessions covering all {n:,} events — asserted, "
-        "with the session-set xor fingerprint identical at 7 vs 64 input "
+        "with the session-set xor fingerprint identical at "
+        f"{layouts[0]} vs {layouts[1]} input "
         "partitions. One user-partitioned sort Exchange carries both "
         "windows; per-user buffer is that user's events, never the stream.",
         "",

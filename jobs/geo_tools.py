@@ -55,11 +55,10 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from mxsparkg.geo import (
-        _nbr_cells,
+        _d2,
         _probe_side,
         _with_cells,
         candidate_count,
-        _d2,
         distance_pairs,
     )
     from mxsparkg.session import get_spark
@@ -114,26 +113,23 @@ def main() -> None:
     else:  # bbox
         boxes = spark.read.parquet(args.regions).select(
             "region_id", "x0", "y0", "x1", "y1")
-        span_cells = boxes.select(
-            F.max(
-                F.greatest(
-                    F.expr(f"x1 div {args.cell_e6} - x0 div {args.cell_e6}"),
-                    F.expr(f"y1 div {args.cell_e6} - y0 div {args.cell_e6}"),
-                )
-            ).alias("m")
-        ).collect()[0].m
-        offs = list(range(int(span_cells) + 1))
+        # per-region cell cover via sequence(): each row explodes into
+        # exactly ITS OWN box's cells (no driver collect, no global-max
+        # literal arrays, empty regions table -> empty cover), which is
+        # the 'bounded by the box's own span' contract for real
         cover = (
             boxes
-            .withColumn("oi", F.explode(F.array(*[F.lit(i) for i in offs])))
-            .withColumn("oj", F.explode(F.array(*[F.lit(j) for j in offs])))
-            .withColumn("cell_x",
-                        F.expr(f"x0 div {args.cell_e6}") + F.col("oi"))
-            .withColumn("cell_y",
-                        F.expr(f"y0 div {args.cell_e6}") + F.col("oj"))
-            .filter(
-                (F.col("cell_x") <= F.expr(f"x1 div {args.cell_e6}"))
-                & (F.col("cell_y") <= F.expr(f"y1 div {args.cell_e6}"))
+            .withColumn(
+                "cell_x",
+                F.explode(F.expr(
+                    f"sequence(x0 div {args.cell_e6}, x1 div {args.cell_e6})"
+                )),
+            )
+            .withColumn(
+                "cell_y",
+                F.explode(F.expr(
+                    f"sequence(y0 div {args.cell_e6}, y1 div {args.cell_e6})"
+                )),
             )
             .select("region_id", "x0", "y0", "x1", "y1",
                     "cell_x", "cell_y")
@@ -149,7 +145,16 @@ def main() -> None:
             )
             .select("region_id", "pid", "lat_e6", "lon_e6")
         )
-        stats["max_span_cells"] = int(span_cells)
+        span = boxes.agg(
+            F.coalesce(
+                F.max(F.greatest(
+                    F.expr(f"x1 div {args.cell_e6} - x0 div {args.cell_e6}"),
+                    F.expr(f"y1 div {args.cell_e6} - y0 div {args.cell_e6}"),
+                )),
+                F.lit(0),
+            ).alias("m")
+        ).collect()[0].m
+        stats["max_span_cells"] = int(span)
 
     if args.out:
         out_df.write.mode("overwrite").parquet(args.out)

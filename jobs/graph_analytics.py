@@ -151,15 +151,17 @@ def main() -> None:
         )
         out_df = gq.random_walks(sym, seeds, steps=args.iters)
     elif args.op == "msf":
-        # minimum spanning forest over the support-weighted edge graph:
-        # w = -n_support would pick the STRONGEST backbone; the positive
-        # convention here keeps w a cost (use a cost column upstream for
-        # latency-weighted host graphs)
+        # MAXIMUM-support spanning backbone: the consumer of a KG edge
+        # skeleton wants the best-corroborated tree, so the MSF cost is
+        # w = -n_support (min total cost == max total support); the
+        # output restores the positive n_support column
         we = edges.select(
             F.col("subj").alias("u"), F.col("obj").alias("v"),
-            F.coalesce(F.col("n_support"), F.lit(1)).cast("long").alias("w"),
+            (-F.coalesce(F.col("n_support"), F.lit(1)).cast("long"))
+            .alias("w"),
         )
-        out_df = gq.minimum_spanning_forest(we)
+        out_df = gq.minimum_spanning_forest(we).select(
+            "u", "v", (-F.col("w")).alias("n_support"))
     elif args.op in ("louvain", "coarsen"):
         und = (
             edges.select(

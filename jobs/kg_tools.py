@@ -216,15 +216,13 @@ def main() -> None:
             .count()
         )
     elif args.op == "entail":
-        import mxsparkg.kgexport as _kx
-
         inv = None
         if args.inverses:
             inv = {
                 r["pred"]: r["ipred"]
                 for r in spark.read.parquet(args.inverses).collect()
             }
-        out_df = _kx.owl_inverse_closure(
+        out_df = kx.owl_inverse_closure(
             edges.select("subj", "pred", "obj"), inv)
         out_df.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()

@@ -100,11 +100,18 @@ def main() -> None:
         }
         for c in df.columns
     }
+    import math
+
     for c in numeric:
         n = row[f"nn_{c}"]
         if not n or row[f"s1_{c}"] is None:
             continue
         s1, s2, s3, s4 = (row[f"s{k}_{c}"] for k in (1, 2, 3, 4))
+        if not all(math.isfinite(s) for s in (s1, s2, s3, s4)):
+            # a NaN/Inf value poisons every power sum; emit a flag
+            # instead of NaN tokens that break the one-JSON-line contract
+            cols[c]["shape"] = "non-finite values present"
+            continue
         mu = s1 / n
         m2 = s2 / n - mu * mu
         if m2 <= 0:

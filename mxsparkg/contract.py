@@ -3446,13 +3446,17 @@ def agg_skew(spark, sf):
     family (A10 covariance, A16 Pearson) with the 3rd/4th central
     moments, the distribution-shape signals a profiler reports next to
     mean/stddev. Same discipline as agg_corr: ALL power sums accumulate
-    as decimal(38,0)/HUGEINT exact integers (q⁴ sums stay < 10^38 far
-    past sf1), the central-moment expansions m3 = n³·M̄3 and m2 = n²·M̄2
-    are assembled IN exact integers (so g1 = m3/m2^1.5 and
-    g2 = n·m4/m2² − 3 need no separate n powers), and only the final normalize
-    (two casts, pow, divide, round) runs in correctly-rounded doubles on
-    exact inputs — no float accumulation anywhere. One map-side-
-    combinable aggregate at any scale."""
+    as decimal(38,0)/HUGEINT exact integers, the central-moment
+    expansions m3 = n³·M̄3 and m2 = n²·M̄2 are assembled IN exact
+    integers (so g1 = m3/m2^1.5 and g2 = n·m4/m2² − 3 need no separate
+    n powers), and only the final normalize (two casts, pow, divide,
+    round) runs in correctly-rounded doubles on exact inputs — no float
+    accumulation anywhere. Exactness envelope: the m4 assembly's
+    n³·Σq⁴ / (Σq)⁴ terms reach 10^38 around n ≈ 10^8 rows PER GROUP for
+    q ≤ 50 — far past every sf here, but a 10^12-row single group would
+    pre-scale q (divide by a power of 2) or shard the group and merge
+    raw power sums (they are plainly additive) before assembly. One
+    map-side-combinable aggregate."""
     li = _t(spark, sf, "lineitem")
     q = F.col("l_quantity").cast("decimal(38,0)")
     m = li.groupBy("l_returnflag").agg(

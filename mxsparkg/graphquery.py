@@ -3297,6 +3297,15 @@ def minimum_spanning_forest(
     is localCheckpointed per round (lineage truncation, the iterative-op
     house rule). Forest edges accumulate as a union of per-round picks
     (≤ log n frames, each already deduplicated)."""
+    wtype = dict(edges.dtypes)["w"]
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        # a silent cast would TRUNCATE fractional weights and return a
+        # wrong forest; latency-style weights should arrive as integer
+        # ms/us (the repo-wide integer-weight discipline)
+        raise ValueError(
+            f"minimum_spanning_forest needs an integral weight column, "
+            f"got w: {wtype} — quantize to integer units first"
+        )
     e0 = (
         edges.select(
             F.least("u", "v").alias("u"),
@@ -3319,6 +3328,7 @@ def minimum_spanning_forest(
 
     picked_frames = []
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         cu = comp.select(F.col("node").alias("u"), F.col("c").alias("cu"))
         cv = comp.select(F.col("node").alias("v"), F.col("c").alias("cv"))
@@ -3326,20 +3336,25 @@ def minimum_spanning_forest(
             e0.join(cu, "u").join(cv, "v")
             .filter(F.col("cu") != F.col("cv"))
         )
-        if live.limit(1).count() == 0:
-            break
-        rounds += 1
         pick = F.struct("w", "u", "v", "cu", "cv").alias("p")
         sym = (
             live.select(F.col("cu").alias("c"), pick)
             .unionByName(live.select(F.col("cv").alias("c"), pick))
         )
+        # chosen is empty iff no live cross-component edge remains, so
+        # the eager checkpoint doubles as the termination probe — ONE
+        # pass over the two comp joins per round, not a probe + a
+        # recompute
         chosen = (
             sym.groupBy("c").agg(F.min("p").alias("p"))
             .select("p.w", "p.u", "p.v", "p.cu", "p.cv")
             .distinct()          # both endpoints may pick the same edge
             .localCheckpoint(eager=True)
         )
+        if chosen.limit(1).count() == 0:
+            converged = True
+            break
+        rounds += 1
         picked_frames.append(chosen.select("u", "v", "w"))
         cm = connected_components(
             chosen.select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
@@ -3354,6 +3369,15 @@ def minimum_spanning_forest(
             .localCheckpoint(eager=True)
         )
     e0.unpersist()
+    if not converged:
+        # a silently truncated partial forest would LOOK valid to every
+        # caller; Borůvka halves components per round, so hitting the
+        # cap means a real bug or an absurd max_rounds
+        raise RuntimeError(
+            f"minimum_spanning_forest did not converge in {max_rounds} "
+            "rounds (components at least halve per round — raise "
+            "max_rounds only if log2(n) genuinely exceeds it)"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     if not picked_frames:
